@@ -1,0 +1,65 @@
+"""Benchmark runner — one JSON line on stdout for the driver.
+
+Runs every registered query (headline queries define the metric) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is fully executed with the noop
+writer (whole plan runs, nothing is collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dynaledger_spark.plans.registry import load_all
+from dynaledger_spark.session import get_spark
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("dynaledger_bench")
+
+    registry = load_all()
+    # Warm up the JVM/session so the first measured query isn't charged
+    # for executor startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(registry.items()):
+        t0 = time.perf_counter()
+        try:
+            run_query(spec.build(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # record failures, keep benching
+            timings[name] = -1.0
+            print(f"# bench FAILED {name}: {exc}", file=sys.stderr)
+
+    headline = [n for n, s in registry.items() if s.headline and timings.get(n, -1) >= 0]
+    total = round(sum(timings[n] for n in headline), 4) if headline else -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Table registry + SQL pass-through.
+
+The reference routes every query to Snowflake over the network and keeps a
+table *per quarter* by name suffix (snowflake_raw_data_loader.py:50,
+backend/main.py:168-172). Here the catalog is the in-process Spark catalog:
+tables register once as temp views, per-quarter data is modeled as a
+`source_file` partition column (Catalyst partition-prunes it from filters),
+and arbitrary user SQL (backend/main.py:109-134) runs through
+`spark.sql` — Catalyst's parser/optimizer replaces Snowflake's.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as epoch-nanos
+# longs (spark.sql.legacy.parquet.nanosAsLong); convert to microsecond
+# timestamps at the source — same truncation DuckDB applies.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+# The driver's TPC-H-ish testdata tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table with type normalization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load parquet tables from ``sf_dir`` and register temp views.
+
+    Parquet scans give Catalyst pushdown + pruning for free; no schema
+    inference cost (parquet is self-describing).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def sql(spark: SparkSession, query: str) -> DataFrame:
+    """Arbitrary-SQL pass-through (reference: backend/main.py:109-134).
+
+    The reference sends the raw string to Snowflake; here Catalyst
+    parses/analyzes/optimizes it against the registered views.
+    """
+    return spark.sql(query)
+
+
+def describe_table(spark: SparkSession, name: str, sample_rows: int = 3) -> dict:
+    """Schema introspection + small sample (reference: backend/main.py:92-98)."""
+    df = spark.table(name)
+    return {
+        "columns": [
+            {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            for f in df.schema.fields
+        ],
+        "sample": [row.asDict() for row in df.limit(sample_rows).collect()],
+    }
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Partition/table existence probe (reference: s3_data_checker.py:7-14)."""
+    try:
+        spark.table(name)
+        return True
+    except Exception:
+        return False

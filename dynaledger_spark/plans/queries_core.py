@@ -1,0 +1,775 @@
+"""Core relational queries — SURVEY.md §2 operators on the driver testdata.
+
+Each query re-expresses a reference operator Spark-first (DataFrame API,
+Catalyst-optimizable). Reference citations are in each docstring so parity
+can be checked against SURVEY.md §2 / the reference sources.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def dsum(col, alias: str, scale: int = 6):
+    """Order-independent exact SUM of a double column.
+
+    Accumulate in DECIMAL (exact, associative) and cast the final value
+    back to DOUBLE: Spark's partial/final aggregation order can no longer
+    change the result, so it matches any oracle bitwise. SQL twin:
+    CAST(SUM(CAST(x AS DECIMAL(27,s))) AS DOUBLE).
+    """
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double").alias(alias)
+
+
+def _osum(expr: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the dbt fact-table pattern (J2 + W1 + P2 + A2 + O1)
+# reference: models/fact_data_load/balance_sheet_load.sql:22-53
+# ---------------------------------------------------------------------------
+@register(
+    "fact_build",
+    headline=True,
+    doc="3-way star join + filter + dense_rank + group-sum (dbt fact model shape)",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT o.o_orderkey, c.c_custkey, c.c_name, n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INT) AS order_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS net_price,
+                   DENSE_RANK() OVER (
+                       PARTITION BY c.c_custkey ORDER BY o.o_orderdate DESC
+                   ) AS rn
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        )
+        SELECT o_orderkey, c_custkey, c_name, nation, order_year, rn,
+               {_osum('net_price', 'total_value')},
+               COUNT(*) AS n_lines
+        FROM ranked
+        GROUP BY o_orderkey, c_custkey, c_name, nation, order_year, rn
+    """,
+)
+def fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table builder: filter → star join → dense_rank → group-sum.
+
+    Mirrors balance_sheet_load.sql:22-53 (num⋈sub⋈pre, stmt filter,
+    DENSE_RANK versioning, SUM(value) GROUP BY). Spark notes: nation is a
+    broadcast dim; the orders⋈lineitem join shuffles on the join key once
+    and the groupBy reuses that clustering; dense_rank is deterministic
+    under date ties.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            "o_orderdate",
+        )
+    )
+    w = W.partitionBy("c_custkey").orderBy(F.col("o_orderdate").desc())
+    return (
+        joined.withColumn("rn", F.dense_rank().over(w))
+        .groupBy("o_orderkey", "c_custkey", "c_name", "nation", "order_year", "rn")
+        .agg(dsum(F.col("net_price"), "total_value"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/O1: interactive statement query (3-way join, projection, multi-key sort)
+# reference: backend/main.py:163-177
+# ---------------------------------------------------------------------------
+@register(
+    "statement_query",
+    doc="3-way equi-join + projection + multi-key ORDER BY (GET /get-financial-data)",
+    oracle="""
+        SELECT o.o_orderkey, c.c_name, n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS order_year,
+               o.o_totalprice, o.o_orderpriority
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY o.o_orderkey
+    """,
+)
+def statement_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sub⋈pre⋈num statement query analog (backend/main.py:163-177)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: anti-join FK integrity test
+# reference: tests/num_validation/test_foreign_key_integrity.sql:1-5
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join_fk",
+    doc="LEFT JOIN + IS NULL probe rewritten as left_anti (FK integrity)",
+    oracle="""
+        SELECT p.p_partkey, p.p_name
+        FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def anti_join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows violating referential integrity: parts never referenced by
+    lineitem. Reference writes LEFT JOIN … WHERE right IS NULL
+    (test_foreign_key_integrity.sql:1-5); Spark's left_anti is the same
+    plan without materializing the null side.
+    """
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return part.join(
+        lineitem, part.p_partkey == lineitem.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+# ---------------------------------------------------------------------------
+# J4/P14: broadcast lookup join with UNKNOWN default
+# reference: ext_zip_convert_into_json_store.py:76-77
+# ---------------------------------------------------------------------------
+@register(
+    "broadcast_lookup_default",
+    doc="broadcast dim lookup + coalesce default (cik→ticker with UNKNOWN)",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name,
+               COALESCE(n.n_name, 'UNKNOWN') AS nation
+        FROM supplier s
+        LEFT JOIN nation n
+          ON s.s_nationkey = n.n_nationkey AND n.n_regionkey < 4
+    """,
+)
+def broadcast_lookup_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12k-row ticker lookup analog: broadcast hash join, misses default to
+    'UNKNOWN' (ext_zip_convert_into_json_store.py:76-77). The extra
+    n_regionkey predicate manufactures real misses so the default path is
+    exercised.
+    """
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 4)
+    return (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+            "left",
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: lateral flatten (unnest join)
+# reference: load_json_data_snowflake.py:227-228 (LATERAL FLATTEN)
+# ---------------------------------------------------------------------------
+@register(
+    "flatten_explode",
+    doc="LATERAL FLATTEN → posexplode of an array column",
+    oracle="""
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+        WHERE vec_id < 500
+    """,
+)
+def flatten_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per array element with ordinal — Snowflake LATERAL FLATTEN
+    (load_json_data_snowflake.py:227-228) as posexplode. float→double cast
+    is exact widening, so values hash identically in any engine.
+    """
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id", F.col("pos").cast("int").alias("pos"), F.col("val").cast("double").alias("val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11/P7: JSON path extraction + try_cast coercion
+# reference: load_json_data_snowflake.py:153-161 (raw_json:"x"::TYPE);
+#            zip_ext_and_parq_store.py:132-147 (to_numeric errors='coerce')
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_cast",
+    doc="JSON path extract + ::TYPE cast with coerce-to-null on failure",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_raw,
+               TRY_CAST(
+                   CASE WHEN event_id % 7 = 0
+                        THEN json_extract_string(props, '$.k') || 'x'
+                        ELSE json_extract_string(props, '$.k') END
+                   AS BIGINT) AS k_val
+        FROM events
+    """,
+)
+def json_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT path extraction (`raw_json:"k"::BIGINT`) ≈ get_json_object +
+    try_cast; every 7th row is corrupted to exercise coerce-to-null
+    (pandas errors='coerce', zip_ext_and_parq_store.py:132-147).
+    """
+    events = _t(spark, sf_dir, "events")
+    k_raw = F.get_json_object("props", "$.k")
+    dirty = F.when(F.col("event_id") % 7 == 0, F.concat(k_raw, F.lit("x"))).otherwise(k_raw)
+    return events.select(
+        "event_id",
+        k_raw.alias("k_raw"),
+        dirty.try_cast("bigint").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: MERGE INTO dedup-upsert → window dedup
+# reference: load_json_data_snowflake.py:165-187
+# ---------------------------------------------------------------------------
+@register(
+    "merge_dedup_latest",
+    doc="MERGE-style dedup: keep latest row per key via row_number window",
+    oracle="""
+        SELECT user_id, event_id, event_type, value
+        FROM (
+            SELECT user_id, event_id, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def merge_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake MERGE dedup-by-key (load_json_data_snowflake.py:165-187)
+    without mutable storage: row_number over (key, recency desc) and keep
+    rn=1, then overwrite. event_id tiebreaker keeps it deterministic.
+    """
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: GROUP BY + HAVING duplicate detection
+# reference: tests/pre_validation/test_unique_identifier.sql:1-8
+# ---------------------------------------------------------------------------
+@register(
+    "dup_detection",
+    doc="GROUP BY key HAVING COUNT(*)>1 (duplicate-key probe)",
+    oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY user_id, event_type
+        HAVING COUNT(*) > 1
+    """,
+)
+def dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """test_unique_identifier.sql:1-8 as groupBy + filter on count."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: unique-key check (expected-empty violations)
+# reference: models/staging/schema.yml:96 (unique sub.adsh)
+# ---------------------------------------------------------------------------
+@register(
+    "unique_key_check",
+    doc="dbt `unique` test: keys with count>1 (empty when clean)",
+    oracle="""
+        SELECT o_orderkey, COUNT(*) AS n
+        FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+    """,
+)
+def unique_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt unique test on the PK (schema.yml:96) — violations DataFrame."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P18-P23: validation predicate suite (regex / range / set / null / length)
+# reference: models/staging/schema.yml + singular tests (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+@register(
+    "validation_summary",
+    doc="dbt-style data-quality checks: one row per rule with violation count",
+    oracle="""
+        SELECT 'acctbal_range' AS rule, COUNT(*) AS n_violations
+            FROM customer WHERE c_acctbal NOT BETWEEN -500 AND 9000
+        UNION ALL
+        SELECT 'mktsegment_domain', COUNT(*) FROM customer
+            WHERE c_mktsegment NOT IN
+                ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD')
+        UNION ALL
+        SELECT 'orderstatus_domain', COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('F','O','P')
+        UNION ALL
+        SELECT 'lang_regex', COUNT(*) FROM documents
+            WHERE NOT regexp_matches(lang, '^[a-z]{2}$')
+        UNION ALL
+        SELECT 'text_len_range', COUNT(*) FROM documents
+            WHERE length(text) NOT BETWEEN 1 AND 400
+        UNION ALL
+        SELECT 'name_not_null', COUNT(*) FROM customer WHERE c_name IS NULL
+    """,
+)
+def validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt test suite (schema.yml regex/range/accepted_values/not_null,
+    SURVEY §2.2 P18-P23) as composable violation counters with
+    warn-severity semantics: report counts, never fail the pipeline.
+    """
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    documents = _t(spark, sf_dir, "documents")
+
+    def rule(df: DataFrame, name: str, bad) -> DataFrame:
+        return (
+            df.filter(bad)
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+    checks = [
+        rule(customer, "acctbal_range", ~F.col("c_acctbal").between(-500, 9000)),
+        rule(customer, "mktsegment_domain", ~F.col("c_mktsegment").isin(segs)),
+        rule(orders, "orderstatus_domain", ~F.col("o_orderstatus").isin("F", "O", "P")),
+        rule(documents, "lang_regex", ~F.col("lang").rlike("^[a-z]{2}$")),
+        rule(documents, "text_len_range", ~F.length("text").between(1, 400)),
+        rule(customer, "name_not_null", F.col("c_name").isNull()),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# O3/A3: top-k by aggregated measure
+# reference: streamlit_app.py:275-287 (groupby-sum + nlargest(10))
+# ---------------------------------------------------------------------------
+@register(
+    "topk_customers",
+    headline=True,
+    doc="group-sum + deterministic top-k (client-side pandas made engine-side)",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {_osum('o.o_totalprice', 'revenue')},
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 10
+    """,
+)
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by revenue (streamlit_app.py:275-287 made a real
+    distributed operator: partial-agg + TakeOrderedAndProject, no full sort).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            dsum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "bottomk_suppliers",
+    doc="bottom-k by measure (sort asc + limit; streamlit tail(10))",
+    oracle="""
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        ORDER BY s_acctbal ASC, s_suppkey
+        LIMIT 10
+    """,
+)
+def bottomk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k = orderBy asc + limit (streamlit_app.py:285-287 tail)."""
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy(F.col("s_acctbal").asc(), F.col("s_suppkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: UNION ALL by column name
+# reference: zip_ext_and_parq_store.py:236-303 (pd.concat across quarters)
+# ---------------------------------------------------------------------------
+@register(
+    "union_by_name",
+    doc="unionByName across differently-ordered projections (pd.concat)",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderstatus = 'P'
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-partition concat by name (zip_ext_and_parq_store.py:269):
+    columns intentionally projected in different orders to prove
+    name-based (not positional) alignment.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderstatus") == "P").select(
+        "o_totalprice", "o_orderkey", "o_orderstatus"
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# P15/P18: date parse + calendar grouping
+# reference: ext_zip_convert_into_json_store.py:79-89 (yyyymmdd int → date);
+#            tests/num_validation/test_date_validity.sql:1-5
+# ---------------------------------------------------------------------------
+@register(
+    "date_rollup",
+    doc="date extraction + calendar rollup with exact integral sums",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+               CAST(month(l_shipdate) AS INT) AS ship_month,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+)
+def date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """yyyymmdd handling (P15) as native date functions + calendar group."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "date_validity",
+    doc="date-validity predicate: yyyymmdd int round-trip check",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS ship_yyyymmdd
+        FROM lineitem
+        WHERE length(strftime(l_shipdate, '%Y%m%d')) = 8
+          AND year(l_shipdate) BETWEEN 1900 AND 2100
+    """,
+)
+def date_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH(CAST(ddate AS STRING)) = 8 validity (test_date_validity.sql:1-5)
+    + fy range check (schema.yml:192-195), emitting the yyyymmdd int form
+    the reference stores dates in.
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    yyyymmdd = F.date_format("l_shipdate", "yyyyMMdd")
+    return (
+        lineitem.filter(
+            (F.length(yyyymmdd) == 8) & F.year("l_shipdate").between(1900, 2100)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            yyyymmdd.cast("int").alias("ship_yyyymmdd"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A6: scalar aggregates + latest-partition discovery
+# reference: backend/main.py:50-57; load_json_data_snowflake.py:41-57
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_stats",
+    doc="COUNT(*) probe + MAX latest-partition discovery as one summary row",
+    oracle="""
+        SELECT COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(MAX(year(o_orderdate)) AS INT) AS latest_year,
+               CAST(MIN(year(o_orderdate)) AS INT) AS earliest_year
+        FROM orders
+    """,
+)
+def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count availability probe (backend/main.py:50-57) + MAX-over-
+    partition-values latest discovery (load_json_data_snowflake.py:41-57).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.max(F.year("o_orderdate")).cast("int").alias("latest_year"),
+        F.min(F.year("o_orderdate")).cast("int").alias("earliest_year"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2: conditional routing (CASE-routed aggregation, pivot shape)
+# reference: ext_zip_convert_into_json_store.py:133-139
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_routing",
+    doc="stmt-type routing as CASE-conditional aggregation (BS/CF/IC → columns)",
+    oracle=f"""
+        SELECT user_id,
+               {_osum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END", 'purchase_value', 2)},
+               {_osum("CASE WHEN event_type = 'error' THEN value ELSE 0 END", 'error_value', 2)},
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def conditional_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """if stmt=='BS'/'CF'/'IC' routing (ext_zip_convert_into_json_store.py:
+    133-139) as when()-conditional aggregation — one pass, no per-row loop.
+    """
+    events = _t(spark, sf_dir, "events")
+    val = F.col("value")
+    return events.groupBy("user_id").agg(
+        dsum(F.when(F.col("event_type") == "purchase", val).otherwise(F.lit(0.0)), "purchase_value", 2),
+        dsum(F.when(F.col("event_type") == "error", val).otherwise(F.lit(0.0)), "error_value", 2),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("n_signups"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1: group-to-document assembly (the reverse of flatten) — rows-only check
+# reference: ext_zip_convert_into_json_store.py:92-139
+# ---------------------------------------------------------------------------
+@register(
+    "doc_assembly",
+    doc="group-to-nested-JSON document assembly (collect_list(struct) + to_json)",
+    oracle=None,  # JSON text formatting is engine-specific → rows-only check
+)
+def doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-filing JSON assembly (ext_zip_convert_into_json_store.py:92-139).
+
+    The reference loops per filing over chunked scans — O(filings×rows).
+    Spark-first this is one hash aggregate: groupBy(order) →
+    sort_array(collect_list(struct(...))) → to_json. sort_array makes the
+    array order deterministic (the loop's implicit file order).
+    """
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lines = lineitem.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("line"),
+            F.col("l_partkey").alias("part"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+        ).alias("item"),
+    )
+    docs = lines.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("item")).alias("items")
+    )
+    return (
+        orders.join(docs, orders.o_orderkey == docs.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("order"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("items"),
+                )
+            ).alias("doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window extras: running aggregates + sessionization
+# (beyond the reference's single dense_rank — stock Spark windows)
+# ---------------------------------------------------------------------------
+@register(
+    "running_window",
+    doc="running count + exact running sum per key (ROWS frame, unique ordering)",
+    oracle="""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS running_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,2))) OVER w AS DOUBLE) AS running_value
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    """,
+)
+def running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates with an explicit ROWS frame and a unique
+    (ts, event_id) ordering — deterministic under timestamp ties.
+    """
+    events = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("running_events"),
+        F.sum(F.col("value").cast("decimal(27,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "sessionization",
+    headline=True,
+    doc="gap-based sessionization via lag + cumulative session ids",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize an event stream with a 30-minute inactivity gap:
+    lag(ts) → gap flag → running sum as session id. One shuffle on
+    user_id serves both windows and the final aggregate.
+    """
+    events = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    prev_epoch = F.lag(epoch).over(w)
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            prev_epoch.isNull() | ((epoch - prev_epoch) > 1800), F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_session"),
+    )
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(wsum).alias("session_id"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.2: arbitrary-SQL pass-through
+# reference: backend/main.py:109-134
+# ---------------------------------------------------------------------------
+@register(
+    "sql_passthrough",
+    doc="user SQL executed verbatim by Catalyst against registered views",
+    oracle="""
+        SELECT r.r_name AS region, COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST /execute-custom-query (backend/main.py:109-134): the user's SQL
+    string goes straight to spark.sql; Catalyst replaces Snowflake's
+    parser/analyzer/optimizer.
+    """
+    from dynaledger_spark.catalog import load_tables, sql
+
+    load_tables(spark, sf_dir, tables=("nation", "region"))
+    return sql(
+        spark,
+        """
+        SELECT r.r_name AS region, COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """,
+    )

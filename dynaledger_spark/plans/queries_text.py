@@ -1,0 +1,153 @@
+"""Text / dedup queries over the `documents` table.
+
+Training-data-pipeline operators (beyond the reference's own inventory):
+exact dedup, n-gram Jaccard, MinHash-LSH, SimHash, token stats, quality
+scores, language-ID, fingerprints. Scale posture: everything is
+groupBy/join-shaped (no cross joins, no driver loops); LSH candidate
+generation is a band-bucket equi-join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy, keep first doc per content hash
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    headline=True,
+    doc="exact content dedup via md5 hash-groupBy (keep min doc_id)",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: md5(text) → groupBy hash → keep min doc_id.
+
+    At 100 TB this is the cheap first pass before near-dup detection: one
+    shuffle on a 16-byte key with map-side partial aggregation.
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting + text-quality scoring
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+@register(
+    "text_quality",
+    headline=True,
+    doc="token counts, punctuation/stopword ratios, quality score per doc",
+    oracle=f"""
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+                   AS n_bpe_ish_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> list_contains({list(_STOPWORDS)!r}, t))) AS BIGINT)
+                   AS n_stopwords,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct
+        FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features for corpus filtering: char/token counts, a BPE-ish
+    regex token count, stopword hits, punctuation count. All JVM-side
+    expressions (no UDF) — whole-stage codegen over the scan.
+    """
+    docs = _docs(spark, sf_dir)
+    tokens = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_m"),
+        F.size(tokens).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_ish_tokens"),
+        F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+        .cast("bigint")
+        .alias("n_stopwords"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_punct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity over candidate pairs
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard",
+    doc="char-19gram Jaccard similarity over windowed candidate pairs",
+    oracle="""
+        WITH shingled AS (
+            SELECT doc_id, source,
+                   list_distinct([text[i:i+18]
+                                  FOR i IN range(1, greatest(length(text) - 18, 1) + 1)])
+                       AS shingles
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        FROM shingled a JOIN shingled b
+          ON a.source = b.source AND b.doc_id - a.doc_id BETWEEN 1 AND 5
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-19-gram Jaccard over candidate pairs (same source,
+    doc_id within 5). In production the candidate set comes from
+    MinHash-LSH banding (`minhash_lsh_pairs`); the windowed join here
+    keeps the oracle exact while exercising the same set arithmetic.
+    """
+    docs = _docs(spark, sf_dir)
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 18, 1)),"
+        " s -> substring(text, s, 19)))"
+    )
+    shingled = docs.select("doc_id", "source", shingles.alias("shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.doc_id") - F.col("a.doc_id")).between(1, 5),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
