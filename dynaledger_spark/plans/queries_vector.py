@@ -34,6 +34,95 @@ _SQ_FOLD_DUCK = (
 )
 
 
+# Dot product of two double arrays as a sequential fold — DuckDB twin uses
+# list_zip + list_aggregate('sum'), the same left-to-right accumulation.
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    headline=True,
+    doc="brute-force cosine top-k vs the vec_id=0 query vector",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id,
+                   {_duck_dot('e.embedding', 'q.qv')}
+                   / (sqrt({_SQ_FOLD_DUCK.replace('embedding', 'e.embedding')})
+                      * sqrt({_SQ_FOLD_DUCK.replace('embedding', 'q.qv')})) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+        )
+        SELECT vec_id, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: cosine of every vector against the vec_id=0
+    embedding, top-10. The query vector is fetched once (1-row lookup)
+    and inlined as a literal — the corpus pass is a single
+    scan-project-TakeOrdered, no shuffle, no crossJoin.
+    """
+    from dynaledger_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+@register(
+    "ann_lsh_bucketed",
+    doc="sign-LSH bucketed ANN (multiprobe Hamming-1) vs vec_id=0",
+    oracle=None,  # bucket membership depends on seeded hyperplanes → rows-only
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: probe only the query's sign-LSH bucket (+Hamming-1
+    neighbors) instead of scanning the corpus; exact cosine re-ranks the
+    bucket. Recall vs the exact baseline is asserted in unit tests.
+    """
+    from dynaledger_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+@register(
+    "cosine_near_dup_windowed",
+    doc="embedding-cosine near-dup over windowed candidate pairs",
+    oracle=f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_duck_dot('a.embedding', 'b.embedding')}
+               / (sqrt({_SQ_FOLD_DUCK.replace('embedding', 'a.embedding')})
+                  * sqrt({_SQ_FOLD_DUCK.replace('embedding', 'b.embedding')})) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND b.vec_id - a.vec_id BETWEEN 1 AND 3
+    """,
+)
+def cosine_near_dup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scoring on candidate pairs (same label,
+    vec_id within 3) — the oracle-exact stand-in for LSH-generated
+    candidates; same fold arithmetic as the production path.
+    """
+    from dynaledger_spark.operators.similarity import cosine
+
+    emb = _emb(spark, sf_dir)
+    a, b = emb.alias("a"), emb.alias("b")
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("b.vec_id") - F.col("a.vec_id")).between(1, 3),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+    )
+
+
 @register(
     "embedding_norms",
     doc="L2 norm + dimension count per embedding (fold in double)",

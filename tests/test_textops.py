@@ -1,0 +1,172 @@
+"""Unit tests for the training-data operators: MinHash-LSH, SimHash,
+similarity search, language-ID, quality features, fingerprints —
+on crafted corpora where ground truth is known."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynaledger_spark.functions.text import predict_lang, quality_features, rolling_fingerprint
+from dynaledger_spark.operators.dedup import (
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_duplicates,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+)
+from dynaledger_spark.operators.similarity import (
+    bucketize,
+    cosine_topk,
+    lsh_topk,
+    norm_stats,
+    random_hyperplanes,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy")),         # near-dup of 0
+        (3, "completely different content about spark sql engines and "
+            "columnar storage formats with vectorized execution kernels"),
+        (4, "el gato y el perro en la casa de la abuela que es muy grande y "
+            "los pájaros cantan en el jardín por la mañana"),
+        (5, "le chat et le chien dans la maison de la grand-mère est une "
+            "belle journée les oiseaux du jardin"),
+        (6, ""),                                     # empty doc edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_near_dups(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_duplicates(corpus, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0            # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.6
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_lsh_candidates_subset_of_all_pairs(corpus):
+    sigs = minhash_signatures(corpus)
+    cands = lsh_candidate_pairs(sigs)
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert all(a < b for a, b in got)
+    jacc = {(r.id_a, r.id_b): r.jaccard for r in exact_jaccard(cands, sigs).collect()}
+    # LSH at 32 bands/128 hashes must recall the high-similarity pairs
+    assert (0, 1) in jacc and (0, 2) in jacc
+
+
+def test_simhash_hamming_clusters(corpus):
+    fps = simhash_fingerprints(corpus)
+    vals = {r.id: r.simhash for r in fps.collect()}
+    assert vals[0] == vals[1]  # identical text → identical fingerprint
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(fps, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 8
+    assert (0, 3) not in pairs
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to query
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+        (4, [0.5, 0.5, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk(emb.filter("vec_id != 0"), [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in got] == [1, 4, 2]
+    assert got[0].cos_sim == pytest.approx(0.9938, abs=1e-3)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+    corpus_wo_q = emb.filter("vec_id != 0")
+    exact = [r.vec_id for r in cosine_topk(corpus_wo_q, qvec, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in lsh_topk(corpus_wo_q, qvec, k=10, n_planes=6, probe_depth=2).collect()
+    ]
+    # multiprobe sign-LSH, 6 planes, Hamming-2 probes (~1/3 of buckets):
+    # expect meaningful overlap with the exact top-10
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_bucketize_is_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    planes = random_hyperplanes(3, 4, seed=7)
+    got = {r.vec_id: r.bucket for r in bucketize(emb, planes).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+    assert 0 <= got[0] < 16
+
+
+def test_norm_stats(spark):
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r for r in norm_stats(emb).collect()}
+    assert got[0].l2_norm == 5.0 and got[0].dim == 2
+    assert got[1].l2_norm == 0.0
+
+
+def test_predict_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is on the mat and it is warm"),
+            (1, "el gato es de la casa y los perros"),
+            (2, "le chat et les oiseaux du jardin est une"),
+            (3, "der hund und die katze ist nicht mit den"),
+            (4, "xyzzy plugh qwerty"),  # no evidence → und
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.p for r in df.select("doc_id", predict_lang(F.col("text")).alias("p")).collect()}
+    assert got[0] == "en" and got[1] == "es" and got[2] == "fr" and got[3] == "de"
+    assert got[4] == "und" and got[5] == "und"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! The test has 42 tokens?")], "doc_id long, text string"
+    )
+    r = quality_features(df).collect()[0]
+    assert r.n_tokens == 7
+    assert r.n_chars == 37
+    assert r.punct_ratio == pytest.approx(3 / 37)  # , ! ?
+    # BPE-ish split: Hello , world ! The test has 42 tokens ?  → 10 pieces
+    assert r.n_bpe_tokens == 10
+    assert r.avg_token_len == pytest.approx(37 / 7)
+
+
+def test_rolling_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, "abc"), (2, "abd"), (3, "")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.fp for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got[0] == got[1] != got[2]
+    # known value: ((97*31)+98)*31+99 = 96354
+    assert got[0] == ((97 * 31 + 98) * 31 + 99)
+    assert got[3] == 0
