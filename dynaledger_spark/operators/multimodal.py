@@ -1,0 +1,220 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Pattern (training-data pipeline north star; the reference has no media
+surface): media travels as a `binary` column with typed metadata beside
+it; decode / feature-extract / resize / frame-sample run as Arrow-batched
+`mapInPandas` stages with explicit output schemas.
+
+STUB NOTICE: real codecs (PIL / soundfile / av) are not in this container.
+Decode is gated behind an import-try; when absent it falls back to a
+DETERMINISTIC FAKE decoder (`_fake_decode`) whose arithmetic is simple
+enough to mirror in ANSI SQL, so the *plumbing* — schema, batch shape,
+partitioning, row expansion — is fully exercised and oracle-checked even
+though no pixels are decoded. Swap `_fake_decode` for the real parser and
+nothing else changes.
+
+Scale posture: mapInPandas streams Arrow batches (bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch) — executors never hold a
+partition of raw media in memory at once; binary columns stay opaque to
+the JVM, so shuffles move bytes, not decoded frames. Partition by a
+content-hash bucket when media skew is possible (one 4 GB video must not
+pin a task): `repartition(n, media_id)` before the decode stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    USING_REAL_CODECS = True
+except ImportError:
+    USING_REAL_CODECS = False
+
+_MOD = 2_147_483_648  # 2^31: keeps checksums in signed-64 everywhere
+
+KINDS = ("image", "audio", "video")
+FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feat_idx", T.IntegerType()),
+        T.StructField("feat", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_media(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake media table from the documents corpus.
+
+    content = utf-8 bytes of the text; kind cycles image/audio/video by
+    id; duration_ms = n_chars*10. Exists so the multimodal stages have a
+    driver-testdata input with an exact SQL mirror.
+    """
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    fmt = F.when(kind == "image", "png").when(kind == "audio", "wav").otherwise("mp4")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        fmt.alias("fmt"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        (F.length(F.col(text_col)).cast("long") * 10).alias("duration_ms"),
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a codec: (n_bytes, width, height, checksum).
+
+    Treats the bytes as utf-8 text and folds codepoints — chosen so a SQL
+    oracle can reproduce it exactly. Replace with PIL/soundfile parsing
+    when the real libraries exist; the signature is the contract.
+    """
+    n_bytes = len(content)
+    s = content.decode("utf-8", errors="replace")
+    first_cp = ord(s[0]) if s else 0
+    width = n_bytes % 640 + 16
+    height = (first_cp * 7) % 480 + 16
+    checksum = sum(ord(c) for c in s) % _MOD
+    return n_bytes, width, height, checksum
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Binary → typed metadata, one output row per media row (mapInPandas)."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if USING_REAL_CODECS:  # pragma: no cover - container lacks codecs
+                raise NotImplementedError(
+                    "real codec path not implemented in this environment"
+                )
+            decoded = [_fake_decode(bytes(c)) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "fmt": pdf["fmt"].to_numpy(),
+                    "n_bytes": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "checksum": [d[3] for d in decoded],
+                    "duration_ms": pdf["duration_ms"].to_numpy(),
+                }
+            )
+
+    return media.mapInPandas(stage, schema=DECODED_SCHEMA)
+
+
+def resize_plan(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize dims. Pure integer arithmetic → kept as
+    JVM expressions (no Python needed once metadata is columnar)."""
+    m = F.greatest("width", "height")
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * target / m).cast("int").alias("out_w"),
+        F.floor(F.col("height") * target / m).cast("int").alias("out_h"),
+    )
+
+
+def sample_frames(decoded: DataFrame, fps_ms: int = 1000) -> DataFrame:
+    """Video rows → one row per sampled frame (row expansion in mapInPandas).
+
+    Demonstrates the 1→N batch shape: a real implementation would emit
+    decoded frame tensors; the fake emits (idx, ts, checksum+idx).
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_checksum": [],
+            }
+            for mid, dur, chk in zip(
+                vids["media_id"], vids["duration_ms"], vids["checksum"]
+            ):
+                n_frames = int(dur) // fps_ms + 1
+                for i in range(n_frames):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * fps_ms)
+                    out["frame_checksum"].append((int(chk) + i) % _MOD)
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(stage, schema=FRAMES_SCHEMA)
+
+
+def extract_features(decoded: DataFrame, dim: int = 8) -> DataFrame:
+    """Fake feature extractor: dim pseudo-features per media row, exploded
+    to (media_id, feat_idx, feat) so results stay scalar-typed for exact
+    comparison. A real extractor would return array<float> embeddings."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "feat_idx": [], "feat": []}
+            for mid, chk in zip(pdf["media_id"], pdf["checksum"]):
+                for i in range(dim):
+                    out["media_id"].append(int(mid))
+                    out["feat_idx"].append(i)
+                    out["feat"].append(((int(chk) * (i + 31)) % 1000) / 1000.0)
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(stage, schema=FEATURES_SCHEMA)

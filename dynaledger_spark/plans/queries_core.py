@@ -21,19 +21,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def dsum(col, alias: str, scale: int = 6):
-    """Order-independent exact SUM of a double column.
-
-    Accumulate in DECIMAL (exact, associative) and cast the final value
-    back to DOUBLE: Spark's partial/final aggregation order can no longer
-    change the result, so it matches any oracle bitwise. SQL twin:
-    CAST(SUM(CAST(x AS DECIMAL(27,s))) AS DOUBLE).
-    """
-    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double").alias(alias)
-
-
-def _osum(expr: str, alias: str, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE) AS {alias}"
+from dynaledger_spark.functions.agg import dsum, osum as _osum  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

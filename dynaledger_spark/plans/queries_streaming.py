@@ -1,0 +1,99 @@
+"""Streaming queries over the `events` table.
+
+Each runs a real Structured Streaming query to completion with
+`Trigger.AvailableNow` and returns the drained result as a batch
+DataFrame, so the driver's comparison machinery (and the DuckDB oracle,
+where expressible) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dynaledger_spark.plans.registry import register
+
+
+@register(
+    "stream_windowed_counts",
+    headline=True,
+    doc="Structured Streaming tumbling-window count+sum, AvailableNow drain",
+    oracle="""
+        SELECT date_trunc('minute', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY date_trunc('minute', ts), event_type
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute tumbling windows per event_type via readStream →
+    watermark → window agg → memory sink (complete mode). Same answer as
+    the batch GROUP BY — the oracle proves it. At scale the sink becomes
+    partitioned parquet/Kafka and the memory table goes away.
+    """
+    from dynaledger_spark.streaming import (
+        events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    agg = windowed_event_counts(stream)
+    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    return run_available_now(agg, name, output_mode="complete")
+
+
+@register(
+    "stream_sessionization",
+    doc="stateful per-user sessionization (applyInPandasWithState, event-time timeout)",
+    oracle=None,  # arbitrary stateful streaming — rows-only driver check
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events as 4 time-ordered landing files, stream them one file
+    per microbatch, and close sessions by event-time timeout as the
+    watermark advances — the full custom-stateful-operator path.
+    Sessions still open at end-of-replay stay in state (as they would on
+    a live stream); unit tests pin the exact closed-session semantics.
+    """
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.streaming import (
+        events_stream,
+        replay_as_batches,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    landing = tempfile.mkdtemp(prefix="dl_sessions_")
+    try:
+        # nanos already normalized by read_table → write micros timestamps
+        replay_as_batches(events, landing, n_batches=4)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        stream = events_stream(spark, landing, schema=schema, max_files_per_trigger=1)
+        sessions = sessionize_stream(stream, gap="30 minutes")
+        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        out = run_available_now(sessions, name, output_mode="append")
+        # materialize before the landing dir disappears
+        out = spark.createDataFrame(out.collect(), schema=out.schema) if out.schema else out
+        return out
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)

@@ -58,6 +58,8 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query module so the registry is fully populated."""
     from dynaledger_spark.plans import (  # noqa: F401
         queries_core,
+        queries_multimodal,
+        queries_streaming,
         queries_text,
         queries_vector,
     )

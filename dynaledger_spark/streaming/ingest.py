@@ -1,0 +1,244 @@
+"""Structured Streaming ingest + stateful operators over the events table.
+
+The reference is batch-only (SURVEY.md §2.9: every DAG is manually
+triggered, `schedule_interval=None`), so this module is the engine's
+forward-looking ingest path: the same landing-directory pattern the
+reference polls with S3 listings (s3_data_checker.py:7-14,
+load_json_data_snowflake.py:30-59) becomes a file-source stream consumed
+with `Trigger.AvailableNow` — batch-like cost, streaming semantics, exactly
+-once file tracking via the checkpoint log.
+
+Scale posture (100 TB / 1000 executors):
+  * the file source only lists + tracks names; per-microbatch work is a
+    normal partitioned parquet scan, so executor parallelism is identical
+    to batch;
+  * watermark + windowed aggregation keeps state bounded by (windows in
+    flight x keys), not by stream length;
+  * sessionization state is per-user and evicted by event-time timeout —
+    the `applyInPandasWithState` operator holds only open sessions;
+  * swap the directory for Kafka and nothing downstream changes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from dynaledger_spark.functions.agg import dsum
+
+# The driver's events.parquet carries TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong the file column is a plain long.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+    glob: str | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory of event parquet files.
+
+    Explicit schema (streaming requires it; we'd declare it anyway —
+    SURVEY.md §1.3 bans inference). Nanos-long `ts` is normalized to a
+    microsecond timestamp at the source, same truncation DuckDB applies.
+    `glob` restricts the listing (the source needs a directory path).
+    """
+    reader = spark.readStream.schema(schema or EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.parquet(landing_dir)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Tumbling-window count + exact sum per (window, event_type).
+
+    The watermark bounds state: windows older than (max event time −
+    delay) are finalized and evicted. Works identically on a batch
+    DataFrame (watermark is a no-op there) — one definition, two runtimes.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Drain everything currently in the source and return the result.
+
+    `Trigger.AvailableNow` processes all available input (in rate-limited
+    microbatches if the source sets them) then stops — the streaming
+    equivalent of a batch run, with checkpointable exactly-once semantics.
+    Memory sink is for tests/interactive use; production would
+    `writeStream.format('parquet')` with a checkpoint dir.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def replay_as_batches(
+    df: DataFrame, landing_dir: str, n_batches: int, ts_col: str = "ts"
+) -> str:
+    """Write a batch DataFrame as N time-ordered landing files.
+
+    Test/replay harness: file order (modification time) follows event
+    time, so a `maxFilesPerTrigger=1` stream sees watermarks advance the
+    way a live source would. Stand-in for Kafka in this container.
+    """
+    bucketed = df.withColumn("_b", F.ntile(n_batches).over(Window.orderBy(ts_col)))
+    bucketed.persist()
+    try:
+        for i in range(1, n_batches + 1):
+            (
+                bucketed.filter(F.col("_b") == i)
+                .drop("_b")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(landing_dir)
+            )
+    finally:
+        bucketed.unpersist()
+    return landing_dir
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: event-time sessionization
+# ---------------------------------------------------------------------------
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events int, sum_value double"
+)
+_STATE_SCHEMA = "start_us long, last_us long, n int, total double"
+_US = 1_000_000
+
+
+def _gap_to_us(gap: str) -> int:
+    qty, unit = gap.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}[unit]
+    return int(qty) * mult * _US
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Per-user sessions with an inactivity gap, as arbitrary stateful
+    processing (`applyInPandasWithState`, event-time timeout).
+
+    A session closes when no event arrives for `gap` of *event time*: the
+    state row carries (start, last, n, sum) and an event-time timeout at
+    last+gap; when the watermark passes it, the operator is invoked with
+    `state.hasTimedOut` and emits the closed session. Only open sessions
+    occupy memory — state is O(active users), not O(events).
+    """
+    import numpy as np
+    import pandas as pd  # local: executors import lazily
+
+    gap_us = _gap_to_us(gap)
+
+    def _emit(key: tuple, closed: list[tuple[int, int, int, float]]) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
+                "n_events": [n for _, _, n, _ in closed],
+                "sum_value": [t for _, _, _, t in closed],
+            }
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield _emit(key, [(start_us, last_us, n, total)])
+            return
+
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        ts = np.concatenate([p["ts"].astype("int64").to_numpy() // 1000 for p in parts])
+        vals = np.concatenate([p["value"].to_numpy(dtype="float64") for p in parts])
+        order = np.argsort(ts, kind="stable")
+        ts, vals = ts[order], vals[order]
+
+        # split the batch into gap-separated runs (vectorized)
+        cut = np.flatnonzero(np.diff(ts) > gap_us) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(ts)]))  # exclusive
+        runs = [
+            (int(ts[s]), int(ts[e - 1]), int(e - s), float(vals[s:e].sum()))
+            for s, e in zip(starts, ends)
+        ]
+
+        # merge the carried-over open session with the first run if contiguous
+        closed: list[tuple[int, int, int, float]] = []
+        if state.exists:
+            s0, l0, n0, t0 = state.get
+            if runs and runs[0][0] - l0 <= gap_us:
+                r = runs[0]
+                runs[0] = (min(s0, r[0]), max(l0, r[1]), n0 + r[2], t0 + r[3])
+            else:
+                closed.append((s0, l0, n0, t0))
+
+        closed.extend(runs[:-1])  # every run with an observed gap after it
+        start_us, last_us, n, total = runs[-1]
+        state.update((start_us, last_us, n, total))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # ms epoch
+        if closed:
+            yield _emit(key, closed)
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

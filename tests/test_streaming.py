@@ -1,0 +1,137 @@
+"""Structured Streaming: AvailableNow drain, watermarked windows, and
+stateful sessionization semantics pinned on a crafted event log."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynaledger_spark.streaming import (
+    events_stream,
+    replay_as_batches,
+    run_available_now,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _ev(eid, minutes, user, val):
+    return (eid, T0 + dt.timedelta(minutes=minutes), user, "click", val, "{}")
+
+EVENT_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tempfile.mkdtemp(prefix="dl_stream_t_", dir=tmp_path)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_windowed_counts_match_batch(spark, sf_dir, landing):
+    from dynaledger_spark.catalog import read_table
+    from pyspark.sql import types as T
+
+    events = read_table(spark, sf_dir, "events")
+    stream = events_stream(
+        spark,
+        sf_dir,
+        glob="events.parquet",
+    )
+    got = run_available_now(
+        windowed_event_counts(stream), "t_wc", output_mode="complete"
+    )
+    batch = (
+        events.groupBy(
+            F.date_trunc("minute", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    want = {(r.window_start, r.event_type): r.n_events for r in batch}
+    rows = got.collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert want[(r.window_start, r.event_type)] == r.n_events
+
+
+def test_sessionize_exact_semantics(spark, landing):
+    rows = [
+        _ev(0, 0, 1, 1.0),
+        _ev(1, 5, 1, 2.0),    # session A: [t0, t0+5], 2 events, sum 3.0
+        _ev(2, 60, 1, 4.0),
+        _ev(3, 65, 1, 8.0),   # session B: [t0+60, t0+65], 2 events, sum 12.0
+        _ev(4, 200, 2, 16.0),  # far-future event advances the watermark
+    ]
+    df = spark.createDataFrame(rows, EVENT_DDL)
+    replay_as_batches(df, landing, n_batches=3)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(EVENT_DDL)
+    stream = events_stream(spark, landing, schema=schema, max_files_per_trigger=1)
+    out = run_available_now(
+        sessionize_stream(stream, gap="10 minutes"), "t_sess", output_mode="append"
+    ).collect()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in out
+    }
+    # session A closes in-batch when session B's first event shows the gap;
+    # session B closes by event-time timeout once the watermark passes
+    # t0+65+10; user 2's session holds the stream-max event → still open.
+    assert got == {
+        (1, T0, T0 + dt.timedelta(minutes=5)): (2, 3.0),
+        (1, T0 + dt.timedelta(minutes=60), T0 + dt.timedelta(minutes=65)): (2, 12.0),
+    }
+
+
+def test_sessionize_merges_across_batches(spark, landing):
+    rows = [
+        _ev(0, 0, 1, 1.0),
+        _ev(1, 5, 1, 2.0),
+        _ev(2, 9, 1, 4.0),    # same session continues into the next batch
+        _ev(3, 13, 1, 8.0),
+        _ev(4, 300, 2, 16.0),  # watermark pusher
+    ]
+    df = spark.createDataFrame(rows, EVENT_DDL)
+    replay_as_batches(df, landing, n_batches=5)  # one event per file
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(EVENT_DDL)
+    stream = events_stream(spark, landing, schema=schema, max_files_per_trigger=1)
+    out = run_available_now(
+        sessionize_stream(stream, gap="10 minutes"), "t_sess2", output_mode="append"
+    ).collect()
+
+    got = {(r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value) for r in out}
+    # events 0,1,2,3 chain (every inter-event gap ≤ 10 min) even though they
+    # arrive in 4 separate microbatches → one merged session
+    assert got == {
+        (1, T0, T0 + dt.timedelta(minutes=13)): (4, 15.0),
+    }
+
+
+def test_replay_writes_time_ordered_files(spark, landing):
+    df = spark.createDataFrame([_ev(i, i, 1, 1.0) for i in range(8)], EVENT_DDL)
+    replay_as_batches(df, landing, n_batches=4)
+    import glob as g
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        g.glob(f"{landing}/part-*.parquet"), key=lambda p: __import__("os").path.getmtime(p)
+    )
+    assert len(files) == 4
+    maxes = [pq.read_table(f).to_pandas()["ts"].max() for f in files]
+    assert maxes == sorted(maxes)
