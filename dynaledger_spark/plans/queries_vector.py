@@ -20,7 +20,10 @@ from dynaledger_spark.plans.registry import register
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # Single small file → 1-task scan; the 64-dim fold per row is the
+    # cost, so parallelize it (see _docs in queries_text).
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # Sequential left-fold sum of squares — identical fold order both engines.
