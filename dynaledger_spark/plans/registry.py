@@ -57,6 +57,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module so the registry is fully populated."""
     from dynaledger_spark.plans import (  # noqa: F401
+        queries_approx,
         queries_core,
         queries_multimodal,
         queries_streaming,

@@ -1,0 +1,115 @@
+"""Physical-plan assertions: the plans must be the ones a 1000-executor
+cluster wants — broadcasts for dims, pushdown into scans, map-side partial
+aggregation, Arrow (never row-at-a-time) Python, no cartesian products.
+
+These guard against regressions Catalyst can't save us from: a dropped
+broadcast hint, a filter moved behind a Python stage, an accidental
+crossJoin.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from dynaledger_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """Physical plan text of every registered batch query (streaming
+    queries execute eagerly; their plan is asserted separately)."""
+    out = {}
+    for name, spec in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue
+        out[name] = plan_of(spec.build(spark, sf_dir))
+    return out
+
+
+def test_no_row_at_a_time_python_anywhere(plans):
+    """Python appears only as Arrow-vectorized stages (MapInPandas /
+    ArrowEvalPython); BatchEvalPython (pickled row loop) must never show."""
+    for name, plan in plans.items():
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_no_cartesian_products(plans):
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, f"{name} cross-joins"
+        assert "BroadcastNestedLoopJoin" not in plan or name in (
+            "ann_cosine_topk",  # 1-row literal lookup is fine if it appears
+        ), f"{name} nested-loop joins"
+
+
+def test_fact_build_plan_shape(plans):
+    plan = plans["fact_build"]
+    # nation is a broadcast dim
+    assert "BroadcastHashJoin" in plan
+    # the orderstatus filter reaches the parquet scan
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+    # group-sum runs as hash aggregation with a partial phase
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_statement_query_pushes_filters(plans):
+    plan = plans["statement_query"]
+    assert "PushedFilters" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_anti_join_is_anti(plans):
+    assert "LeftAnti" in plans["anti_join_fk"]
+
+
+def test_broadcast_lookup_broadcasts(plans):
+    assert "BroadcastHashJoin" in plans["broadcast_lookup_default"]
+
+
+def test_dedup_exact_partial_agg(plans):
+    # map-side partial aggregation before the exchange: exactly the shape
+    # that makes hash-dedup scale (combine before shuffle)
+    plan = plans["dedup_exact"]
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection must not read all 5 document columns."""
+    from dynaledger_spark.plans.registry import QUERY_REGISTRY
+
+    df = QUERY_REGISTRY["doc_fingerprint"].build(spark, sf_dir)
+    plan = plan_of(df)
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_topk_uses_take_ordered(plans):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plans["topk_customers"]
+    assert "TakeOrderedAndProject" in plans["ann_cosine_topk"]
+
+
+def test_whole_stage_codegen_on_text_path(spark, sf_dir):
+    # the text features are JVM expressions: they must run inside codegen.
+    # AQE defers codegen stitching until execution, so plan with AQE off
+    # for the assertion ('*(n)' markers in simple mode).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["text_quality"].build(spark, sf_dir)
+        assert "*(" in plan_of(df, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
