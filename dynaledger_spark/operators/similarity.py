@@ -150,3 +150,63 @@ def norm_stats(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id
         F.size(vec_col).alias("dim"),
         l2_norm(F.col(vec_col)).alias("l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed exact re-rank
+# ---------------------------------------------------------------------------
+def ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Build an IVF index: assign every vector to its nearest k-means
+    centroid. Returns (corpus + `centroid` column, centroid list).
+
+    At 100 TB: fit on a sample (KMeans is iterative — never on the full
+    corpus), write the assigned corpus partitioned by `centroid`, keep
+    the tiny centroid list driver-side. Each query then reads only the
+    probed partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="_features", predictionCol="centroid"
+    ).fit(feats)
+    assigned = model.transform(feats).drop("_features")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the `n_probes` centroids nearest
+    the query (cosine, computed driver-side on the tiny centroid list),
+    exact cosine re-rank inside the probed cells. Scan fraction ≈
+    n_probes / n_centroids."""
+    import numpy as np
+
+    assigned, centroids = ivf_index(emb, n_centroids, vec_col, seed)
+    c = np.asarray(centroids, dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-12)
+    probes = [int(i) for i in np.argsort(-sims)[:n_probes]]
+
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.filter(F.col("centroid").isin(probes))
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

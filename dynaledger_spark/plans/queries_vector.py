@@ -95,6 +95,24 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    doc="IVF ANN: k-means coarse quantizer, 4-of-16 cells probed, exact re-rank",
+    oracle=None,  # cell assignment depends on k-means fit → rows-only
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path: ~4/16ths of the corpus scanned per query once
+    the index is built (at scale: corpus written partitioned by
+    centroid, centroid list kept driver-side). Recall vs the exact
+    baseline is asserted in unit tests.
+    """
+    from dynaledger_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+@register(
     "cosine_near_dup_windowed",
     doc="embedding-cosine near-dup over windowed candidate pairs",
     oracle=f"""

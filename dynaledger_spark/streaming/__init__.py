@@ -5,3 +5,7 @@ from dynaledger_spark.streaming.ingest import (  # noqa: F401
     sessionize_stream,
     windowed_event_counts,
 )
+from dynaledger_spark.streaming.sec_ingest import (  # noqa: F401
+    run_ingest,
+    sec_tsv_stream,
+)

@@ -110,6 +110,22 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert len(set(exact) & set(approx)) >= 3
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+    corpus = emb.filter("vec_id != 0")
+    exact = [r.vec_id for r in cosine_topk(corpus, qvec, k=10).collect()]
+    # probing 8 of 16 cells must recall at least half the true top-10
+    approx = [
+        r.vec_id
+        for r in ivf_topk(corpus, qvec, k=10, n_centroids=16, n_probes=8).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 5
+
+
 def test_bucketize_is_deterministic(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])],
