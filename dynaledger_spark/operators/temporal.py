@@ -1,0 +1,70 @@
+"""Temporal joins: as-of (point-in-time) enrichment.
+
+Spark has no native ASOF JOIN; the naive rewrite (range join + row_number)
+explodes quadratically on busy keys. This implementation is the
+union-tag trick: interleave both sides on (key, time), then a running
+`last(payload, ignoreNulls)` window carries the latest right-side payload
+forward into each left row. One shuffle on the key, per-partition sort,
+zero UDFs — the shape that survives 100 TB (state is one payload struct
+per row in flight, and skewed keys are still just a sort).
+
+Semantics (matching DuckDB `ASOF LEFT JOIN ... ON l.k = r.k AND r.t <= l.t`):
+for each left row, the right row with the greatest right_ts <= left_ts on
+the same key; no candidate → NULL payload. At equal timestamps the right
+row is visible to the left row (right sorts first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """Point-in-time join: latest right row with right_ts <= left_ts per key.
+
+    Returns every left row + `{payload_prefix}{col}` for each payload
+    column (including `{payload_prefix}ts`), NULL where no right row
+    precedes. Payloads are carried in a struct so genuinely-NULL payload
+    values don't break the ignoreNulls carry-forward.
+    """
+    if payload_cols is None:
+        payload_cols = [c for c in right.columns if c not in on and c != right_ts]
+
+    payload = F.struct(
+        F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    l_tagged = left.withColumn("_t", F.col(left_ts)).withColumn(
+        "_payload", F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        )
+    ).withColumn("_side", F.lit(1))
+    r_tagged = (
+        right.select(*on, F.col(right_ts).alias("_t"), payload.alias("_payload"))
+        .withColumn("_side", F.lit(0))
+    )
+    # align columns: right rows carry NULL for left-only columns
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = r_tagged.select(*l_tagged.columns).unionByName(l_tagged)
+
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.withColumn("_match", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_t", "_payload", "_side")
+    out = out.withColumn(f"{payload_prefix}ts", F.col("_match.ts"))
+    for c in payload_cols:
+        out = out.withColumn(f"{payload_prefix}{c}", F.col(f"_match.{c}"))
+    return out.drop("_match")

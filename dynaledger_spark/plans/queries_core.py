@@ -24,6 +24,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from dynaledger_spark.functions.agg import dsum, osum as _osum  # noqa: E402
 
 
+@register(
+    "asof_purchase_attribution",
+    headline=True,
+    doc="as-of join: each click enriched with the user's latest prior purchase",
+    oracle="""
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS asof_ts, p.value AS asof_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution (operators/temporal.py): every click gets
+    the same user's most recent purchase at-or-before it — the feature-
+    store join that must never leak the future. Union-tag + running
+    window: one shuffle on user_id, no range explosion, no UDF. Oracle
+    is DuckDB's native ASOF LEFT JOIN.
+    """
+    from dynaledger_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(clicks, purchases, on=["user_id"], payload_cols=["value"])
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the dbt fact-table pattern (J2 + W1 + P2 + A2 + O1)
 # reference: models/fact_data_load/balance_sheet_load.sql:22-53

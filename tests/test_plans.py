@@ -103,6 +103,29 @@ def test_topk_uses_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["ann_cosine_topk"]
 
 
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """§4: quarters-as-partition-columns must actually prune — a filter on
+    the partition column becomes a PartitionFilter, not a data filter."""
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.sources.parquet_io import write_partitioned
+
+    path = str(tmp_path / "events_parted")
+    events = read_table(spark, sf_dir, "events")
+    write_partitioned(events, path, partition_col="event_type")
+    df = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    plan = plan_of(df)
+    # the predicate lands in PartitionFilters (resolved from directory
+    # names at planning time), and the scan schema no longer carries the
+    # partition column as data
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "(event_type" in plan and "= purchase)" in plan
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    assert "event_type" not in read_schema
+
+
 def test_whole_stage_codegen_on_text_path(spark, sf_dir):
     # the text features are JVM expressions: they must run inside codegen.
     # AQE defers codegen stitching until execution, so plan with AQE off

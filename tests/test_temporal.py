@@ -1,0 +1,55 @@
+"""As-of join semantics on crafted timelines: latest-prior match, equal-ts
+visibility, no-match NULLs, and key isolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from dynaledger_spark.operators.temporal import asof_join
+
+T0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+
+
+def _at(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 1, _at(10)),   # after quotes at 0 and 5 → matches 5
+            (2, 1, _at(5)),    # equal ts → the t=5 quote is visible
+            (3, 1, _at(1)),    # only the t=0 quote precedes
+            (4, 2, _at(10)),   # user 2 has no quotes → NULL
+            (5, 3, _at(0)),    # quote arrives later (t=1) → NULL (no future leak)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _at(0), 100.0),
+            (1, _at(5), 200.0),
+            (3, _at(1), 999.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: (r.asof_ts, r.asof_value)
+        for r in asof_join(left, right, on=["user_id"], payload_cols=["value"]).collect()
+    }
+    assert got[1] == (_at(5), 200.0)
+    assert got[2] == (_at(5), 200.0)   # r.t <= l.t includes equality
+    assert got[3] == (_at(0), 100.0)
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)      # strictly no future data
+
+
+def test_asof_join_null_payload_carries(spark):
+    # a NULL payload VALUE must still count as a match (struct wrapper)
+    left = spark.createDataFrame([(1, 1, _at(10))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _at(0), 100.0), (1, _at(5), None)], "user_id long, ts timestamp, value double"
+    )
+    r = asof_join(left, right, on=["user_id"], payload_cols=["value"]).head()
+    # the t=5 row IS the latest match even though its value is NULL
+    assert r.asof_ts == _at(5) and r.asof_value is None
