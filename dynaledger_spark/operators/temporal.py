@@ -68,3 +68,51 @@ def asof_join(
     for c in payload_cols:
         out = out.withColumn(f"{payload_prefix}{c}", F.col(f"_match.{c}"))
     return out.drop("_match")
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join without a quadratic range join.
+
+    The naive `p.ts BETWEEN i.start AND i.end` theta-join degenerates to
+    a per-key nested loop. Here both sides get equi-joinable time-bucket
+    keys — intervals explode into every bucket they overlap, points map
+    to one bucket — so the planner runs a hash join on
+    (key, bucket) and the exact BETWEEN predicate only filters bucket-
+    local candidates. Cost scales with interval length / bucket size,
+    not with rows²; pick `bucket` near the typical interval length.
+    """
+    bucket_sec = F.lit(_interval_seconds(bucket))
+    p_b = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_sec)
+    )
+    i_b = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_ts)) / bucket_sec),
+                F.floor(F.unix_timestamp(F.col(end_ts)) / bucket_sec),
+            )
+        ),
+    )
+    joined = p_b.join(i_b, on + ["_bucket"], how).filter(
+        F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
+    )
+    return joined.drop("_bucket")
+
+
+def _interval_seconds(spec: str) -> int:
+    qty, unit = spec.split()
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    }[unit]
+    return int(qty) * mult

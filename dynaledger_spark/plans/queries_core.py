@@ -25,6 +25,92 @@ from dynaledger_spark.functions.agg import dsum, osum as _osum  # noqa: E402
 
 
 @register(
+    "range_attribution_windows",
+    doc="point-in-interval join (bucketed, no nested loop): clicks in 2h post-purchase windows",
+    oracle=f"""
+        SELECT p.event_id AS purchase_id,
+               COUNT(*) AS n_clicks,
+               {_osum('c.value', 'click_value')}
+        FROM (SELECT user_id, event_id, ts AS start_ts,
+                     ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts BETWEEN p.start_ts AND p.end_ts
+        GROUP BY p.event_id
+    """,
+)
+def range_attribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join at scale (operators/temporal.py:range_join_bucketed):
+    intervals explode into hour buckets, points hash-join on
+    (user, bucket), exact BETWEEN filters locally — never a per-key
+    nested loop. The oracle is the plain theta-join, proving the bucket
+    decomposition is lossless.
+    """
+    from dynaledger_spark.operators.temporal import range_join_bucketed
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        range_join_bucketed(
+            clicks, purchases, on=["user_id"],
+            point_ts="ts", start_ts="start_ts", end_ts="end_ts", bucket="1 hour",
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            dsum(F.col("value"), "click_value"),
+        )
+    )
+
+
+@register(
+    "sales_rollup",
+    doc="ROLLUP(nation, year) subtotals + grand total over the order star",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n_orders,
+               {_osum('o.o_totalprice', 'revenue')}
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY ROLLUP(nation, order_year)
+    """,
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in one pass: rollup(nation, year) computes
+    (nation, year), (nation), and () aggregates with a single shuffle —
+    Spark expands the grouping sets map-side rather than re-scanning per
+    level.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_totalprice",
+        )
+        .rollup("nation", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+@register(
     "asof_purchase_attribution",
     headline=True,
     doc="as-of join: each click enriched with the user's latest prior purchase",

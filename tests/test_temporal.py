@@ -44,6 +44,33 @@ def test_asof_join_semantics(spark):
     assert got[5] == (None, None)      # strictly no future data
 
 
+def test_range_join_bucketed_boundaries(spark):
+    from dynaledger_spark.operators.temporal import range_join_bucketed
+
+    points = spark.createDataFrame(
+        [
+            (1, 1, _at(0)),     # exactly at start → included
+            (2, 1, _at(90)),    # exactly at end → included
+            (3, 1, _at(91)),    # one minute past → excluded
+            (4, 1, _at(-1)),    # before start → excluded
+            (5, 2, _at(30)),    # right key, wrong user → excluded
+        ],
+        "point_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 10, _at(0), _at(90))],  # 1.5h: spans two 1h buckets
+        "user_id long, interval_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        r.point_id
+        for r in range_join_bucketed(
+            points, intervals, on=["user_id"],
+            point_ts="ts", start_ts="start_ts", end_ts="end_ts", bucket="1 hour",
+        ).collect()
+    )
+    assert got == [1, 2]
+
+
 def test_asof_join_null_payload_carries(spark):
     # a NULL payload VALUE must still count as a match (struct wrapper)
     left = spark.createDataFrame([(1, 1, _at(10))], "event_id long, user_id long, ts timestamp")
