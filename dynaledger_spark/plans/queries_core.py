@@ -25,6 +25,51 @@ from dynaledger_spark.functions.agg import dsum, osum as _osum  # noqa: E402
 
 
 @register(
+    "event_type_pivot",
+    doc="pivot event_type to columns: per-user counts + exact sums per type",
+    oracle=f"""
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click_n,
+               CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase_n,
+               CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view_n,
+               {_osum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END", 'purchase_value')}
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format per-user features via conditional aggregation — the
+    explicit form of pivot (fixed column set → one pass, no second
+    distinct-values job, map-side partial aggregation intact)."""
+    events = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    return events.groupBy("user_id").agg(
+        F.count(F.when(et == "click", 1)).alias("click_n"),
+        F.count(F.when(et == "purchase", 1)).alias("purchase_n"),
+        F.count(F.when(et == "view", 1)).alias("view_n"),
+        dsum(F.when(et == "purchase", F.col("value")).otherwise(0.0), "purchase_value"),
+    )
+
+
+@register(
+    "inactive_customers_except",
+    doc="set difference: customer keys minus ordering keys (EXCEPT)",
+    oracle="""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def inactive_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference). Catalyst plans it as a left-anti
+    join after aggregation — same cost shape as the J3 anti-join but with
+    set semantics."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return customer.subtract(orders)
+
+
+@register(
     "range_attribution_windows",
     doc="point-in-interval join (bucketed, no nested loop): clicks in 2h post-purchase windows",
     oracle=f"""

@@ -71,6 +71,43 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    doc="stream-stream event-time interval join (clicks x purchases), AvailableNow drain",
+    oracle="""
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts <= c.ts
+         AND p.ts >= c.ts - INTERVAL 2 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two watermarked streams joined on user with an event-time range —
+    the join state Spark must hold is bounded by watermark + window, so
+    it runs forever on a live source. Drained with AvailableNow it
+    reproduces the batch theta-join bitwise (the oracle checks it).
+    """
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_stream_attribution,
+    )
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_stream_attribution(clicks, purchases)
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_available_now(joined, name, output_mode="append")
+
+
+@register(
     "stream_sessionization",
     doc="stateful per-user sessionization (applyInPandasWithState, event-time timeout)",
     oracle=None,  # arbitrary stateful streaming — rows-only driver check

@@ -3,6 +3,7 @@ from dynaledger_spark.streaming.ingest import (  # noqa: F401
     replay_as_batches,
     run_available_now,
     sessionize_stream,
+    stream_stream_attribution,
     windowed_event_counts,
 )
 from dynaledger_spark.streaming.sec_ingest import (  # noqa: F401

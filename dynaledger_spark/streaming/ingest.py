@@ -141,6 +141,42 @@ def replay_as_batches(
     return landing_dir
 
 
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "2 hours",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with same-user purchases
+    at-or-before it within `window` of event time.
+
+    The hardest Structured Streaming operator: both sides are unbounded,
+    so the event-time range condition + watermarks are what let Spark
+    evict join state (a purchase older than watermark+window can never
+    match a future click and is dropped). Drained with AvailableNow the
+    result equals the batch theta-join — the registry oracle proves it.
+    """
+    c = clicks.withWatermark("ts", watermark_delay).alias("c")
+    p = purchases.withWatermark("ts", watermark_delay).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            p.ts <= c.ts AND
+            p.ts >= c.ts - INTERVAL {window}
+            """
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: event-time sessionization
 # ---------------------------------------------------------------------------

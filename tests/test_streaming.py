@@ -123,6 +123,35 @@ def test_sessionize_merges_across_batches(spark, landing):
     }
 
 
+def test_stream_stream_join_across_batches(spark, landing):
+    from dynaledger_spark.streaming import stream_stream_attribution
+
+    rows = [
+        (0, T0, 1, "purchase", 100.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=30), 1, "click", 1.0, "{}"),   # joins 0
+        (2, T0 + dt.timedelta(minutes=150), 1, "click", 1.0, "{}"),  # > 2h after 0 → no match
+        (3, T0 + dt.timedelta(minutes=160), 1, "purchase", 50.0, "{}"),
+        (4, T0 + dt.timedelta(minutes=170), 1, "click", 1.0, "{}"),  # joins 3 across batches
+        (5, T0 + dt.timedelta(minutes=170), 2, "click", 1.0, "{}"),  # other user → none
+    ]
+    df = spark.createDataFrame(rows, EVENT_DDL)
+    replay_as_batches(df, landing, n_batches=3)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(EVENT_DDL)
+    stream = events_stream(spark, landing, schema=schema, max_files_per_trigger=1)
+    joined = stream_stream_attribution(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        window="2 hours",
+    )
+    out = run_available_now(joined, "t_ssj", output_mode="append").collect()
+    got = {(r.click_id, r.purchase_id) for r in out}
+    assert got == {(1, 0), (4, 3)}
+
+
 def test_replay_writes_time_ordered_files(spark, landing):
     df = spark.createDataFrame([_ev(i, i, 1, 1.0) for i in range(8)], EVENT_DDL)
     replay_as_batches(df, landing, n_batches=4)
