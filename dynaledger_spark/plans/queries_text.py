@@ -211,6 +211,58 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    doc="connected-components dedup clustering over windowed Jaccard pairs",
+    oracle="""
+        WITH shingled AS (
+            SELECT doc_id, source,
+                   list_distinct([text[i:i+18]
+                                  FOR i IN range(1, greatest(length(text) - 18, 1) + 1)])
+                       AS shingles
+            FROM documents
+        ),
+        edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM shingled a JOIN shingled b
+              ON a.source = b.source AND b.doc_id - a.doc_id BETWEEN 1 AND 5
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        ),
+        bidir AS (
+            SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        reach AS (
+            WITH RECURSIVE r(src, dst) AS (
+                SELECT src, dst FROM bidir
+                UNION
+                SELECT r.src, b.dst FROM r JOIN bidir b ON r.dst = b.src
+            ) SELECT * FROM r
+        ),
+        comp AS (
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM comp
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop step of corpus dedup: near-dup pairs → connected
+    components (iterative min-label propagation, operators/graph.py) →
+    canonical = min doc per cluster. Edge set is the oracle-expressible
+    windowed-Jaccard pairs; the DuckDB twin computes components with a
+    recursive CTE — two very different engines, identical clusters.
+    """
+    from dynaledger_spark.operators.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    return dedup_clusters(docs, pairs, pair_a="doc_a", pair_b="doc_b")
+
+
+@register(
     "ngram_jaccard",
     doc="char-19gram Jaccard similarity over windowed candidate pairs",
     oracle="""
