@@ -33,16 +33,37 @@ def connected_components(
 
     `nodes` may contain isolated vertices (own component). Undirected:
     edges are symmetrized internally.
+
+    Iteration overhead matters more than data volume here (each round is
+    jobs over an ever-smaller frontier), so shuffle partitions are scoped
+    down for the loop and convergence is detected by the label-sum
+    (labels only ever decrease, so an unchanged sum IS the fixpoint —
+    one agg instead of a join+count per round).
     """
+    # Edge derivation may be arbitrarily expensive (e.g. a shingle join):
+    # materialize it at the session's full parallelism BEFORE scoping the
+    # shuffle width down for the tiny per-iteration jobs.
     bidir = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
+    labels_init = nodes.select(F.col(node_col).alias("node")).withColumn(
         "label", F.col("node")
     ).localCheckpoint(eager=True)
+
+    spark = nodes.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _cc_loop(labels_init, bidir, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _cc_loop(labels: DataFrame, bidir: DataFrame, max_iter: int) -> DataFrame:
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -50,25 +71,36 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        propagated = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["a"], "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jumping: label ← label(label). Doubles the propagation
+        # horizon each round → O(log diameter) rounds instead of
+        # O(diameter); long dup-chains (hundreds of docs) converge in
+        # single-digit iterations.
+        lmap = propagated.select(
+            F.col("node").alias("lnode"), F.col("label").alias("llabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            propagated.join(lmap, propagated["label"] == lmap["lnode"], "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -25,6 +25,50 @@ from dynaledger_spark.functions.agg import dsum, osum as _osum  # noqa: E402
 
 
 @register(
+    "exists_bulk_orders",
+    doc="correlated EXISTS subquery → decorrelated semi-join by Catalyst",
+    oracle="""
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def exists_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL pass-through surface: Catalyst
+    decorrelates it into a left-semi hash join (no per-row re-execution —
+    the rewrite Snowflake did remotely for the reference's arbitrary-SQL
+    endpoint, done in-process here)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM _q_orders o
+        WHERE EXISTS (SELECT 1 FROM _q_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+@register(
+    "converting_users_intersect",
+    doc="INTERSECT: users who both clicked and purchased",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def converting_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection — planned as a distinct + left-semi join."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
     "event_type_pivot",
     doc="pivot event_type to columns: per-user counts + exact sums per type",
     oracle=f"""
