@@ -1,0 +1,106 @@
+"""Deterministic sampling / splitting / sharding over the documents corpus.
+
+Training-data pipelines need *reproducible* subsetting: the same doc must
+land in the same split on every run, on any cluster size, with no RNG
+state to ship. Everything here keys off an explicit multiplicative hash
+of the stable `doc_id` — pure JVM-side integer arithmetic (narrow, no
+shuffle except where noted) that any other engine can replay bitwise,
+which is also what makes the DuckDB oracles exact. `df.sample()` /
+`sampleBy()` would be nondeterministic across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynaledger_spark.plans.queries_text import _docs as docs
+
+    return docs(spark, sf_dir)
+
+
+# Knuth's multiplicative constants; mod 2^32 keeps everything in BIGINT.
+_H1 = 2654435761
+_H2 = 1103515245
+_M32 = 4294967296
+
+
+@register(
+    "hash_split_train_val",
+    doc="deterministic 80/10/10 train/val/test split by doc_id hash",
+    oracle=f"""
+        SELECT doc_id,
+               CAST((doc_id * {_H1}) % {_M32} % 100 AS INT) AS bucket,
+               CASE WHEN (doc_id * {_H1}) % {_M32} % 100 < 80 THEN 'train'
+                    WHEN (doc_id * {_H1}) % {_M32} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def hash_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment as a pure projection: no shuffle, no
+    sample(), no seed to lose — re-running on 1 or 1000 executors yields
+    the identical split, and adding new docs never reassigns old ones
+    (the property random splits lack)."""
+    docs = _docs(spark, sf_dir)
+    bucket = (F.col("doc_id") * _H1) % _M32 % 100
+    return docs.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    doc="deterministic stratified sample: 50% of 'en', 10% of other langs",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE (doc_id * {_H2} + 12345) % {_M32} % 100 <
+              CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates as a hash-threshold filter — the
+    deterministic twin of `df.sampleBy('lang', fractions)`. Pushed to the
+    scan as a plain predicate (filter + projection, zero shuffles); rates
+    change by editing the CASE, membership never flickers between runs."""
+    docs = _docs(spark, sf_dir)
+    h = (F.col("doc_id") * _H2 + 12345) % _M32 % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return docs.filter(h < rate).select("doc_id", "lang")
+
+
+@register(
+    "shard_round_robin",
+    doc="deterministic corpus shuffle → exactly-balanced round-robin shards",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(row_number() OVER
+                        (ORDER BY (doc_id * {_H1} + 97) % {_M32}, doc_id)
+                    % 8 AS INT) AS shard
+        FROM documents
+    """,
+)
+def shard_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic shuffle (order by hash) then round-robin into
+    8 shards: shard sizes are exactly equal (hash-mod alone is binomial),
+    and the order within a shard is a reproducible pseudo-random permutation
+    — what a training loader wants for epoch order. The global row_number
+    is the scale limit: at 100 TB the same layout ships as
+    repartitionByRange(hash) + per-partition offsets (monotonically_
+    increasing_id-style), keeping the sort distributed."""
+    docs = _docs(spark, sf_dir)
+    h = (F.col("doc_id") * _H1 + 97) % _M32
+    w = W.orderBy(h, "doc_id")
+    return docs.select(
+        "doc_id", (F.row_number().over(w) % 8).cast("int").alias("shard")
+    )

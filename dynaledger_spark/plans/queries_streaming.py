@@ -157,3 +157,40 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(landing, ignore_errors=True)
+
+
+@register(
+    "stream_dedup_docs",
+    doc="streaming exact dedup: state-store distinct over the doc stream",
+    oracle="SELECT DISTINCT text FROM documents",
+)
+def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicates` on a streaming source: the state store remembers
+    every key seen so far, so each distinct text is emitted exactly once
+    no matter how input is batched — the streaming half of dedup_exact.
+    Projecting to the key column BEFORE dedup keeps both the state rows
+    and the output deterministic. Unbounded streams cap state with
+    `dropDuplicatesWithinWatermark`; this corpus drain needs no horizon.
+    """
+    from pyspark.sql import types as T
+
+    from dynaledger_spark.streaming import run_available_now
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select("text").dropDuplicates(["text"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_available_now(deduped, name, output_mode="append")

@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_approx,
         queries_core,
         queries_multimodal,
+        queries_sampling,
         queries_sql_ext,
         queries_streaming,
         queries_text,
