@@ -18,9 +18,12 @@ from dynaledger_spark.plans.registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dynaledger_spark.plans.queries_text import _docs as docs
+    # Raw scan, NOT queries_text._docs: these queries are scan-side
+    # projections/filters, so the compute-repartition the text/dedup
+    # queries need (single-file corpus quirk) would only add a shuffle.
+    import os
 
-    return docs(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
 # Knuth's multiplicative constants; mod 2^32 keeps everything in BIGINT.

@@ -136,3 +136,29 @@ def test_whole_stage_codegen_on_text_path(spark, sf_dir):
         assert "*(" in plan_of(df, mode="simple")
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_unpivot_is_single_scan_expand(plans):
+    """unpivot must compile to one scan + Expand — not a 4-way self-union
+    re-reading the table (the oracle's shape)."""
+    plan = plans["unpivot_lineitem_measures"]
+    assert plan.count("FileScan") + plan.count("Scan parquet") >= 1
+    assert plan.count("FileScan") <= 1
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_scalar_subquery_is_decorrelated(plans):
+    """The correlated AVG subquery must become an aggregate + equi-join,
+    never a per-row re-executed subquery plan node."""
+    plan = plans["scalar_subquery_small_qty"]
+    assert "Subquery" not in plan
+    assert "HashAggregate" in plan and "Join" in plan
+
+
+def test_hash_sampling_is_shuffle_free(plans):
+    """Deterministic hash split/sample are pure scan-side projection and
+    filter — zero exchanges, so they scale linearly with input."""
+    for name in ("hash_split_train_val", "stratified_sample_docs"):
+        plan = plans[name]
+        assert "Exchange" not in plan, name
