@@ -293,7 +293,15 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " s -> substring(text, s, 19)))"
     )
     shingled = docs.select("doc_id", "source", shingles.alias("shingles"))
-    a = shingled.alias("a")
+    # The window predicate (doc_id within +1..+5, same source) must DRIVE
+    # the join, not post-filter it: exploding the 5 candidate ids turns it
+    # into a pure equi-join on (source, doc_id), so the O(len) set
+    # arithmetic runs only on true candidates (5·N pairs) — a
+    # source-only equi-join would evaluate it on every same-source pair
+    # (O(N²/sources)), which is what dies first at corpus scale.
+    a = shingled.withColumn(
+        "cand_id", F.explode(F.expr("sequence(doc_id + 1, doc_id + 5)"))
+    ).alias("a")
     b = shingled.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
@@ -301,7 +309,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("b.doc_id") - F.col("a.doc_id")).between(1, 5),
+            & (F.col("a.cand_id") == F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
