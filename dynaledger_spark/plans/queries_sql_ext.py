@@ -218,3 +218,155 @@ def rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_rev"
         ),
     )
+
+
+@register(
+    "first_last_order_span",
+    doc="FIRST_VALUE/LAST_VALUE windows: customer lifetime span on every order",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               first_value(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS first_ts,
+               last_value(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_ts,
+               CAST(datediff('day', CAST(first_value(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS DATE), CAST(last_value(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS DATE)) AS INT) AS span_days
+        FROM orders
+    """,
+)
+def first_last_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE with the default growing frame and LAST_VALUE with an
+    explicit unbounded frame (the classic last_value footgun, done
+    right), plus a derived day span. One shuffle on o_custkey; both
+    windows share the same partitioning + sort so Catalyst evaluates
+    them in a single Window node over one sorted pass. Unique
+    o_orderkey tiebreaker keeps every value deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    first_ts = F.first("o_orderdate").over(w)
+    last_ts = F.last("o_orderdate").over(wfull)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        first_ts.alias("first_ts"),
+        last_ts.alias("last_ts"),
+        F.datediff(last_ts.cast("date"), first_ts.cast("date"))
+        .cast("int")
+        .alias("span_days"),
+    )
+
+
+@register(
+    "median_disc_by_priority",
+    doc="exact distributed discrete median (quantile_disc 0.5) per group, no collect",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               quantile_disc(o_totalprice, 0.5) AS median_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def median_disc_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete median without gathering values: rank
+    rows within each group and keep the one at index floor((n-1)/2) —
+    DuckDB's quantile_disc(0.5) definition — using pure integer
+    arithmetic (no float index math to drift at boundaries). One
+    shuffle on the group key; row_number and the group count share a
+    single sort. At 100 TB this beats any collect_list-based median by
+    never materializing a group in one task, and stays exact where
+    percentile_approx would not be."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wp = W.partitionBy("o_orderpriority")
+    return (
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .filter(F.expr("rn = (n - 1) div 2 + 1"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("median_price"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "stddev_exact_by_flag",
+    doc="order-independent exact AVG/STDDEV via decimal (n, Σx, Σx²) sums",
+    oracle="""
+        WITH g AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6)))
+                        AS DOUBLE) AS s2
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n_items,
+               s1 / n_items AS avg_qty,
+               sqrt((s2 - (s1 * s1) / n_items) / (n_items - 1)) AS stddev_qty
+        FROM g
+    """,
+)
+def stddev_exact_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment aggregates the deterministic way: built-in stddev_samp
+    combines partial (mean, M2) states in partition order, so two runs
+    can differ in the last ulp and an oracle can't match it bitwise.
+    Instead accumulate n, Σx, Σx² exactly in DECIMAL (associative, so
+    map-side partial aggregation is still free) and finish with one
+    fixed IEEE expression — identical in Spark and DuckDB. l_quantity
+    is integral and ≤ 2500 per x², so the decimal sums are exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(qty.cast("decimal(27,6)")).cast("double").alias("s1"),
+        F.sum((qty * qty).cast("decimal(27,6)")).cast("double").alias("s2"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_items",
+        F.expr("s1 / n_items").alias("avg_qty"),
+        F.expr("sqrt((s2 - (s1 * s1) / n_items) / (n_items - 1))").alias(
+            "stddev_qty"
+        ),
+    )
+
+
+@register(
+    "regex_extract_id_buckets",
+    doc="regexp_extract capture group → typed key, grouped rollup",
+    oracle="""
+        SELECT CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) % 100
+                 AS id_bucket,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_acctbal
+        FROM customer GROUP BY id_bucket
+    """,
+)
+def regex_extract_id_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction as a typed join/group key (the
+    reference leans on regex only as validation predicates — P19; this
+    is the extraction side a pass-through SQL user gets). Stays inside
+    whole-stage codegen: regexp_extract + cast + pmod are all JVM
+    expressions, then one hash-aggregate shuffle on the derived key."""
+    customer = _t(spark, sf_dir, "customer")
+    cid = F.regexp_extract(F.col("c_name"), r"Customer#(\d+)", 1).cast("bigint")
+    return (
+        customer.select((cid % 100).alias("id_bucket"), "c_acctbal")
+        .groupBy("id_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), "sum_acctbal"),
+        )
+    )

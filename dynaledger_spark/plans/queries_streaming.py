@@ -160,6 +160,50 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    doc="stream-static broadcast join: purchase stream enriched with customer dims",
+    oracle="""
+        SELECT e.event_id, e.ts, e.user_id, c.c_name,
+               n.n_name AS nation, e.value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical streaming-ETL enrichment: a live event stream joined
+    against slowly-changing dimension tables. The static side
+    (customer ⋈ nation) is broadcast, so the join is stateless — no
+    watermark, no state store, each microbatch hash-probes the same
+    broadcast map — and append mode emits exactly the batch-join rows
+    (the oracle proves it). At scale the dimension refresh is just
+    re-reading the table between batches; stream side never shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.streaming import events_stream, run_available_now
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    dims = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(read_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"))
+    )
+    enriched = purchases.join(
+        F.broadcast(dims), purchases.user_id == dims.c_custkey
+    ).select("event_id", "ts", "user_id", "c_name", "nation", "value")
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_available_now(enriched, name, output_mode="append")
+
+
+@register(
     "stream_dedup_docs",
     doc="streaming exact dedup: state-store distinct over the doc stream",
     oracle="SELECT DISTINCT text FROM documents",
