@@ -162,3 +162,39 @@ def test_hash_sampling_is_shuffle_free(plans):
     for name in ("hash_split_train_val", "stratified_sample_docs"):
         plan = plans[name]
         assert "Exchange" not in plan, name
+
+
+def _nodes(plan: str, node: str) -> int:
+    """Count physical nodes in a formatted explain (the '(n) Node' detail
+    headers — the tree section prints every node a second time)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {node}\b", plan))
+
+
+def test_first_last_single_window_pass(plans):
+    """FIRST_VALUE (growing frame) and LAST_VALUE (unbounded frame) share
+    partitioning + sort, so Catalyst must fuse them into ONE Window node
+    over one shuffle — two sorted passes would double the cost."""
+    plan = plans["first_last_order_span"]
+    assert _nodes(plan, "Window") == 1
+    assert _nodes(plan, "Exchange") <= 1
+
+
+def test_median_disc_one_shuffle(plans):
+    """The distributed discrete median ranks and counts inside a single
+    hash-partitioning of the group key: one Exchange, windows stacked on
+    the same clustering (no second sort-shuffle), no Python."""
+    plan = plans["median_disc_by_priority"]
+    assert _nodes(plan, "Exchange") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_exact_moment_aggs_have_partial_phase(plans):
+    """The decimal (n, Σx, Σx²) moment sums must run as partial + final
+    hash aggregation — map-side combine is the whole point of using an
+    associative accumulator instead of builtin stddev_samp."""
+    for name in ("stddev_exact_by_flag", "regex_extract_id_buckets"):
+        plan = plans[name]
+        assert _nodes(plan, "HashAggregate") >= 2, name
+        assert _nodes(plan, "Exchange") == 1, name
