@@ -801,13 +801,31 @@ def conditional_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D1: group-to-document assembly (the reverse of flatten) — rows-only check
+# D1: group-to-document assembly (the reverse of flatten)
 # reference: ext_zip_convert_into_json_store.py:92-139
 # ---------------------------------------------------------------------------
 @register(
     "doc_assembly",
     doc="group-to-nested-JSON document assembly (collect_list(struct) + to_json)",
-    oracle=None,  # JSON text formatting is engine-specific → rows-only check
+    oracle="""
+        WITH it AS (
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
+                     AS price,
+                   struct_pack(line := l_linenumber, part := l_partkey,
+                       qty := CAST(l_quantity AS BIGINT),
+                       price := CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     AS VARCHAR)) AS item
+            FROM lineitem)
+        SELECT o_orderkey,
+               CAST(to_json(struct_pack(order_id := o_orderkey,
+                    status := o_orderstatus,
+                    items := list(item ORDER BY l_linenumber, l_partkey,
+                                  qty, price))) AS VARCHAR) AS doc
+        FROM orders JOIN it ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderstatus
+    """,
 )
 def doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-filing JSON assembly (ext_zip_convert_into_json_store.py:92-139).
@@ -816,6 +834,13 @@ def doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first this is one hash aggregate: groupBy(order) →
     sort_array(collect_list(struct(...))) → to_json. sort_array makes the
     array order deterministic (the loop's implicit file order).
+
+    Oracle-exact JSON: raw doubles are NOT portably renderable (engines
+    disagree on scientific-notation thresholds and shortest-roundtrip
+    digits), so quantities ride as BIGINT (values are integral) and money
+    as a fixed DECIMAL(18,2) string — byte-identical in Spark and DuckDB,
+    and the better document contract anyway. Array order mirrors
+    sort_array's full lexicographic struct compare on both sides.
     """
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -824,8 +849,11 @@ def doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.col("l_linenumber").alias("line"),
             F.col("l_partkey").alias("part"),
-            F.col("l_quantity").alias("qty"),
-            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.col("l_extendedprice")
+            .cast("decimal(18,2)")
+            .cast("string")
+            .alias("price"),
         ).alias("item"),
     )
     docs = lines.groupBy("l_orderkey").agg(
@@ -837,7 +865,7 @@ def doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.to_json(
                 F.struct(
-                    F.col("o_orderkey").alias("order"),
+                    F.col("o_orderkey").alias("order_id"),
                     F.col("o_orderstatus").alias("status"),
                     F.col("items"),
                 )
