@@ -159,26 +159,80 @@ def ivf_index(
     emb: DataFrame,
     n_centroids: int = 16,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 42,
+    fit_sample: int = 4096,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Build an IVF index: assign every vector to its nearest k-means
     centroid. Returns (corpus + `centroid` column, centroid list).
 
-    At 100 TB: fit on a sample (KMeans is iterative — never on the full
-    corpus), write the assigned corpus partitioned by `centroid`, keep
-    the tiny centroid list driver-side. Each query then reads only the
-    probed partitions.
+    The coarse quantizer never iterates over the corpus: Lloyd's
+    algorithm runs driver-side on a deterministic hash-sample of
+    ~`fit_sample` vectors (k-means centroids stabilize on a sample —
+    the quantizer only has to partition space, not be optimal), then
+    assignment is ONE distributed pass of pure JVM expressions
+    (per-centroid squared distance folds + argmin). An iterative
+    cluster-side fit would cost `iterations` full scans plus job
+    scheduling per step — the dominant cost at any scale, and the wrong
+    shape at 100 TB. Cells then get written `partitionBy('centroid')`
+    so each query reads only probed partitions.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    feats = emb.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="_features", predictionCol="centroid"
-    ).fit(feats)
-    assigned = model.transform(feats).drop("_features")
-    centroids = [c.tolist() for c in model.clusterCenters()]
-    return assigned, centroids
+    n = emb.count()
+    keep_mod = max(1, n // fit_sample)
+    sample = np.asarray(
+        [
+            r["v"]
+            for r in emb.select(
+                F.col(vec_col).cast("array<double>").alias("v")
+            )
+            .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(keep_mod)) == 0)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    k = min(n_centroids, len(sample))
+    rng = np.random.default_rng(seed)
+    centers = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(10):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [
+                sample[assign == j].mean(axis=0) if (assign == j).any() else centers[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+
+    v = F.col(vec_col).cast("array<double>")
+
+    def _d2(j: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in centers[j]]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # argmin as array_min over (distance, index) structs: struct ordering
+    # compares distance first, index breaks exact ties deterministically.
+    nearest = F.array_min(
+        F.array(
+            *[
+                F.struct(_d2(j).alias("d"), F.lit(j).alias("j"))
+                for j in range(k)
+            ]
+        )
+    )
+    assigned = emb.withColumn("centroid", nearest["j"].cast("int"))
+    return assigned, [c.tolist() for c in centers]
 
 
 def ivf_topk(
@@ -197,7 +251,9 @@ def ivf_topk(
     n_probes / n_centroids."""
     import numpy as np
 
-    assigned, centroids = ivf_index(emb, n_centroids, vec_col, seed)
+    assigned, centroids = ivf_index(
+        emb, n_centroids, vec_col=vec_col, id_col=id_col, seed=seed
+    )
     c = np.asarray(centroids, dtype="float64")
     q = np.asarray(query_vec, dtype="float64")
     sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-12)
