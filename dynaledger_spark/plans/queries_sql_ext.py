@@ -370,3 +370,169 @@ def regex_extract_id_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("c_acctbal"), "sum_acctbal"),
         )
     )
+
+
+@register(
+    "string_functions_matrix",
+    doc="scalar string-function surface: case, pad, split, translate, concat_ws",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_mktsegment) AS seg_upper,
+               lower(c_name) AS name_lower,
+               lpad(CAST(c_custkey % 1000 AS VARCHAR), 6, '0') AS padded_id,
+               concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR))
+                 AS seg_nation,
+               translate(c_name, '#', '-') AS name_dashed,
+               reverse(c_name) AS name_rev,
+               substring(c_name, 1, 8) AS name_prefix,
+               CAST(length(c_name) AS INT) AS name_len,
+               split_part(c_name, '#', 2) AS id_str
+        FROM customer
+    """,
+)
+def string_functions_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar string surface a pass-through SQL user leans on (the
+    reference templates and validates strings server-side — P16-P19).
+    Pure row-level JVM expressions: the whole projection runs inside one
+    whole-stage-codegen span over the scan, zero shuffles at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 6, "0").alias(
+            "padded_id"
+        ),
+        F.concat_ws(
+            "-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+        F.translate(F.col("c_name"), "#", "-").alias("name_dashed"),
+        F.reverse(F.col("c_name")).alias("name_rev"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.element_at(F.split(F.col("c_name"), "#"), 2).alias("id_str"),
+    )
+
+
+@register(
+    "date_functions_matrix",
+    doc="calendar-function surface: parts, ISO week, aligned dow, last_day, add_months",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(month(o_orderdate) AS INT) AS mon,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0,
+               CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)
+                 AS month_end,
+               CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                    AS VARCHAR) AS plus_3mo,
+               CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                    AS VARCHAR) AS quarter_start
+        FROM orders
+    """,
+)
+def date_functions_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extraction with the cross-engine traps normalized
+    explicitly: day-of-week is published on the DuckDB convention
+    (0=Sunday; Spark's dayofweek is 1-based), month arithmetic uses
+    add_months (end-of-month clamped, same as interval addition), and
+    derived DATE values ship as ISO-8601 strings (engines disagree on
+    date_trunc's return type and drivers on DATE's in-memory form).
+    All row-level codegen expressions — no shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sun0"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 3).cast("string").alias("plus_3mo"),
+        F.date_trunc("quarter", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("quarter_start"),
+    )
+
+
+@register(
+    "rank_family_segments",
+    doc="RANK / PERCENT_RANK / CUME_DIST over per-segment balance ordering",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               CAST(rank() OVER w AS BIGINT) AS bal_rank,
+               percent_rank() OVER w AS bal_pct_rank,
+               cume_dist() OVER w AS bal_cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def rank_family_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking family beyond dense_rank (W1) and ntile:
+    rank with gaps, percent_rank = (rank-1)/(n-1), cume_dist = rows≤cur/n.
+    Both ratios are single int divisions of identical operands, so the
+    doubles agree bitwise across engines. One shuffle on the segment
+    key; all three functions share one Window node and one sort."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+@register(
+    "grouping_sets_mixed",
+    doc="explicit GROUPING SETS: two disjoint single-dim subtotals + grand total",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               o.o_orderpriority AS priority,
+               CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+               CAST(GROUPING(o.o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               {_osum('o.o_totalprice', 'revenue')}
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form under ROLLUP/CUBE):
+    per-nation and per-priority subtotals plus the grand total, WITHOUT
+    the cross product — one Expand pass, one shuffle, 3 result strata.
+    GROUPING() flags disambiguate subtotal NULLs from data NULLs."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+    )
+    joined.createOrReplaceTempView("_q_gs_joined")
+    return spark.sql(
+        """
+        SELECT nation, priority,
+               CAST(GROUPING(nation) AS INT) AS g_nation,
+               CAST(GROUPING(priority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS revenue
+        FROM _q_gs_joined
+        GROUP BY GROUPING SETS ((nation), (priority), ())
+        """
+    )
