@@ -536,3 +536,46 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((nation), (priority), ())
         """
     )
+
+
+@register(
+    "higher_order_array_ops",
+    doc="higher-order array functions: transform/aggregate/filter/exists/sort",
+    oracle="""
+        WITH g AS (
+            SELECT l_orderkey, list(CAST(l_quantity AS BIGINT)) AS q
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               CAST(list_aggregate(list_transform(q, x -> x * x), 'sum')
+                    AS BIGINT) AS qty_sumsq,
+               CAST(len(list_filter(q, x -> x >= 30)) AS INT) AS n_big,
+               len(list_filter(q, x -> x = 1)) > 0 AS has_single_unit,
+               array_to_string(list_sort(q), ',') AS qty_sorted_csv
+        FROM g
+    """,
+)
+def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-based array processing entirely in JVM expressions —
+    transform, aggregate (fold), filter, exists, sort_array — over a
+    per-order quantity list. Quantities ride as BIGINT so the fold is
+    exact under any collect_list order, and every output is a scalar
+    (array columns cross driver boundaries with engine-specific
+    renderings; scalars don't). One grouping shuffle, then pure map."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.col("l_quantity").cast("bigint")).alias("q")
+    )
+    return g.select(
+        "l_orderkey",
+        F.aggregate(
+            F.transform("q", lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("qty_sumsq"),
+        F.size(F.filter("q", lambda x: x >= 30)).cast("int").alias("n_big"),
+        F.exists("q", lambda x: x == 1).alias("has_single_unit"),
+        F.array_join(
+            F.transform(F.sort_array("q"), lambda x: x.cast("string")), ","
+        ).alias("qty_sorted_csv"),
+    )

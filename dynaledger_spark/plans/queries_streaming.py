@@ -152,11 +152,42 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"stream_sess_{uuid.uuid4().hex[:8]}"
         with _stream_partitions(spark):
             out = run_available_now(sessions, name, output_mode="append")
-        # materialize before the landing dir disappears
-        out = spark.createDataFrame(out.collect(), schema=out.schema) if out.schema else out
+        # The memory sink buffers result rows in the driver JVM — the
+        # landing dir can be deleted without a round-trip through Python
+        # (a collect + createDataFrame here cost seconds at sf0.1).
         return out
     finally:
         shutil.rmtree(landing, ignore_errors=True)
+
+
+@register(
+    "stream_dedup_within_watermark",
+    doc="dropDuplicatesWithinWatermark: bounded-state streaming dedup by user",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state twin of stream_dedup_docs: state rows expire
+    once the watermark passes their event time + delay, so memory is
+    O(keys seen per horizon), not O(stream lifetime) — the only dedup
+    that survives an unbounded stream. With the delay spanning this
+    corpus drain the emitted set equals batch DISTINCT (the oracle);
+    on a live stream, duplicates farther apart than the horizon would
+    intentionally re-emit.
+    """
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.streaming import events_stream, run_available_now
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    deduped = (
+        stream.select("user_id", "ts")
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    name = f"stream_ddw_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_available_now(deduped, name, output_mode="append")
 
 
 @register(
