@@ -1,0 +1,152 @@
+"""Time-series analytics queries: calendar gap-filling and funnel
+attribution over the events/orders tables.
+
+The reference's query surface stops at raw aggregates (its Streamlit layer
+does chart post-processing client-side — streamlit_app.py:259-303); these
+are the engine-side time-series operations that replace such client code
+at corpus scale, each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.queries_core import _t
+from dynaledger_spark.plans.registry import register
+
+
+@register(
+    "calendar_fill_daily_revenue",
+    doc="gap-filled daily series: dense calendar via sequence+explode, zero-filled",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS INT) AS day_n,
+                   SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev_dec,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY day_n
+        ),
+        bounds AS (SELECT min(day_n) AS lo, max(day_n) AS hi FROM daily),
+        cal AS (
+            SELECT CAST(unnest(generate_series(lo, hi)) AS INT) AS day_n
+            FROM bounds
+        )
+        SELECT c.day_n,
+               CAST(COALESCE(d.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(d.rev_dec, CAST(0 AS DECIMAL(27,6))) AS DOUBLE)
+                 AS revenue
+        FROM cal c LEFT JOIN daily d USING (day_n)
+    """,
+)
+def calendar_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an event-dated series onto a dense daily grid (the
+    missing-day problem every training-data time series hits): aggregate
+    to day grain, take min/max bounds, explode `sequence(lo, hi)` into
+    the full calendar, left-join the observations back and zero-fill.
+    The calendar side is generated from a 1-row broadcast (never a
+    driver loop); the join key is an int day number so the whole thing
+    is codegen + one grouping shuffle. Day-scale cardinality (~10^3 at
+    any SF) keeps the dense grid trivially small even at 100 TB of
+    fact rows."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("int")
+            .alias("day_n"),
+            F.col("o_totalprice").cast("decimal(27,6)").alias("price_dec"),
+        )
+        .groupBy("day_n")
+        .agg(
+            F.sum("price_dec").alias("rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    bounds = daily.agg(
+        F.min("day_n").alias("lo"), F.max("day_n").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day_n")
+    ).select(F.col("day_n").cast("int").alias("day_n"))
+    return (
+        cal.join(daily, "day_n", "left")
+        .select(
+            "day_n",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias(
+                "n_orders"
+            ),
+            F.coalesce(
+                F.col("rev_dec"), F.lit(0).cast("decimal(27,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    doc="ordered funnel: first view → first click after it → first purchase after that",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS view_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS click_ts
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+               p.user_id IS NOT NULL AS converted
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (the event-order-sensitive analytics the
+    reference's client layer cannot do): per user, the first view, the
+    first click at-or-after it, and the first purchase at-or-after that
+    click — a stage only counts when it happens in order. Three hash
+    aggregates and the stitching joins all cluster on user_id, so after
+    the first shuffle the rest reuses the same partitioning; nulls mark
+    funnel drop-off and `converted` flags completion."""
+    events = _t(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.col("purchase_ts").isNotNull().alias("converted"),
+        )
+    )

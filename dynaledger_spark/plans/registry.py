@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_sql_ext,
         queries_streaming,
         queries_text,
+        queries_timeseries,
         queries_vector,
     )
 
