@@ -214,13 +214,21 @@ def sessionize_stream(
     gap_us = _gap_to_us(gap)
 
     def _emit(key: tuple, closed: list[tuple[int, int, int, float]]) -> "pd.DataFrame":
+        # columnar construction: one vectorized to_datetime per field, not
+        # a pd.Timestamp object per session (thousands per key per batch).
+        s_us = np.fromiter((c[0] for c in closed), dtype="int64", count=len(closed))
+        e_us = np.fromiter((c[1] for c in closed), dtype="int64", count=len(closed))
         return pd.DataFrame(
             {
-                "user_id": [key[0]] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
-                "n_events": [n for _, _, n, _ in closed],
-                "sum_value": [t for _, _, _, t in closed],
+                "user_id": np.full(len(closed), key[0], dtype="int64"),
+                "session_start": pd.to_datetime(s_us, unit="us"),
+                "session_end": pd.to_datetime(e_us, unit="us"),
+                "n_events": np.fromiter(
+                    (c[2] for c in closed), dtype="int32", count=len(closed)
+                ),
+                "sum_value": np.fromiter(
+                    (c[3] for c in closed), dtype="float64", count=len(closed)
+                ),
             }
         )
 
