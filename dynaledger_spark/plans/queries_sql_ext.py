@@ -579,3 +579,38 @@ def higher_order_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.sort_array("q"), lambda x: x.cast("string")), ","
         ).alias("qty_sorted_csv"),
     )
+
+
+@register(
+    "top3_orders_per_segment",
+    doc="per-group top-k: 3 largest orders in each market segment",
+    oracle="""
+        SELECT * FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY c.c_mktsegment
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                   ) AS INT) AS rn
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the grouped twin of topk_customers' global
+    TakeOrdered): row_number within segment + rank filter. Catalyst's
+    WindowGroupLimit rule pushes the k=3 bound INTO the sort, so each
+    partition keeps a 3-row heap per group on the map side instead of
+    fully sorting every group before filtering — the difference between
+    O(n log k) and O(n log n) per group at corpus scale (asserted in
+    tests/test_plans.py)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -198,3 +198,9 @@ def test_exact_moment_aggs_have_partial_phase(plans):
         plan = plans[name]
         assert _nodes(plan, "HashAggregate") >= 2, name
         assert _nodes(plan, "Exchange") == 1, name
+
+
+def test_per_group_topk_uses_window_group_limit(plans):
+    """rank<=k must trigger Catalyst's WindowGroupLimit pushdown — a
+    per-group k-row heap on the map side, not a full sort-then-filter."""
+    assert "WindowGroupLimit" in plans["top3_orders_per_segment"]
