@@ -26,10 +26,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-# Knuth's multiplicative constants; mod 2^32 keeps everything in BIGINT.
+# Knuth's multiplicative constants, reduced mod 2^32.
 _H1 = 2654435761
 _H2 = 1103515245
 _M32 = 4294967296
+
+
+def _mhash(col, mult: int, add: int = 0):
+    """(col * mult + add) % 2^32 as exact arithmetic at ANY id magnitude.
+
+    A raw BIGINT multiply overflows signed-64 once ids exceed ~2^31.7
+    (ANSI mode then throws — found by hypothesis, tests/test_properties
+    .py), while DuckDB silently promotes to int128; widening through
+    DECIMAL(38,0) makes Spark take the same exact path, then the mod
+    brings it back to a small BIGINT. Still a pure scan-side JVM
+    expression."""
+    return ((col.cast("decimal(38,0)") * mult + add) % _M32).cast("bigint")
 
 
 @register(
@@ -50,7 +62,7 @@ def hash_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical split, and adding new docs never reassigns old ones
     (the property random splits lack)."""
     docs = _docs(spark, sf_dir)
-    bucket = (F.col("doc_id") * _H1) % _M32 % 100
+    bucket = _mhash(F.col("doc_id"), _H1) % 100
     return docs.select(
         "doc_id",
         bucket.cast("int").alias("bucket"),
@@ -77,7 +89,7 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan as a plain predicate (filter + projection, zero shuffles); rates
     change by editing the CASE, membership never flickers between runs."""
     docs = _docs(spark, sf_dir)
-    h = (F.col("doc_id") * _H2 + 12345) % _M32 % 100
+    h = _mhash(F.col("doc_id"), _H2, 12345) % 100
     rate = F.when(F.col("lang") == "en", 50).otherwise(10)
     return docs.filter(h < rate).select("doc_id", "lang")
 
@@ -102,7 +114,7 @@ def shard_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitionByRange(hash) + per-partition offsets (monotonically_
     increasing_id-style), keeping the sort distributed."""
     docs = _docs(spark, sf_dir)
-    h = (F.col("doc_id") * _H1 + 97) % _M32
+    h = _mhash(F.col("doc_id"), _H1, 97)
     w = W.orderBy(h, "doc_id")
     return docs.select(
         "doc_id", (F.row_number().over(w) % 8).cast("int").alias("shard")

@@ -1,0 +1,233 @@
+"""Property-based tests (hypothesis): random-input invariants for the
+operators whose correctness rests on arithmetic we wrote ourselves rather
+than on Catalyst — custom stateful streaming, deterministic hash
+splitting, distributed quantile index math, and the engine-portable
+rolling fingerprint.
+
+Each property runs a bounded number of examples against the shared Spark
+session (Spark round-trips dominate, so examples are few but adversarial:
+hypothesis shrinks any failure to a minimal input).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+MOD = 1_000_000_007
+_H1 = 2654435761
+_M32 = 4294967296
+
+
+# ---------------------------------------------------------------------------
+# rolling fingerprint ≡ pure-python fold
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rolling_fingerprint_matches_python(spark, texts):
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.functions.text import rolling_fingerprint
+
+    def ref(s: str) -> int:
+        acc = 0
+        for ch in s if s else "\x00":  # empty text folds one 0 code
+            acc = (acc * 31 + (ord(ch) if s else 0)) % MOD
+        return acc
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", rolling_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (t, got[i], ref(t))
+
+
+# ---------------------------------------------------------------------------
+# hash split: total, deterministic, stable under subsetting
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=60, unique=True
+    )
+)
+def test_hash_split_total_and_stable(spark, ids):
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.plans.queries_sampling import _mhash
+
+    bucket = _mhash(F.col("doc_id"), _H1) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+
+    def assign(id_list):
+        df = spark.createDataFrame([(i,) for i in id_list], "doc_id long")
+        return {
+            r["doc_id"]: r["split"]
+            for r in df.select("doc_id", split.alias("split")).collect()
+        }
+
+    full = assign(ids)
+    # total: every row lands in exactly one named split
+    assert set(full.values()) <= {"train", "val", "test"}
+    assert len(full) == len(ids)
+    # stable under subsetting/appends: a row's split never depends on
+    # which other rows are present (the property random sampling lacks)
+    half = assign(ids[: max(1, len(ids) // 2)])
+    for k, v in half.items():
+        assert full[k] == v
+
+
+# ---------------------------------------------------------------------------
+# discrete median index arithmetic ≡ numpy on random groups
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    groups=st.dictionaries(
+        keys=st.sampled_from(["a", "b", "c"]),
+        values=st.lists(
+            st.integers(min_value=-(10**6), max_value=10**6), min_size=1, max_size=40
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_discrete_median_matches_numpy(spark, groups):
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        (g, i, float(v))
+        for g, vals in groups.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, rid long, v double")
+    w = W.partitionBy("g").orderBy("v", "rid")
+    wp = W.partitionBy("g")
+    got = {
+        r["g"]: r["v"]
+        for r in (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wp))
+            .filter(F.expr("rn = (n - 1) div 2 + 1"))
+            .collect()
+        )
+    }
+    for g, vals in groups.items():
+        arr = np.sort(np.asarray(vals, dtype="float64"), kind="stable")
+        assert got[g] == arr[(len(arr) - 1) // 2], (g, vals)
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization ≡ pure-python reference on random event sets
+# ---------------------------------------------------------------------------
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user_id
+            st.integers(min_value=0, max_value=6_000),  # seconds offset
+            st.integers(min_value=0, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_stream_sessionization_matches_reference(spark, tmp_path_factory, events):
+    """Drain a one-file stream through the applyInPandasWithState
+    sessionizer and compare against a transparent python sessionizer:
+    sessions close when gap > 10 min AND the end-of-drain watermark
+    (max event time) has passed session_end + gap; later sessions stay
+    open in state, exactly like a live stream."""
+    import datetime as dt
+    import shutil
+    import uuid
+
+    from dynaledger_spark.streaming import (
+        events_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+    from pyspark.sql import types as T
+
+    gap_s = 600
+    base_us = 1_700_000_000_000_000  # fixed epoch anchor, micros
+    epoch = dt.datetime(1970, 1, 1)
+
+    def as_dt(us: int) -> dt.datetime:
+        return epoch + dt.timedelta(microseconds=us)
+
+    rows = [
+        (i, as_dt(base_us + sec * 1_000_000), uid, "e", float(val), "{}")
+        for i, (uid, sec, val) in enumerate(events)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    landing = str(tmp_path_factory.mktemp("sess_prop"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        landing
+    )
+    stream = events_stream(spark, landing, schema=schema)
+    sessions = sessionize_stream(stream, gap="10 minutes")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in run_available_now(
+            sessions, f"p_{uuid.uuid4().hex[:8]}", output_mode="append"
+        ).collect()
+    }
+    shutil.rmtree(landing, ignore_errors=True)
+
+    # reference: per-user gap split; a session is emitted iff closed by
+    # the final watermark (= max event time over the whole drain)
+    max_us = max(base_us + sec * 1_000_000 for _, sec, _ in events)
+    want = set()
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for uid, sec, val in events:
+        by_user.setdefault(uid, []).append((base_us + sec * 1_000_000, float(val)))
+    for uid, evs in by_user.items():
+        evs.sort()
+        runs: list[list[tuple[int, float]]] = [[evs[0]]]
+        for ts, val in evs[1:]:
+            if ts - runs[-1][-1][0] > gap_s * 1_000_000:
+                runs.append([])
+            runs[-1].append((ts, val))
+        for run in runs:
+            start, end = run[0][0], run[-1][0]
+            if end + gap_s * 1_000_000 < max_us:  # closed by final watermark
+                want.add(
+                    (uid, as_dt(start), as_dt(end), len(run), sum(v for _, v in run))
+                )
+    assert got == want, (sorted(got), sorted(want))
