@@ -231,3 +231,52 @@ def test_stream_sessionization_matches_reference(spark, tmp_path_factory, events
                     (uid, as_dt(start), as_dt(end), len(run), sum(v for _, v in run))
                 )
     assert got == want, (sorted(got), sorted(want))
+
+
+# ---------------------------------------------------------------------------
+# connected components ≡ union-find reference on random graphs
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=24),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),
+            st.integers(min_value=0, max_value=23),
+        ),
+        max_size=40,
+    ),
+)
+def test_connected_components_matches_union_find(spark, n, edges):
+    """Pointer-jumping label propagation must agree with a sequential
+    union-find on arbitrary graphs — self-loops, duplicate and reversed
+    edges, dangling endpoints (edges touching ids ≥ n are dropped),
+    long chains near the iteration bound."""
+    from dynaledger_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a < n and b < n]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(nodes_df, edges_df, "id").collect()
+    }
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in range(n):
+        want[i] = min(j for j in range(n) if find(j) == find(i))
+    assert got == want, (n, edges)
