@@ -280,3 +280,70 @@ def test_connected_components_matches_union_find(spark, n, edges):
     for i in range(n):
         want[i] = min(j for j in range(n) if find(j) == find(i))
     assert got == want, (n, edges)
+
+
+# ---------------------------------------------------------------------------
+# as-of join ≡ DuckDB native ASOF JOIN on random series
+# ---------------------------------------------------------------------------
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lefts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=0, max_value=1000),  # ts
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        max_size=30,
+    ),
+)
+def test_asof_join_matches_duckdb_asof(spark, lefts, rights):
+    """The union-tag + running-window as-of implementation must agree
+    with DuckDB's native ASOF LEFT JOIN (r.ts <= l.ts, latest wins) —
+    including keys with no quotes, exact ts ties (inclusive), and
+    multiple left rows between right rows."""
+    import duckdb
+
+    from dynaledger_spark.operators.temporal import asof_join
+
+    # (key, ts) unique on the right: duplicate right timestamps make
+    # "latest" payload ambiguous in ANY asof implementation
+    rights = list({(k, t): v for k, t, v in rights}.items())
+    rights = [(k, t, v) for (k, t), v in rights]
+
+    left_df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "id long, k long, ts long"
+    )
+    right_df = spark.createDataFrame(
+        rights or [(99, 0, 0)], "k long, ts long, v long"
+    )
+    got = {
+        (r["id"], r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            left_df, right_df, on=["k"], payload_cols=["v"]
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("l", __import__("pandas").DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], columns=["id", "k", "ts"]
+    ))
+    con.register("r", __import__("pandas").DataFrame(
+        rights or [(99, 0, 0)], columns=["k", "ts", "v"]
+    ))
+    want = {
+        (int(i), None if __import__("pandas").isna(at) else int(at),
+         None if __import__("pandas").isna(av) else int(av))
+        for i, at, av in con.sql(
+            """SELECT l.id, r.ts AS asof_ts, r.v AS asof_v
+               FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.ts <= l.ts"""
+        ).fetchall()
+    }
+    assert got == want, (sorted(got), sorted(want))
