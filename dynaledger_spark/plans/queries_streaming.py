@@ -161,6 +161,69 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_upsert_materialize",
+    doc="foreachBatch MERGE: latest-row-per-user gold table, bucket-scoped rewrites",
+    oracle="""
+        SELECT user_id, ts, event_type, value FROM (
+            SELECT user_id, ts, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO (the reference's J7 upsert,
+    load_json_data_snowflake.py:165-187, maintained incrementally):
+    events replayed as 2 microbatches upsert a parquet gold table keyed
+    by user, newest (ts, event_id) wins. The table is hash-bucketed and
+    each batch rewrites only the buckets it touches (dynamic partition
+    overwrite) — merge cost ∝ touched partitions, not table size, which
+    is the vanilla-Spark shape of a transaction-log MERGE. The final
+    table equals batch latest-per-key (the oracle).
+    """
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.streaming import (
+        events_stream,
+        replay_as_batches,
+        run_upsert_materialize,
+    )
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="dl_upsert_")
+    landing, gold, ckpt = f"{root}/landing", f"{root}/gold", f"{root}/ckpt"
+    replay_as_batches(events, landing, n_batches=2)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = events_stream(spark, landing, schema=schema, max_files_per_trigger=1)
+    with _stream_partitions(spark):
+        run_upsert_materialize(
+            stream, gold, ckpt,
+            keys=["user_id"], order_col="ts", tiebreak_col="event_id",
+        )
+    out = (
+        spark.read.parquet(gold)
+        .select("user_id", "ts", "event_type", "value")
+        .localCheckpoint(eager=True)  # detach from the temp dir before cleanup
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
     "stream_dedup_within_watermark",
     doc="dropDuplicatesWithinWatermark: bounded-state streaming dedup by user",
     oracle="SELECT DISTINCT user_id FROM events",
