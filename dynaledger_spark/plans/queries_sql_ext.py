@@ -614,3 +614,80 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "not_in_suppliers_null_aware",
+    doc="NOT IN subquery: null-aware anti-join (ANSI three-valued semantics)",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey NOT IN (
+            SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+        )
+    """,
+)
+def not_in_suppliers_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN against a subquery — semantically NOT the complement of
+    EXISTS: under ANSI three-valued logic a single NULL in the subquery
+    empties the whole result, so Catalyst plans a null-aware anti-join
+    (distinct from exists_bulk_orders' left-semi). l_suppkey is non-null
+    here so rows do come back, and the oracle pins that both engines
+    apply the same semantics; suppliers who ever shipped a bulk line
+    (qty ≥ 49) are excluded."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_q_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q_lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM _q_supplier
+        WHERE s_suppkey NOT IN (
+            SELECT l_suppkey FROM _q_lineitem WHERE l_quantity >= 49
+        )
+        """
+    )
+
+
+@register(
+    "like_pattern_filter",
+    doc="LIKE / NOT LIKE pattern predicates with _ and % wildcards",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_name LIKE 'Customer#00000__1%'
+          AND c_mktsegment NOT LIKE '%MACH%'
+    """,
+)
+def like_pattern_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LIKE wildcards (`_` single char, `%` any run) — the pattern
+    surface between equality and full regex (P19). Compiles to a
+    codegen'd string match pushed against the scan output; both engines
+    share ANSI LIKE semantics exactly."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_name").like("Customer#00000__1%")
+        & ~F.col("c_mktsegment").like("%MACH%")
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "union_distinct_actors",
+    doc="UNION (distinct): buyers ∪ event actors with duplicate elimination",
+    oracle="""
+        SELECT o_custkey AS actor_id FROM orders
+        UNION
+        SELECT user_id FROM events
+    """,
+)
+def union_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-semantics UNION (vs union_by_name's UNION ALL): one
+    deduplicating hash aggregate over the concatenated inputs —
+    completes the set-operation family with INTERSECT
+    (converting_users_intersect) and EXCEPT (inactive_customers_except)."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    return (
+        orders.select(F.col("o_custkey").alias("actor_id"))
+        .union(events.select("user_id"))
+        .distinct()
+    )
