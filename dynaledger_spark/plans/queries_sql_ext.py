@@ -691,3 +691,44 @@ def union_distinct_actors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(events.select("user_id"))
         .distinct()
     )
+
+
+_RCTE_MONTHS = """
+WITH RECURSIVE months(m) AS (
+    SELECT (SELECT min(year(o_orderdate) * 12 + month(o_orderdate))
+            FROM {orders})
+    UNION ALL
+    SELECT m + 1 FROM months
+    WHERE m < (SELECT max(year(o_orderdate) * 12 + month(o_orderdate))
+               FROM {orders})
+),
+monthly AS (
+    SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev_dec
+    FROM {orders} GROUP BY 1
+)
+SELECT months.m AS month_n,
+       CAST(COALESCE(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(monthly.rev_dec, CAST(0 AS DECIMAL(27,6))) AS DOUBLE)
+         AS revenue
+FROM months LEFT JOIN monthly ON months.m = monthly.m
+"""
+
+
+@register(
+    "recursive_month_series",
+    doc="WITH RECURSIVE month generator joined to monthly revenue (one SQL text, both engines)",
+    oracle=_RCTE_MONTHS.format(orders="orders"),
+)
+def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL pass-through surface (Spark 4's
+    WITH RECURSIVE): generate the dense month series between the data's
+    bounds by recursion, then left-join monthly aggregates — literally
+    the same SQL text runs on both engines. Recursion depth = number of
+    months (~10²), each step a tiny 1-row frame; the heavy lifting
+    (monthly agg) is one ordinary grouping shuffle. The iterative twin
+    at corpus scale is calendar_fill_daily_revenue's sequence+explode —
+    recursion is the portable ANSI spelling, not the 100 TB plan."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_q_orders_rcte")
+    return spark.sql(_RCTE_MONTHS.format(orders="_q_orders_rcte"))
