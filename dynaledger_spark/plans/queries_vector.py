@@ -77,21 +77,69 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
 
 
+# Sign-LSH oracle machinery: the hyperplanes are pure seed-derived
+# constants (data-independent), so the full LSH pipeline — bucket the
+# corpus, bucket the query, multiprobe Hamming<=1, exact cosine re-rank —
+# is expressible in DuckDB with the plane literals inlined. dim=64 is the
+# testdata embedding width (TESTDATA.md); the fold order matches Spark's
+# sequential aggregate exactly, as already proven by ann_cosine_topk.
+_LSH_DIM, _LSH_PLANES_N, _LSH_SEED = 64, 8, 42
+
+
+def _duck_bucket(vec: str) -> str:
+    from dynaledger_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(_LSH_DIM, _LSH_PLANES_N, _LSH_SEED)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN {_duck_dot(vec, lit)} > 0 THEN {2 ** i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 @register(
     "ann_lsh_bucketed",
     doc="sign-LSH bucketed ANN (multiprobe Hamming-1) vs vec_id=0",
-    oracle=None,  # bucket membership depends on seeded hyperplanes → rows-only
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT {_duck_bucket('qv')} AS b FROM q),
+        scored AS (
+            SELECT e.vec_id,
+                   {_duck_dot('e.embedding', 'q.qv')}
+                   / (sqrt({_SQ_FOLD_DUCK.replace('embedding', 'e.embedding')})
+                      * sqrt({_SQ_FOLD_DUCK.replace('embedding', 'q.qv')}))
+                     AS cos_sim,
+                   {_duck_bucket('e.embedding')} AS eb
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+        )
+        SELECT vec_id, cos_sim FROM scored, qb
+        WHERE xor(scored.eb, qb.b) IN (0, 1, 2, 4, 8, 16, 32, 64, 128)
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: probe only the query's sign-LSH bucket (+Hamming-1
     neighbors) instead of scanning the corpus; exact cosine re-ranks the
-    bucket. Recall vs the exact baseline is asserted in unit tests.
+    bucket. Recall vs the exact baseline is asserted in unit tests, and
+    the whole pipeline is oracle-exact: the seeded hyperplanes are
+    inlined into the DuckDB SQL, which re-derives the query bucket, the
+    Hamming-1 probe set (xor is 0 or a power of two), and the identical
+    sequential-fold cosine.
     """
     from dynaledger_spark.operators.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return lsh_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return lsh_topk(
+        emb.filter(F.col("vec_id") != 0),
+        list(qvec),
+        k=10,
+        n_planes=_LSH_PLANES_N,
+        seed=_LSH_SEED,
+    )
 
 
 @register(
