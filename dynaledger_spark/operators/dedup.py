@@ -257,3 +257,89 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable MinHash (oracle-exact miniature of the xxhash64 path)
+# ---------------------------------------------------------------------------
+def portable_minhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash-LSH where every hash is engine-portable arithmetic.
+
+    Same pipeline as near_duplicates, two substitutions that make the
+    whole thing reproducible bit-for-bit in ANY engine (and therefore
+    DuckDB-oracle-checkable): the shingle base hash is the polynomial
+    rolling hash mod p (a left fold over character codes — no xxhash64),
+    and the band key is the signature slice itself (stringified) rather
+    than a murmur of it. Production dedup stays on near_duplicates
+    (native hashes are ~20× cheaper); this variant exists to PROVE the
+    banding/min-hash mechanics against an independent implementation.
+    """
+    params = _perm_params(n_hashes, seed)
+    rows_per_band = n_hashes // n_bands
+
+    rolling = lambda s: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.coalesce(F.ascii(s.substr(i, F.lit(1))), F.lit(0)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _P,
+    )
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_base"), perm(a, b)))
+            for a, b in params
+        ]
+    )
+    sigs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            _shingles(F.col(text_col)).alias("shingles"),
+        )
+        .withColumn("_base", F.transform(F.col("shingles"), rolling))
+        .select("id", "shingles", sig.alias("sig"))
+    )
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return exact_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)

@@ -317,3 +317,81 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / union).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable MinHash miniature — proves the LSH mechanics with an
+# exact oracle (the xxhash64 production path above stays rows-only).
+# ---------------------------------------------------------------------------
+def _portable_minhash_oracle(n_hashes: int = 16, n_bands: int = 4, seed: int = 7) -> str:
+    from dynaledger_spark.operators.dedup import _P, _perm_params
+
+    params = _perm_params(n_hashes, seed)
+    rows = n_hashes // n_bands
+    mins = ",\n               ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {_P}))"
+        for a, b in params
+    )
+    jac = (
+        "CAST(len(list_intersect(ga, gb)) AS DOUBLE)"
+        " / greatest(len(ga) + len(gb) - len(list_intersect(ga, gb)), 1)"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+            FROM toks
+        ),
+        hb AS (
+            SELECT doc_id, grams,
+                   list_transform(grams, s -> list_reduce(
+                       list_transform(range(1, greatest(length(s), 1) + 1),
+                                      i -> CAST(coalesce(ascii(s[i:i]), 0) AS BIGINT)),
+                       (acc, c) -> (acc * 31 + c) % {_P})) AS base
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id, grams,
+               [{mins}] AS sig
+            FROM hb
+        ),
+        banded AS (
+            SELECT doc_id, grams, band,
+                   array_to_string(sig[band * {rows} + 1 : band * {rows} + {rows}], ',')
+                     AS band_key
+            FROM sig, (SELECT unnest(range(0, {n_bands})) AS band)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.grams AS ga, b.grams AS gb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, {jac} AS jaccard
+        FROM pairs
+        WHERE {jac} >= 0.5
+    """
+
+
+@register(
+    "minhash_portable_pairs",
+    doc="engine-portable MinHash-LSH (rolling-hash base, slice band keys) — oracle-exact",
+    oracle=_portable_minhash_oracle(),
+)
+def minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH mechanics with every hash replaced by portable
+    arithmetic (polynomial rolling hash base, raw signature-slice band
+    keys), so DuckDB re-derives signatures, buckets, candidate pairs and
+    exact Jaccard INDEPENDENTLY and must agree bit-for-bit — external
+    evidence the banding pipeline is right, complementing the rows-only
+    check on the xxhash64 production path (minhash_lsh_pairs, ~20×
+    cheaper per shingle, same structure)."""
+    from dynaledger_spark.operators.dedup import portable_minhash_pairs
+
+    return portable_minhash_pairs(_docs(spark, sf_dir))
