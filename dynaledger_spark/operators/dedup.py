@@ -343,3 +343,31 @@ def portable_minhash_pairs(
         .distinct()
     )
     return exact_jaccard(pairs, sigs).filter(F.col("jaccard") >= threshold)
+
+
+def portable_simhash31(text_col: str = "text") -> Column:
+    """31-bit SimHash with an engine-portable token hash (rolling poly
+    mod p instead of xxhash64) — the oracle-checkable miniature of
+    simhash62. Bit votes are integer sums (exact under any order), so an
+    independent implementation must reproduce the fingerprint exactly;
+    31 bits because that is the entropy the portable base hash carries.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+            sequence(0, 30),
+            CAST(0 AS BIGINT),
+            (acc, i) -> acc + CASE WHEN
+                aggregate(
+                    transform(split({text_col}, '\\\\s+'),
+                        t -> aggregate(
+                            transform(sequence(1, greatest(length(t), 1)),
+                                      j -> CAST(coalesce(ascii(substring(t, j, 1)), 0) AS BIGINT)),
+                            CAST(0 AS BIGINT),
+                            (a, c) -> (a * 31 + c) % {_P})),
+                    CAST(0 AS BIGINT),
+                    (a, h) -> a + (CAST(shiftrightunsigned(h, i) % 2 AS BIGINT) * 2 - 1)
+                ) > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0 END
+        )
+        """
+    )

@@ -395,3 +395,39 @@ def minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.dedup import portable_minhash_pairs
 
     return portable_minhash_pairs(_docs(spark, sf_dir))
+
+
+def _portable_simhash_oracle() -> str:
+    from dynaledger_spark.operators.dedup import _P
+
+    return f"""
+        SELECT doc_id, CAST(list_aggregate(list_transform(range(0, 31), i ->
+            CASE WHEN list_aggregate(list_transform(
+                list_transform(string_split_regex(text, '\\s+'), t ->
+                    list_reduce(list_transform(range(1, greatest(length(t), 1) + 1),
+                                j -> CAST(coalesce(ascii(t[j:j]), 0) AS BIGINT)),
+                                (a, c) -> (a * 31 + c) % {_P})),
+                h -> ((h >> i) & 1) * 2 - 1), 'sum') > 0
+            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), 'sum') AS BIGINT)
+              AS fingerprint
+        FROM documents
+    """
+
+
+@register(
+    "simhash_portable_fingerprints",
+    doc="31-bit SimHash with portable token hash — bit votes oracle-exact",
+    oracle=_portable_simhash_oracle(),
+)
+def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash mechanics under an independent implementation: portable
+    rolling-hash token hashes, per-bit ±1 votes (integer sums — exact
+    under any aggregation order), sign → bit. DuckDB re-derives every
+    fingerprint and must agree bit-for-bit; the 62-bit xxhash64
+    production path (simhash_fingerprints) keeps the rows-only check."""
+    from dynaledger_spark.operators.dedup import portable_simhash31
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", portable_simhash31("text").alias("fingerprint")
+    )
