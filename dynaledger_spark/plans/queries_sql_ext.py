@@ -276,9 +276,10 @@ def first_last_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def median_disc_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group discrete median without gathering values: rank
-    rows within each group and keep the one at index floor((n-1)/2) —
-    DuckDB's quantile_disc(0.5) definition — using pure integer
-    arithmetic (no float index math to drift at boundaries). One
+    rows within each group and keep the one at 1-based rank
+    (n-1) div 2 + 1 = ceil(n/2) — DuckDB's quantile_disc inverted-CDF
+    rule at q=0.5 (see quantiles_disc_by_priority for general q) —
+    using pure integer arithmetic (no float index math to drift). One
     shuffle on the group key; row_number and the group count share a
     single sort. At 100 TB this beats any collect_list-based median by
     never materializing a group in one task, and stays exact where
@@ -749,4 +750,59 @@ def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         _RCTE_MONTHS.format(orders="_q_orders_rcte", lo=int(lo), hi=int(hi))
+    )
+
+
+@register(
+    "quantiles_disc_by_priority",
+    doc="exact distributed p25/p50/p75 per group in one ranked pass",
+    oracle="""
+        SELECT o_orderpriority AS priority, 'p25' AS q,
+               quantile_disc(o_totalprice, 0.25) AS qvalue
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 'p50', quantile_disc(o_totalprice, 0.50)
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT o_orderpriority, 'p75', quantile_disc(o_totalprice, 0.75)
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def quantiles_disc_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median_disc generalized to a quantile set: one ranked pass per
+    group emits p25/p50/p75 with quantile_disc's inverted-CDF rule —
+    the element at 1-based rank ceil(n·q), probed empirically against
+    DuckDB across n (floor((n-1)·q) agrees only at q=0.5). Quarters
+    make that pure integer arithmetic ((n·k + 3) div 4), immune to
+    float-index drift. A row whose rank hits several quantile indices
+    (tiny groups) is emitted once per label via the exploded label
+    array. Still one shuffle + one sort; the oracle's 3-scan UNION
+    shape is exactly what this plan avoids at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wp = W.partitionBy("o_orderpriority")
+    labeled = (
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "q",
+            F.explode(
+                F.expr(
+                    """
+                    filter(transform(array(
+                        struct('p25' AS lab, (n * 1 + 3) div 4 AS target),
+                        struct('p50' AS lab, (n * 2 + 3) div 4 AS target),
+                        struct('p75' AS lab, (n * 3 + 3) div 4 AS target)),
+                        s -> CASE WHEN s.target = rn THEN s.lab END),
+                        x -> x IS NOT NULL)
+                    """
+                )
+            ),
+        )
+    )
+    return labeled.select(
+        F.col("o_orderpriority").alias("priority"),
+        "q",
+        F.col("o_totalprice").alias("qvalue"),
     )
