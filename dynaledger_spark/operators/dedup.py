@@ -351,23 +351,30 @@ def portable_simhash31(text_col: str = "text") -> Column:
     simhash62. Bit votes are integer sums (exact under any order), so an
     independent implementation must reproduce the fingerprint exactly;
     31 bits because that is the entropy the portable base hash carries.
+
+    The token-hash array is bound once in a lambda scope (zip_with over
+    a 1-element wrapper) so the 31-bit vote loop folds over
+    precomputed hashes — inlining it naively re-hashed every token 31
+    times (measured 5.7 s → sub-second at sf0.1).
     """
     return F.expr(
         f"""
-        aggregate(
-            sequence(0, 30),
-            CAST(0 AS BIGINT),
-            (acc, i) -> acc + CASE WHEN
-                aggregate(
-                    transform(split({text_col}, '\\\\s+'),
-                        t -> aggregate(
-                            transform(sequence(1, greatest(length(t), 1)),
-                                      j -> CAST(coalesce(ascii(substring(t, j, 1)), 0) AS BIGINT)),
-                            CAST(0 AS BIGINT),
-                            (a, c) -> (a * 31 + c) % {_P})),
+        element_at(zip_with(
+            array(transform(split({text_col}, '\\\\s+'),
+                t -> aggregate(
+                    transform(sequence(1, greatest(length(t), 1)),
+                              j -> CAST(coalesce(ascii(substring(t, j, 1)), 0) AS BIGINT)),
                     CAST(0 AS BIGINT),
-                    (a, h) -> a + (CAST(shiftrightunsigned(h, i) % 2 AS BIGINT) * 2 - 1)
-                ) > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0 END
-        )
+                    (a, c) -> (a * 31 + c) % {_P}))),
+            array(CAST(0 AS BIGINT)),
+            (hs, z) -> aggregate(
+                sequence(0, 30),
+                z,
+                (acc, i) -> acc + CASE WHEN
+                    aggregate(hs, CAST(0 AS BIGINT),
+                        (a, h) -> a + (CAST(shiftrightunsigned(h, i) % 2 AS BIGINT) * 2 - 1)
+                    ) > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0 END
+            )
+        ), 1)
         """
     )
