@@ -995,3 +995,50 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC source/sink: the third columnar format (after parquet + JSON docs).
+# ---------------------------------------------------------------------------
+@register(
+    "orc_roundtrip_revenue",
+    doc="ORC sink + scan roundtrip: write orders as ORC, aggregate from the ORC copy",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_orderstatus
+    """,
+)
+def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format coverage beyond parquet/TSV/JSON: orders written as ORC
+    (Spark-native columnar writer) and the aggregate computed FROM THE
+    ORC COPY — the oracle over the original parquet proves the roundtrip
+    is lossless (types, timestamps, doubles). The date filter is pushed
+    into the ORC scan the same way as parquet (vectorized reader +
+    predicate pushdown), so a user can point any registry pipeline at
+    ORC data unchanged."""
+    import shutil
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="dl_orc_")
+    try:
+        orders.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        return (
+            back.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .localCheckpoint(eager=True)  # detach from the temp dir
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
