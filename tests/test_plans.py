@@ -204,3 +204,24 @@ def test_per_group_topk_uses_window_group_limit(plans):
     """rank<=k must trigger Catalyst's WindowGroupLimit pushdown — a
     per-group k-row heap on the map side, not a full sort-then-filter."""
     assert "WindowGroupLimit" in plans["top3_orders_per_segment"]
+
+
+def test_grouping_sets_single_expand(plans):
+    """GROUPING SETS must be one Expand over one shuffle — not a
+    re-scan per stratum (the oracle's UNION shape)."""
+    plan = plans["grouping_sets_mixed"]
+    assert "Expand" in plan
+    assert _nodes(plan, "Exchange") <= 2  # join shuffle + grouping shuffle
+
+
+def test_not_in_plans_as_anti_join(plans):
+    """NOT IN must become a (null-aware) hash anti-join, never a
+    nested-loop or per-row subquery."""
+    plan = plans["not_in_suppliers_null_aware"]
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_union_distinct_dedups_with_hash_agg(plans):
+    plan = plans["union_distinct_actors"]
+    assert _nodes(plan, "HashAggregate") >= 2  # partial + final dedup
