@@ -1042,3 +1042,31 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "map_functions_props",
+    doc="MapType surface: from_json to map, sorted keys, element lookup, size",
+    oracle="""
+        SELECT event_id,
+               array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+               CAST(len(json_keys(props)) AS INT) AS n_props
+        FROM events
+    """,
+)
+def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapType side of the semi-structured surface (flatten/explode
+    and struct paths are covered by J6/P11): parse the JSON props into
+    a typed map<string,bigint>, then map_keys / element_at / size —
+    all JVM expressions in one codegen span. Keys ship sorted-joined as
+    a string because raw map columns have no canonical cross-engine
+    ordering; scalars derived from the map do."""
+    events = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).cast("int").alias("n_props"),
+    )
