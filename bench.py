@@ -35,15 +35,19 @@ def main() -> None:
     # for executor startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Two runs per query, min recorded: the box is shared and load spikes
-    # are strictly additive noise (BASELINE.md "measurement hygiene"), so
-    # the min of two is a far better estimate of the query's real cost
-    # than any single shot. Streaming/stateful queries re-execute fully
-    # (fresh checkpoint/sink per run), so run 2 is a true re-measure.
+    # Queries whose first run is slow get a second run, min recorded:
+    # the box is shared and load spikes are strictly additive noise
+    # (BASELINE.md "measurement hygiene"), so min-of-2 is a far better
+    # estimate of a heavy query's real cost than any single shot — a
+    # spike can triple a 5 s query but barely moves a 0.3 s one. The
+    # threshold keeps total bench wall near single-run cost. Streaming/
+    # stateful queries re-execute fully (fresh checkpoint/sink per run),
+    # so run 2 is a true re-measure.
+    RERUN_THRESHOLD_S = 2.0
     timings: dict[str, float] = {}
     for name, spec in sorted(registry.items()):
         best = None
-        for _ in range(2):
+        for attempt in range(2):
             t0 = time.perf_counter()
             try:
                 run_query(spec.build(spark, sf_dir))
@@ -51,6 +55,8 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             except Exception as exc:  # record failures, keep benching
                 print(f"# bench FAILED {name}: {exc}", file=sys.stderr)
+                break
+            if dt <= RERUN_THRESHOLD_S:
                 break
         timings[name] = round(best, 4) if best is not None else -1.0
 
