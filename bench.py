@@ -62,18 +62,26 @@ def main() -> None:
 
     headline = [n for n, s in registry.items() if s.headline and timings.get(n, -1) >= 0]
     total = round(sum(timings[n] for n in headline), 4) if headline else -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    # Full per-query map goes to a file; stdout gets ONE compact final line
+    # (headline queries only) — the driver keeps only a short stdout tail,
+    # and round 1's ~85-query JSON overflowed it (parsed=null).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
+            {"metric": "headline_queries_total_wall", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf},
+            fh,
         )
-    )
     spark.stop()
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in headline},
+        "sf": sf,
+    }
+    sys.stdout.flush()
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

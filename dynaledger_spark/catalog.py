@@ -36,10 +36,25 @@ TESTDATA_TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata parquet table with type normalization."""
+    """Read one testdata parquet table with type normalization.
+
+    Self-sufficient under any SparkSession: ``events.parquet`` stores its
+    ``ts`` column as parquet TIMESTAMP(NANOS), which Spark refuses to read
+    (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is on. The conf is runtime-settable, so set it here rather than relying
+    on the session having been built by :func:`session.get_spark` — callers
+    (the driver harness, notebooks) bring their own sessions.
+
+    nanos→micros uses ``div 1000`` (truncation toward zero), which matches
+    DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) for negative (pre-epoch)
+    values too — probed empirically, locked by a property test
+    (tests/test_properties.py::test_nanos_truncation_matches_duckdb).
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):

@@ -58,6 +58,10 @@ def events_stream(
     microsecond timestamp at the source, same truncation DuckDB applies.
     `glob` restricts the listing (the source needs a directory path).
     """
+    # Self-sufficient under a foreign SparkSession: TIMESTAMP(NANOS)
+    # parquet needs nanosAsLong even with an explicit long schema
+    # (runtime-settable; same defensive set as catalog.read_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(schema or EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -1,0 +1,47 @@
+"""Regression: the library must work under a SparkSession it didn't build.
+
+The driver's harness (round-1 CORRECTNESS) constructs its own SparkSession
+without `spark.sql.legacy.parquet.nanosAsLong`, which made every query
+touching events.parquet (TIMESTAMP NANOS) die with PARQUET_TYPE_ILLEGAL.
+`catalog.read_table` / `streaming.events_stream` now set the conf
+defensively at call time. These tests simulate the foreign session by
+unsetting the conf on the live session before calling in.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from dynaledger_spark.catalog import read_table
+from dynaledger_spark.plans.registry import load_all
+
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@pytest.fixture()
+def bare_conf_spark(spark):
+    """The session with the nanos conf removed — the driver-harness shape."""
+    spark.conf.unset(NANOS_CONF)
+    assert spark.conf.get(NANOS_CONF, None) in (None, "false")
+    yield spark
+
+
+def test_read_table_self_sufficient(bare_conf_spark, sf_dir):
+    df = read_table(bare_conf_spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.count() > 0
+
+
+def test_events_registry_query_under_foreign_session(bare_conf_spark, sf_dir):
+    # dup_detection was one of the 14 round-1 driver errors.
+    spec = load_all()["dup_detection"]
+    spec.build(bare_conf_spark, sf_dir).collect()
+
+
+def test_events_stream_self_sufficient(bare_conf_spark, sf_dir):
+    from dynaledger_spark.streaming import events_stream
+
+    stream = events_stream(bare_conf_spark, sf_dir, glob="events.parquet")
+    assert stream.isStreaming
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
