@@ -33,9 +33,19 @@ def salted_join(
     small side is replicated n_salts times with every salt value. The
     join key becomes (key, salt), so a hot key's rows spread across
     n_salts reducers instead of melting one. Result is identical to the
-    plain join; cost is n_salts× the small side (which must stay
-    broadcast-or-near-broadcast sized).
+    plain join for inner/left; cost is n_salts× the small side (which
+    must stay broadcast-or-near-broadcast sized).
+
+    right/full are rejected: an unmatched small-side row exists once per
+    salt replica, so those join types would emit n_salts null-extended
+    duplicates. Salt the other input (swap the arguments) instead.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "unmatched replicated small-side rows would duplicate under "
+            "right/full joins — swap the inputs to salt the other side"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int")
     )

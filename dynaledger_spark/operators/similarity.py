@@ -235,6 +235,59 @@ def ivf_index(
     return assigned, [c.tolist() for c in centers]
 
 
+def ivf_write_cells(
+    assigned: DataFrame,
+    path: str,
+) -> None:
+    """Persist an IVF-assigned corpus as centroid-partitioned parquet.
+
+    One directory per cell (`centroid=<j>/`): a probe query's
+    `centroid IN (...)` filter becomes a partition filter, so Spark
+    lists and scans only the probed cells — the scan cost is
+    n_probes/n_centroids of the corpus by construction, which is the
+    entire point of IVF at 100 TB. Pruning is plan-asserted in
+    tests/test_plans.py::test_ivf_persisted_partition_pruning.
+    """
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+
+def probe_centroids(
+    centroids: list[list[float]], query_vec: list[float], n_probes: int
+) -> list[int]:
+    """The `n_probes` centroid ids nearest the query by cosine —
+    driver-side on the tiny centroid list."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype="float64")
+    q = np.asarray(query_vec, dtype="float64")
+    sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-12)
+    return [int(i) for i in np.argsort(-sims)[:n_probes]]
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF cell store: read only the
+    probed `centroid=` partitions (partition pruning), exact cosine
+    re-rank inside them. The index is built once (`ivf_index` +
+    `ivf_write_cells`); queries never touch unprobed cells."""
+    probes = probe_centroids(centroids, query_vec, n_probes)
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    cells = spark.read.parquet(path).filter(F.col("centroid").isin(probes))
+    return (
+        cells.select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -249,15 +302,10 @@ def ivf_topk(
     the query (cosine, computed driver-side on the tiny centroid list),
     exact cosine re-rank inside the probed cells. Scan fraction ≈
     n_probes / n_centroids."""
-    import numpy as np
-
     assigned, centroids = ivf_index(
         emb, n_centroids, vec_col=vec_col, id_col=id_col, seed=seed
     )
-    c = np.asarray(centroids, dtype="float64")
-    q = np.asarray(query_vec, dtype="float64")
-    sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-12)
-    probes = [int(i) for i in np.argsort(-sims)[:n_probes]]
+    probes = probe_centroids(centroids, query_vec, n_probes)
 
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     return (

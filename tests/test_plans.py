@@ -225,3 +225,37 @@ def test_not_in_plans_as_anti_join(plans):
 def test_union_distinct_dedups_with_hash_agg(plans):
     plan = plans["union_distinct_actors"]
     assert _nodes(plan, "HashAggregate") >= 2  # partial + final dedup
+
+
+def test_ivf_persisted_partition_pruning(spark, sf_dir, tmp_path):
+    """IVF cell store: a probe's `centroid IN (...)` must prune to the
+    probed partitions — PartitionFilters on centroid, no centroid in the
+    read schema, and the persisted probe agrees with the in-memory path."""
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        ivf_topk_persisted,
+        ivf_write_cells,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+    corpus = emb.filter("vec_id != 0")
+    assigned, centroids = ivf_index(corpus, n_centroids=8)
+    path = str(tmp_path / "ivf_cells")
+    ivf_write_cells(assigned, path)
+
+    probe = ivf_topk_persisted(spark, path, centroids, qvec, k=10, n_probes=3)
+    plan = plan_of(probe)
+    assert "PartitionFilters" in plan and "centroid" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    assert "centroid" not in read_schema
+
+    got = [r.vec_id for r in probe.collect()]
+    want = [
+        r.vec_id
+        for r in ivf_topk(corpus, qvec, k=10, n_centroids=8, n_probes=3).collect()
+    ]
+    assert got == want

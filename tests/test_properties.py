@@ -347,3 +347,81 @@ def test_asof_join_matches_duckdb_asof(spark, lefts, rights):
         ).fetchall()
     }
     assert got == want, (sorted(got), sorted(want))
+
+
+# ---------------------------------------------------------------------------
+# nanos→micros normalization ≡ DuckDB CAST(TIMESTAMP_NS AS TIMESTAMP)
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    nanos=st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.integers(min_value=-2_000, max_value=2_000),  # hammer the ±1000 boundary
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_nanos_truncation_matches_duckdb(spark, tmp_path_factory, nanos):
+    """catalog.read_table's `ts div 1000` must equal DuckDB's TIMESTAMP_NS→
+    TIMESTAMP cast for the full signed range, incl. pre-epoch values
+    (both truncate toward zero — ADVICE r1 flagged this as untested)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dynaledger_spark.catalog import read_table
+
+    d = str(tmp_path_factory.mktemp("nanos"))
+    pq.write_table(
+        pa.table({"ts": pa.array(nanos, type=pa.timestamp("ns"))}),
+        os.path.join(d, "events.parquet"),
+    )
+    got = [
+        r[0]
+        for r in read_table(spark, d, "events")
+        .selectExpr("unix_micros(ts) AS us")
+        .collect()
+    ]
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT epoch_us(CAST(ts AS TIMESTAMP)) FROM '{d}/events.parquet'"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# salted_join ≡ plain join (inner/left); right/full rejected
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    big=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), max_size=30),
+    small=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=6),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_matches_plain_join(spark, big, small, how):
+    from dynaledger_spark.operators.scale import salted_join
+
+    big_df = spark.createDataFrame(big or [(99, 0)], "k long, a long")
+    small_df = spark.createDataFrame(small or [(98, 0)], "k long, b long")
+    got = sorted(
+        tuple(r) for r in salted_join(big_df, small_df, ["k"], n_salts=4, how=how).collect()
+    )
+    want = sorted(tuple(r) for r in big_df.join(small_df, ["k"], how).collect())
+    assert got == want
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from dynaledger_spark.operators.scale import salted_join
+
+    df = spark.range(1).selectExpr("id AS k", "id AS v")
+    for how in ("right", "full", "left_anti"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, df, ["k"], how=how)
