@@ -174,6 +174,42 @@ def run_checks(tables: dict[str, DataFrame], checks: list[Check]) -> DataFrame:
     )
 
 
+def store_failures(
+    tables: dict[str, DataFrame],
+    checks: list[Check],
+    out_dir: str,
+) -> DataFrame:
+    """``dbt test --store-failures`` (run_dbt_pipeline.sh:46-47): persist
+    each check's violations as an audit table and return the summary.
+
+    dbt materializes every test's failing rows into an audit schema table
+    named after the test; here each check writes
+    ``{out_dir}/{rule_with_dots_as__}/`` as parquet (empty table when the
+    check passes — dbt materializes those too, so re-runs overwrite stale
+    failures). The returned summary mirrors :func:`run_checks` plus a
+    ``failures_path`` column pointing at each audit table.
+
+    Scale note: one write job per check, each a single scan + filter (or
+    agg for unique/FK) — the same jobs `run_checks` runs, with a sink
+    instead of a count, so the audit pass costs no extra scans.
+    """
+    import os
+
+    spark = next(iter(tables.values())).sparkSession
+    rows = []
+    for check in checks:
+        path = os.path.join(out_dir, check.name.replace(".", "__"))
+        violations = check.build(tables)
+        violations.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        rows.append((check.name, check.table, n, check.severity, path))
+    return spark.createDataFrame(
+        rows,
+        "rule string, table string, n_violations long, severity string, "
+        "failures_path string",
+    )
+
+
 def run_row_checks_fused(df: DataFrame, bads: dict[str, Column]) -> DataFrame:
     """Scale path: evaluate many per-row predicates on one table in a
     single scan — SUM(CASE WHEN bad) per rule, one job instead of N."""

@@ -271,3 +271,26 @@ def test_api_table_info(spark, tables):
     assert info[0]["name"] == "sec_tag"
     assert len(info[0]["sample_data"]) == 3
     assert {"name", "type"} <= set(info[0]["columns"][0])
+
+
+def test_store_failures_materializes_audit_tables(spark, tables, tmp_path):
+    from dynaledger_spark.functions.validation import store_failures
+
+    clean = {k: v.drop(ROW_ID) for k, v in tables.items()}
+    checks = [c for c in sec_checks() if c.name in (
+        "sec_sub.sic_between_100_9999",   # 1 violation
+        "sec_sub.adsh_unique",            # 0 violations (still materialized)
+        "sec_num.fk_adsh_to_sec_sub",     # 1 violation (anti-join shape)
+    )]
+    summary = store_failures(clean, checks, str(tmp_path / "audit"))
+    rows = {r.rule: r for r in summary.collect()}
+    assert rows["sec_sub.sic_between_100_9999"].n_violations == 1
+    assert rows["sec_sub.adsh_unique"].n_violations == 0
+    assert rows["sec_num.fk_adsh_to_sec_sub"].n_violations == 1
+    # audit tables are readable and agree with the summary counts;
+    # passing checks still materialize an (empty) table like dbt does
+    for r in rows.values():
+        back = spark.read.parquet(r.failures_path)
+        assert back.count() == r.n_violations
+    bad_sic = spark.read.parquet(rows["sec_sub.sic_between_100_9999"].failures_path)
+    assert [row.sic for row in bad_sic.collect()] == [99]
