@@ -15,9 +15,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as epoch-nanos
-# longs (spark.sql.legacy.parquet.nanosAsLong); convert to microsecond
-# timestamps at the source — same truncation DuckDB applies.
+# Tables whose timestamp columns have shipped in different parquet
+# physical types across testdata generations (TIMESTAMP(NANOS) in rounds
+# 1-2, TIMESTAMP(MICROS, isAdjustedToUTC=false) from round 3). read_table
+# normalizes whatever arrives to TimestampType, so queries never see the
+# difference.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 # The driver's TPC-H-ish testdata tables (TESTDATA.md).
@@ -36,19 +38,25 @@ TESTDATA_TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata parquet table with type normalization.
+    """Read one testdata parquet table, normalizing timestamp physical types.
 
-    Self-sufficient under any SparkSession: ``events.parquet`` stores its
-    ``ts`` column as parquet TIMESTAMP(NANOS), which Spark refuses to read
-    (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
-    is on. The conf is runtime-settable, so set it here rather than relying
-    on the session having been built by :func:`session.get_spark` — callers
-    (the driver harness, notebooks) bring their own sessions.
+    Self-sufficient under any SparkSession (the driver harness and
+    notebooks bring their own — every conf used here is runtime-settable):
 
-    nanos→micros uses ``div 1000`` (truncation toward zero), which matches
-    DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) for negative (pre-epoch)
-    values too — probed empirically, locked by a property test
-    (tests/test_properties.py::test_nanos_truncation_matches_duckdb).
+    * TIMESTAMP(NANOS) columns (rounds 1-2 testdata): Spark refuses the
+      read (PARQUET_TYPE_ILLEGAL) unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is on; the epoch-nanos
+      long is converted with ``div 1000`` — truncation toward zero, which
+      matches DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) for negative
+      (pre-epoch) values too (property-locked:
+      tests/test_properties.py::test_nanos_truncation_matches_duckdb).
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (round-3 testdata):
+      Spark reads TIMESTAMP_NTZ; cast to TimestampType under a UTC session
+      timezone — value-preserving, and the whole query surface (casts to
+      numeric, watermarks, windows) keeps the TimestampType semantics it
+      was verified under. The session timezone is pinned UTC here so the
+      NTZ→TZ cast and result rendering are deterministic regardless of
+      host timezone (DuckDB's naive timestamps compare as UTC).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -59,6 +67,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if any(isinstance(f.dataType, T.TimestampNTZType) for f in df.schema.fields):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.select(
+            *[
+                F.col(f.name).cast("timestamp").alias(f.name)
+                if isinstance(f.dataType, T.TimestampNTZType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
     return df
 
 

@@ -1,0 +1,385 @@
+"""Training-data-pipeline queries, round 3: corpus curation operators.
+
+Beyond the round-1/2 surface (dedup families, ANN, text stats, sampling,
+multimodal, streaming) these add the remaining steps of a production
+pretraining-data pipeline:
+
+  * TF-IDF term scoring (keyword extraction / topic features),
+  * Gopher-style repetition & quality heuristics (corpus filtering),
+  * benchmark n-gram decontamination (eval-set leakage removal),
+  * PII redaction (regex scrub with match accounting),
+  * time-bucket OHLC rollup (hypertable-style downsampling of events),
+  * skew-salted join (the explicit hot-key fix from operators/scale.py,
+    proven result-identical to the plain join by the oracle).
+
+Every query here is oracle-exact: integer/boolean outputs or single IEEE
+double ops (one int→double conversion + one division) and DECIMAL-
+accumulated sums, so DuckDB must agree bitwise. No UDFs anywhere — all
+JVM expression trees (whole-stage codegen) plus shuffles Catalyst plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dynaledger_spark.functions.agg import dsum, osum as _osum
+from dynaledger_spark.plans.queries_text import _docs
+from dynaledger_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    doc="top-3 TF-IDF terms per document (integer-scaled IDF, oracle-exact)",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+        dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   tf * ((n_docs * 1000000) // df) AS tfidf_scaled
+            FROM tf JOIN dfc USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf_scaled FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf_scaled DESC, term) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF. The IDF is the integer-scaled
+    ratio ``(N * 1e6) div df`` instead of ``ln(N/df)`` — rank-equivalent
+    for filtering purposes and exactly reproducible in any engine (a
+    1-ulp ``ln`` divergence could flip near-tied ranks across engines).
+
+    Plan shape: explode → two hash aggregations (term counts, then
+    document frequencies over the *already aggregated* tf table — never
+    the raw token stream twice), a broadcast of the 1-row corpus count,
+    and a per-doc window top-k (WindowGroupLimit pushes the rank filter
+    below the sort at scale).
+    """
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tfidf_scaled", F.expr("tf * ((n_docs * 1000000) div df)"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_scaled").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_scaled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality / repetition heuristics
+# ---------------------------------------------------------------------------
+@register(
+    "quality_gopher",
+    doc="repetition & quality heuristics per doc (distinct ratio, top-word fraction, mean word length) + keep flag",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word),
+        per_doc AS (
+            SELECT doc_id,
+                   SUM(cnt) AS n_words,
+                   COUNT(*) AS n_distinct,
+                   MAX(cnt) AS top_cnt,
+                   SUM(cnt * length(word)) AS sum_len
+            FROM wc GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_distinct AS BIGINT) AS n_distinct_words,
+               n_distinct / n_words AS distinct_ratio,
+               top_cnt / n_words AS top_word_frac,
+               sum_len / n_words AS mean_word_len,
+               (n_distinct / n_words >= 0.5
+                AND top_cnt / n_words <= 0.12
+                AND sum_len / n_words BETWEEN 4.0 AND 6.0) AS keep
+        FROM per_doc
+    """,
+)
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 analogs on
+    a word corpus): distinct-word ratio (low → template/boilerplate),
+    top-word fraction (high → degenerate repetition), mean word length
+    (outliers → non-language). All counts are integer aggregates; each
+    ratio is one int→double conversion + one IEEE division, so the
+    DuckDB oracle agrees bitwise, `keep` included.
+
+    Plan: explode → (doc, word) count → per-doc aggregate. The second
+    aggregation reuses the first's hash partitioning prefix — at 100 TB
+    the only heavy exchange is the (doc_id, word) one, and AQE coalesces
+    its output.
+    """
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.col("cnt") * F.length("word")).alias("sum_len"),
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_words")
+    top_frac = F.col("top_cnt") / F.col("n_words")
+    mean_len = F.col("sum_len") / F.col("n_words")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct_words"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_word_frac"),
+        mean_len.alias("mean_word_len"),
+        (
+            (distinct_ratio >= 0.5)
+            & (top_frac <= 0.12)
+            & (mean_len >= 4.0)
+            & (mean_len <= 6.0)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark n-gram decontamination
+# ---------------------------------------------------------------------------
+@register(
+    "decontam_ngram_overlap",
+    doc="flag training docs sharing 5-gram shingles with a benchmark subset",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(t) - 4, 1) + 1),
+                       i -> array_to_string(t[i:i+4], ' ')))) AS g
+            FROM toks
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        hits AS (
+            SELECT s.doc_id, COUNT(*) AS n
+            FROM sh s JOIN bench b USING (g)
+            WHERE s.doc_id % 97 <> 0
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_shingles,
+               COALESCE(h.n, 0) > 0 AS is_contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 97 <> 0
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs with ``doc_id % 97 == 0`` stand in
+    for the benchmark corpus; every remaining (training) doc is scored by
+    how many of its distinct word-5-gram shingles appear anywhere in the
+    benchmark. The benchmark shingle set is broadcast — in production the
+    eval suites are a few MB against a 100 TB corpus, so the contaminated
+    check is a map-side hash probe per shingle, no shuffle of the corpus.
+    """
+    from dynaledger_spark.operators.dedup import _shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"), 5)).alias("g"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = sh.filter(is_bench).select("g").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias(
+                "n_contaminated_shingles"
+            ),
+            (F.coalesce(F.col("n"), F.lit(0).cast("bigint")) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_redact",
+    doc="regex PII scrub (emails, phone numbers) with per-doc match counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(full_text, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(full_text, '\\+1-[0-9]{{3}}-[0-9]{{4}}')) AS BIGINT)
+                   AS n_phones,
+               md5(regexp_replace(
+                       regexp_replace(full_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                       '\\+1-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g')) AS redacted_md5
+        FROM (SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.com or +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+              FROM documents)
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and replace email/phone matches. The
+    corpus text is synthetic words, so a deterministic contact line
+    derived from doc_id is appended first — the redaction then provably
+    fires on every row and the md5 of the scrubbed text cross-checks the
+    exact replacement semantics (Spark replaces all matches; DuckDB
+    needs the 'g' flag — both sides verified equal). Pure JVM regex
+    expressions, one pass over the corpus, trivially data-parallel.
+    """
+    docs = _docs(spark, sf_dir)
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(full, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(full, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(full, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-bucket OHLC rollup (hypertable-style downsampling)
+# ---------------------------------------------------------------------------
+@register(
+    "time_bucket_ohlc",
+    doc="hourly OHLC + volume rollup per event type (first/last by ts, exact sum)",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_ts, ts, event_id, value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type, bucket_ts,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+               MAX(value) AS high_value,
+               MIN(value) AS low_value,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+               COUNT(*) AS n_events,
+               {_osum('value', 'sum_value')}
+        FROM b GROUP BY event_type, bucket_ts
+    """,
+)
+def time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: per (event_type,
+    hour bucket) the open/high/low/close of `value` plus count and exact
+    sum. Open/close are row_number picks ordered by (ts, event_id) — the
+    unique tiebreaker keeps both engines deterministic under equal
+    timestamps.
+
+    Plan: ONE shuffle. The two windows and the final groupBy all hash on
+    (event_type, bucket_ts) — Catalyst plans a single Exchange and runs
+    both sorts and the aggregate inside the same stage pipeline.
+    """
+    ev = _t(spark, sf_dir, "events")
+    sel = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    keys = [F.col("event_type"), F.col("bucket_ts")]
+    w_asc = W.partitionBy(*keys).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_desc = W.partitionBy(*keys).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        sel.withColumn("rn_a", F.row_number().over(w_asc))
+        .withColumn("rn_d", F.row_number().over(w_desc))
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join, oracle-proven identical to the plain join
+# ---------------------------------------------------------------------------
+@register(
+    "salted_join_segment_revenue",
+    doc="hot-key-salted orders⋈customer, aggregated — result-identical to plain join",
+    oracle=f"""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               {_osum('o.o_totalprice', 'revenue')}
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew fix (operators/scale.py:salted_join) under the
+    oracle: orders (big side) gets a per-row salt, the 1.5k-row customer
+    dim is replicated once per salt, the join key becomes (custkey,
+    salt) so a pathological hot customer would spread over 8 reducers.
+    The DuckDB twin is the plain join — proving salting changes the
+    distribution, never the result. (Here AQE skew-split would suffice;
+    salting is for the double-digit-percent hot key an executor can't
+    hold even split.)
+    """
+    from dynaledger_spark.operators.scale import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(orders, customer, on=["c_custkey"], n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )

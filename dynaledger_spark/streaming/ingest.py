@@ -30,12 +30,17 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dynaledger_spark.functions.agg import dsum
 
-# The driver's events.parquet carries TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong the file column is a plain long.
+# The driver's events.parquet timestamp physical type has varied across
+# testdata generations: TIMESTAMP(NANOS) (reads as a plain long under
+# spark.sql.legacy.parquet.nanosAsLong) through round 2, TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ) from round 3. The
+# streaming source needs an explicit schema, so `events_stream` probes the
+# batch reader's resolved schema (a footer read, no data scan) and
+# normalizes ts to TimestampType either way.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos
+        T.StructField("ts", T.LongType()),  # epoch nanos (rounds 1-2 files)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -62,7 +67,26 @@ def events_stream(
     # parquet needs nanosAsLong even with an explicit long schema
     # (runtime-settable; same defensive set as catalog.read_table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(schema or EVENTS_RAW_SCHEMA)
+    if schema is None:
+        # Probe the resolved batch schema (footer read) so the declared
+        # stream schema matches whichever timestamp physical type these
+        # files carry — long epoch-nanos or TIMESTAMP_NTZ micros.
+        probe = spark.read
+        if glob is not None:
+            probe = probe.option("pathGlobFilter", glob)
+        try:
+            probed_ts = probe.parquet(landing_dir).schema["ts"].dataType
+        except Exception:
+            probed_ts = None
+        schema = EVENTS_RAW_SCHEMA
+        if probed_ts is not None and not isinstance(probed_ts, T.LongType):
+            schema = T.StructType(
+                [
+                    T.StructField(f.name, probed_ts if f.name == "ts" else f.dataType)
+                    for f in EVENTS_RAW_SCHEMA.fields
+                ]
+            )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if glob is not None:
@@ -70,6 +94,9 @@ def events_stream(
     df = reader.parquet(landing_dir)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

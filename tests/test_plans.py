@@ -50,6 +50,7 @@ def test_no_cartesian_products(plans):
         assert "CartesianProduct" not in plan, f"{name} cross-joins"
         assert "BroadcastNestedLoopJoin" not in plan or name in (
             "ann_cosine_topk",  # 1-row literal lookup is fine if it appears
+            "tfidf_top_terms",  # 1-row broadcast of the corpus count
         ), f"{name} nested-loop joins"
 
 
@@ -259,3 +260,38 @@ def test_ivf_persisted_partition_pruning(spark, sf_dir, tmp_path):
         for r in ivf_topk(corpus, qvec, k=10, n_centroids=8, n_probes=3).collect()
     ]
     assert got == want
+
+
+def test_ohlc_single_exchange(plans):
+    """time_bucket_ohlc: both row_number windows and the final aggregate
+    hash on (event_type, bucket_ts) — Catalyst must plan exactly ONE hash
+    Exchange (the scale claim in its docstring)."""
+    plan = plans["time_bucket_ohlc"]
+    assert _nodes(plan, "Exchange") == 1
+
+
+def test_tfidf_topk_window_group_limit(plans):
+    """tfidf_top_terms: rank<=3 pushes below the per-doc sort, the
+    document-frequency side broadcasts, and the corpus count joins as a
+    1-row broadcast (never a shuffled cross join)."""
+    plan = plans["tfidf_top_terms"]
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_benchmark_broadcasts(plans):
+    """decontam_ngram_overlap: the benchmark shingle set must broadcast
+    (map-side probe of the corpus) and the benchmark subset filter must
+    reach the parquet scan."""
+    plan = plans["decontam_ngram_overlap"]
+    assert "BroadcastHashJoin" in plan
+    assert "(doc_id" in plan and "% 97)" in plan  # pushed modulo filter
+
+
+def test_salted_join_no_nested_loop(plans):
+    """salted_join_segment_revenue: salting keeps the join an equi hash
+    join on (key, salt) with map-side partial aggregation after."""
+    plan = plans["salted_join_segment_revenue"]
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
