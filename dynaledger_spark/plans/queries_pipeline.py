@@ -20,6 +20,8 @@ JVM expression trees (whole-stage codegen) plus shuffles Catalyst plans.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -382,4 +384,222 @@ def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantize_int8",
+    doc="symmetric int8 quantization per embedding: scale + exact integer checksums",
+    oracle="""
+        WITH d AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS amax
+            FROM d
+        ),
+        q AS (
+            SELECT vec_id,
+                   CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS q_scale,
+                   list_transform(v, x -> greatest(least(CAST(floor(
+                       x * (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END)
+                       + 0.5) AS BIGINT), 127), -127)) AS qv
+            FROM s
+        )
+        SELECT vec_id, q_scale,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+               CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS BIGINT) AS q_l1,
+               CAST(len(qv) AS BIGINT) AS n_dims
+        FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth step
+    before ANN serving (4× smaller than float32, dot products in int
+    arithmetic). scale = 127/max|x|; q = clamp(floor(x*scale + 0.5)) —
+    floor(x+0.5) instead of round() because engines disagree on
+    round-half ties, floor never does. Outputs the scale and exact
+    integer checksums (sum, L1, dims) so the oracle re-derives every
+    quantized value. Pure JVM array expressions, shuffle-free.
+    """
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = F.when(F.col("amax") > 0, F.lit(127.0) / F.col("amax")).otherwise(F.lit(1.0))
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.least(F.floor(x * F.col("q_scale") + 0.5).cast("bigint"), F.lit(127).cast("bigint")),
+            F.lit(-127).cast("bigint"),
+        ),
+    )
+    return (
+        emb.select("vec_id", v.alias("v"))
+        .withColumn("amax", amax)
+        .withColumn("q_scale", scale)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id",
+            "q_scale",
+            F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+            F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)).alias("q_l1"),
+            F.size("qv").cast("bigint").alias("n_dims"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level n-gram language-model counts (top bigrams)
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_top_bigrams",
+    doc="corpus top-20 bigrams by frequency (deterministic tiebreak)",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        grams AS (
+            SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                          i -> array_to_string(t[i:i+1], ' '))) AS gram
+            FROM toks
+        )
+        SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram
+        ORDER BY n DESC, gram ASC LIMIT 20
+    """,
+)
+def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the building block of n-gram LM stats and
+    contamination heuristics), top-20 with (count desc, gram asc)
+    tiebreak. Unlike the shingle operators this keeps DUPLICATE grams
+    (LM counts, not set membership). Plan: explode → hash aggregate with
+    map-side combine → TakeOrderedAndProject (never a global sort).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear gap-fill interpolation over a sparse hourly series
+# ---------------------------------------------------------------------------
+@register(
+    "gap_fill_interpolate",
+    doc="dense hourly series per user with linear interpolation of missing hours",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+                   {_osum('value', 'hour_value')}
+            FROM events
+            WHERE event_type = 'purchase' AND user_id % 5 = 0
+            GROUP BY user_id, date_trunc('hour', ts)
+        ),
+        cal AS (
+            SELECT user_id,
+                   unnest(generate_series(MIN(hour_ts), MAX(hour_ts), INTERVAL 1 HOUR))
+                       AS hour_ts
+            FROM hourly GROUP BY user_id
+        ),
+        joined AS (
+            SELECT c.user_id, c.hour_ts, h.hour_value
+            FROM cal c LEFT JOIN hourly h
+              ON h.user_id = c.user_id AND h.hour_ts = c.hour_ts
+        ),
+        ctx AS (
+            SELECT user_id, hour_ts, hour_value,
+                   last_value(hour_value IGNORE NULLS) OVER w_prev AS prev_val,
+                   last_value(CASE WHEN hour_value IS NOT NULL THEN hour_ts END IGNORE NULLS)
+                       OVER w_prev AS prev_ts,
+                   first_value(hour_value IGNORE NULLS) OVER w_next AS next_val,
+                   first_value(CASE WHEN hour_value IS NOT NULL THEN hour_ts END IGNORE NULLS)
+                       OVER w_next AS next_ts
+            FROM joined
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY hour_ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w_next AS (PARTITION BY user_id ORDER BY hour_ts
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, hour_ts,
+               CASE WHEN hour_value IS NOT NULL THEN hour_value
+                    WHEN prev_val IS NULL THEN next_val
+                    WHEN next_val IS NULL THEN prev_val
+                    ELSE prev_val + (next_val - prev_val)
+                         * (CAST(date_diff('hour', prev_ts, hour_ts) AS DOUBLE)
+                            / CAST(date_diff('hour', prev_ts, next_ts) AS DOUBLE)) END
+                   AS filled_value,
+               hour_value IS NULL AS is_interpolated
+        FROM ctx
+    """,
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation — the
+    hypertable `interpolate()` analog: a sparse per-user hourly series
+    (purchases of a 20% user cohort, ~19% of calendar hours present at
+    every scale factor) is densified with sequence+explode and missing
+    hours get prev + (next-prev)·frac. Neighbor lookups are two window
+    passes with ignorenulls FIRST/LAST over the same (user_id, hour)
+    clustering — no self-joins, no per-gap loops; hour fractions are
+    exact integer arithmetic on unix seconds, the lerp is written
+    operand-for-operand identically in the oracle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 5 == 0))
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(dsum(F.col("value"), "hour_value"))
+    )
+    cal = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_ts").alias("mn"), F.max("hour_ts").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour_ts"),
+        )
+    )
+    joined = cal.join(hourly, ["user_id", "hour_ts"], "left")
+    w_prev = (
+        W.partitionBy("user_id").orderBy("hour_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("user_id").orderBy("hour_ts")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    known_ts = F.when(F.col("hour_value").isNotNull(), F.col("hour_ts"))
+    ctx = joined.select(
+        "user_id",
+        "hour_ts",
+        "hour_value",
+        F.last("hour_value", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(known_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.first("hour_value", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(known_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+    )
+    frac = (
+        F.expr("(unix_seconds(hour_ts) - unix_seconds(prev_ts)) div 3600").cast("double")
+        / F.expr("(unix_seconds(next_ts) - unix_seconds(prev_ts)) div 3600").cast("double")
+    )
+    filled = (
+        F.when(F.col("hour_value").isNotNull(), F.col("hour_value"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac)
+    )
+    return ctx.select(
+        "user_id",
+        "hour_ts",
+        filled.alias("filled_value"),
+        F.col("hour_value").isNull().alias("is_interpolated"),
     )

@@ -82,8 +82,11 @@ _ROUND1_DRIVER_GREEN = frozenset(
 )
 
 # CORRECTNESS_r02.json: all 50 verified, 50 green (key order preserved —
-# it is the round-2 window priority and stays the re-verification order).
+# it is the round-2 window priority and stays the re-verification order),
+# except fact_build hoisted to the front: it is the flagship entry()
+# query and must never age out of the window as new queries land.
 _ROUND2_DRIVER_GREEN = (
+    "fact_build",
     "distinct_users_exact", "converting_users_intersect", "event_type_pivot",
     "range_attribution_windows", "asof_purchase_attribution",
     "json_extract_cast", "merge_dedup_latest", "dup_detection",
@@ -100,7 +103,7 @@ _ROUND2_DRIVER_GREEN = (
     "simhash_portable_fingerprints", "calendar_fill_daily_revenue",
     "funnel_view_click_purchase", "ann_cosine_topk", "ann_lsh_bucketed",
     "cosine_near_dup_windowed", "embedding_norms", "exists_bulk_orders",
-    "inactive_customers_except", "sales_rollup", "fact_build",
+    "inactive_customers_except", "sales_rollup",
     "statement_query", "anti_join_fk", "broadcast_lookup_default",
 )
 

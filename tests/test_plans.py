@@ -295,3 +295,21 @@ def test_salted_join_no_nested_loop(plans):
     plan = plans["salted_join_segment_revenue"]
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_bigram_topk_uses_take_ordered(plans):
+    """ngram_top_bigrams: ORDER BY count LIMIT 20 must compile to
+    TakeOrderedAndProject over a partial-aggregated count — no global
+    sort of the gram table."""
+    plan = plans["ngram_top_bigrams"]
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_gap_fill_windows_share_clustering(plans):
+    """gap_fill_interpolate: the prev/next ignorenulls windows sort the
+    same (user_id, hour_ts) clustering — Catalyst must not add a second
+    hash Exchange for the second window direction."""
+    plan = plans["gap_fill_interpolate"]
+    assert _nodes(plan, "Window") <= 2
+    assert "BatchEvalPython" not in plan
