@@ -1,0 +1,155 @@
+"""Semantic properties of the round-3 corpus-curation operators.
+
+The oracle-parity suite proves Spark == DuckDB; these tests prove the
+shared semantics are the RIGHT semantics — error bounds, ordering
+invariants, set relationships — so a bug mirrored identically into both
+the query and its oracle SQL cannot hide.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dynaledger_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_quantize_int8_error_bound(spark, sf):
+    """Dequantized values must sit within half a quantization step of the
+    original (clamp can only shrink magnitude, never violate the bound
+    for |x| <= amax), and every quantized magnitude is <= 127."""
+    rows = REGISTRY["embedding_quantize_int8"].build(spark, sf).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    for r in rows:
+        v = [float(x) for x in emb[r["vec_id"]]]
+        scale = r["q_scale"]
+        q = [max(min(math.floor(x * scale + 0.5), 127), -127) for x in v]
+        assert sum(q) == r["q_sum"]
+        assert sum(abs(x) for x in q) == r["q_l1"]
+        assert all(abs(x) <= 127 for x in q)
+        step = 1.0 / scale
+        for x, qx in zip(v, q):
+            assert abs(x - qx * step) <= step / 2 + 1e-12
+
+
+def test_gap_fill_bounds_and_density(spark, sf):
+    """Interpolated values lie between their bracketing neighbors; the
+    output calendar is dense (every hour between a user's min and max);
+    known hours pass through unchanged in count."""
+    from collections import defaultdict
+
+    rows = REGISTRY["gap_fill_interpolate"].build(spark, sf).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user, "no users selected"
+    for user, series in by_user.items():
+        series.sort(key=lambda r: r["hour_ts"])
+        hours = [r["hour_ts"] for r in series]
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600, f"gap in calendar for {user}"
+        known = [(i, r["filled_value"]) for i, r in enumerate(series) if not r["is_interpolated"]]
+        assert known, f"user {user} has no known points"
+        for i, r in enumerate(series):
+            if not r["is_interpolated"]:
+                continue
+            prevs = [v for j, v in known if j < i]
+            nexts = [v for j, v in known if j > i]
+            if prevs and nexts:
+                lo, hi = min(prevs[-1], nexts[0]), max(prevs[-1], nexts[0])
+                assert lo - 1e-9 <= r["filled_value"] <= hi + 1e-9
+            elif prevs:
+                assert r["filled_value"] == prevs[-1]
+            else:
+                assert r["filled_value"] == nexts[0]
+
+
+def test_decontam_flags_are_true_overlaps(spark, sf):
+    """Recompute 5-gram overlap in plain Python from the raw corpus: the
+    flagged set and every overlap count must agree, and benchmark docs
+    never appear in the output."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+
+    def shingles(text: str, k: int = 5) -> set[str]:
+        t = text.split()
+        n = max(len(t) - k, 0)
+        return {" ".join(t[i : i + k]) for i in range(n + 1)}
+
+    bench = set()
+    for d, text in docs.items():
+        if d % 97 == 0:
+            bench |= shingles(text)
+    rows = REGISTRY["decontam_ngram_overlap"].build(spark, sf).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_id"] % 97 != 0
+        seen.add(r["doc_id"])
+        expect = len(shingles(docs[r["doc_id"]]) & bench)
+        assert r["n_contaminated_shingles"] == expect
+        assert r["is_contaminated"] == (expect > 0)
+    assert seen == {d for d in docs if d % 97 != 0}
+
+
+def test_tfidf_terms_come_from_their_document(spark, sf):
+    """Each returned term occurs in its document exactly tf times, and
+    per-document scores are non-increasing with at most 3 rows."""
+    from collections import defaultdict
+
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    rows = REGISTRY["tfidf_top_terms"].build(spark, sf).collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+        assert docs[r["doc_id"]].count(r["term"]) == r["tf"]
+    for d, rs in per_doc.items():
+        assert 1 <= len(rs) <= 3
+        scores = sorted((r["tfidf_scaled"] for r in rs), reverse=True)
+        assert scores == sorted((r["tfidf_scaled"] for r in rs), reverse=True)
+
+
+def test_ohlc_invariants(spark, sf):
+    """low <= open/close <= high per bucket; bucket event counts sum to
+    the table's row count."""
+    rows = REGISTRY["time_bucket_ohlc"].build(spark, sf).collect()
+    from dynaledger_spark.catalog import read_table
+
+    total = read_table(spark, sf, "events").count()
+    assert sum(r["n_events"] for r in rows) == total
+    for r in rows:
+        assert r["low_value"] <= r["open_value"] <= r["high_value"]
+        assert r["low_value"] <= r["close_value"] <= r["high_value"]
+
+
+def test_quality_gopher_keep_is_consistent(spark, sf):
+    """The keep flag must equal re-evaluating its definition from the
+    returned metrics, and both keep outcomes must occur on the corpus
+    (thresholds that never fire test nothing)."""
+    rows = REGISTRY["quality_gopher"].build(spark, sf).collect()
+    kept = dropped = 0
+    for r in rows:
+        expect = (
+            r["distinct_ratio"] >= 0.5
+            and r["top_word_frac"] <= 0.12
+            and 4.0 <= r["mean_word_len"] <= 6.0
+        )
+        assert r["keep"] == expect
+        kept += r["keep"]
+        dropped += not r["keep"]
+    assert kept > 0 and dropped > 0
