@@ -603,3 +603,122 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("filled_value"),
         F.col("hour_value").isNull().alias("is_interpolated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: fixed token windows with overlap
+# ---------------------------------------------------------------------------
+@register(
+    "doc_chunk_overlap",
+    doc="split documents into 32-token chunks with stride 24 (8-token overlap)",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        chunks AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(greatest(len(t) - 8, 1) / 24.0) AS BIGINT)),
+                       i -> struct_pack(chunk_idx := i,
+                                        chunk_text := array_to_string(t[i*24+1 : i*24+32], ' '),
+                                        n_chunk_tokens := len(t[i*24+1 : i*24+32])))) AS c
+            FROM toks
+        )
+        SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk_text AS chunk_text,
+               CAST(c.n_chunk_tokens AS BIGINT) AS n_chunk_tokens
+        FROM chunks
+        WHERE c.n_chunk_tokens > 0
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunking: every document becomes overlapping
+    32-token windows at stride 24 (8 tokens of context carry-over — the
+    standard sliding-window preprocessing for LLM training). Pure
+    map-side explode of per-row array slices: no shuffle, scales
+    linearly with corpus bytes, and the chunk count per doc is
+    ceil((len-overlap)/stride) exactly as the oracle derives it.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil((F.greatest(F.size(toks) - 8, F.lit(1))) / F.lit(24.0)).cast("bigint")
+    mk = lambda i: F.struct(  # noqa: E731
+        i.alias("chunk_idx"),
+        F.array_join(F.slice(toks, (i * 24 + 1).cast("int"), 32), " ").alias("chunk_text"),
+        F.size(F.slice(toks, (i * 24 + 1).cast("int"), 32)).cast("bigint").alias("n_chunk_tokens"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1), mk)
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+        .filter(F.col("n_chunk_tokens") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy concatenation into fixed-token bins per shard
+# ---------------------------------------------------------------------------
+@register(
+    "pack_sequences",
+    doc="greedy sequence packing: per-shard running token count → 1024-token bins",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, doc_id % 8 AS shard, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT shard, doc_id, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+            FROM toks
+        ),
+        binned AS (
+            SELECT shard, doc_id, n_tokens,
+                   CAST((cum_tokens - n_tokens) // 1024 AS BIGINT) AS bin
+            FROM cum
+        )
+        SELECT shard, bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM binned GROUP BY shard, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents concatenate in
+    deterministic (doc_id) order until a 1024-token bin fills; a doc
+    whose start offset crosses the boundary opens the next bin (greedy
+    packing by start offset — integer arithmetic, exactly mirrored by
+    the oracle). Packing is per SHARD (doc_id % 8), which is what keeps
+    it distributed: the running-sum window parallelizes across shards
+    instead of forcing one global ordering — at corpus scale shards map
+    to output training files. One shuffle on shard serves the window
+    and the bin aggregate.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    binned = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "bin", F.expr("(cum_tokens - n_tokens) div 1024")
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
