@@ -332,3 +332,68 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
         return run_available_now(deduped, name, output_mode="append")
+
+
+@register(
+    "stream_time_bucket_ohlc",
+    doc="streaming hourly OHLC continuous aggregate (min_by/max_by open/close), AvailableNow drain",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_ts, ts, event_id, value,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type, bucket_ts,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+               MAX(value) AS high_value,
+               MIN(value) AS low_value,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM b GROUP BY event_type, bucket_ts
+    """,
+)
+def stream_time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate form of `time_bucket_ohlc`: open/close
+    become `min_by`/`max_by` over the unique (ts, event_id) ordering key
+    — unlike row_number these are true aggregates, so the same rollup
+    runs incrementally on a live stream with watermark-bounded state
+    (one row of state per open bucket). Drained with AvailableNow it
+    must reproduce the batch window formulation bitwise — the oracle is
+    the identical SQL the batch query verifies against.
+    """
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.functions.agg import dsum
+    from dynaledger_spark.streaming import events_stream, run_available_now
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", key).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket_ts"),
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_available_now(agg, name, output_mode="complete")
