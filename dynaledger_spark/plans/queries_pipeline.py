@@ -722,3 +722,96 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch against the existing corpus
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental_anti",
+    doc="incremental batch dedup: incoming docs anti-joined against existing content hashes",
+    oracle="""
+        SELECT i.doc_id, md5(i.text) AS content_hash
+        FROM documents i
+        WHERE i.doc_id % 10 = 0
+          AND NOT EXISTS (SELECT 1 FROM documents e
+                          WHERE e.doc_id % 10 <> 0
+                            AND md5(e.text) = md5(i.text))
+    """,
+)
+def dedup_incremental_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup pattern: never re-dedup the corpus — hash
+    the INCOMING batch (here: doc_id % 10 == 0 stands in for today's
+    crawl) and left-anti join it against the existing corpus's content
+    hashes. Cost scales with batch + one shuffle on a 16-byte key over
+    the corpus hash table (which at 100 TB is a persisted, bucketed
+    hash column — making the anti-join shuffle-free on the corpus side).
+    """
+    docs = _docs(spark, sf_dir)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    existing = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.md5("text").alias("content_hash")
+    )
+    return incoming.join(existing, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling
+# ---------------------------------------------------------------------------
+@register(
+    "quality_weighted_sample",
+    doc="deterministic sampling with per-doc rate from a repetition-quality signal",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word),
+        per_doc AS (
+            SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct
+            FROM wc GROUP BY doc_id
+        ),
+        rates AS (
+            SELECT doc_id,
+                   CASE WHEN n_distinct / n_words >= 0.5 THEN 70 ELSE 20 END AS rate
+            FROM per_doc
+        )
+        SELECT d.doc_id, CAST(r.rate AS INT) AS rate
+        FROM documents d JOIN rates r USING (doc_id)
+        WHERE (d.doc_id * 1103515245 + 777) % 4294967296 % 100 < r.rate
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composition: the repetition-quality signal
+    (quality_gopher's distinct-word ratio) sets a per-document sampling
+    RATE (70% for clean docs, 20% for repetitive ones) and the
+    deterministic multiplicative hash (queries_sampling) decides
+    membership — upweight good data without ever flickering between
+    runs or cluster sizes. One aggregation pass for the signal, then a
+    pushed-down hash-threshold filter.
+    """
+    from dynaledger_spark.plans.queries_sampling import _H2, _M32, _mhash
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    rates = per_doc.select(
+        "doc_id",
+        F.when(F.col("n_distinct") / F.col("n_words") >= 0.5, 70)
+        .otherwise(20)
+        .cast("int")
+        .alias("rate"),
+    )
+    h = _mhash(F.col("doc_id"), _H2, 777) % 100
+    return (
+        docs.select("doc_id")
+        .join(rates, "doc_id")
+        .filter(h < F.col("rate"))
+        .select("doc_id", "rate")
+    )
