@@ -45,3 +45,38 @@ def test_events_stream_self_sufficient(bare_conf_spark, sf_dir):
     stream = events_stream(bare_conf_spark, sf_dir, glob="events.parquet")
     assert stream.isStreaming
     assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+
+
+def test_ntz_timestamp_queries_under_foreign_session(bare_conf_spark, sf_dir):
+    """Round-3 testdata ships TIMESTAMP_NTZ micros instead of nanos; the
+    normalization (NTZ → TimestampType under UTC) must equally hold in a
+    session the library didn't build. gap_fill and OHLC exercise casts,
+    windows, and timestamp sequences end-to-end."""
+    reg = load_all()
+    for name in ("gap_fill_interpolate", "time_bucket_ohlc"):
+        rows = reg[name].build(bare_conf_spark, sf_dir).collect()
+        assert rows, name
+
+
+def test_non_utc_foreign_session_timezone_is_corrected(bare_conf_spark, sf_dir):
+    """A driver session configured in a non-UTC timezone must still
+    produce UTC-rendered timestamps (DuckDB's naive values): read_table
+    pins the session timezone when it normalizes NTZ columns."""
+    tz_conf = "spark.sql.session.timeZone"
+    old = bare_conf_spark.conf.get(tz_conf)
+    bare_conf_spark.conf.set(tz_conf, "America/New_York")
+    try:
+        df = read_table(bare_conf_spark, sf_dir, "events")
+        import pyspark.sql.types as T2
+
+        if isinstance(df.schema["ts"].dataType, T2.TimestampType):
+            assert bare_conf_spark.conf.get(tz_conf) == "UTC"
+            import duckdb
+
+            want = duckdb.sql(
+                f"SELECT min(ts) FROM '{sf_dir}/events.parquet'"
+            ).fetchone()[0]
+            got = df.agg({"ts": "min"}).head()[0]
+            assert got.replace(tzinfo=None) == want
+    finally:
+        bare_conf_spark.conf.set(tz_conf, old)

@@ -153,3 +153,57 @@ def test_quality_gopher_keep_is_consistent(spark, sf):
         kept += r["keep"]
         dropped += not r["keep"]
     assert kept > 0 and dropped > 0
+
+
+def test_chunking_covers_documents(spark, sf):
+    """Chunk 0 starts at token 1, chunk starts advance by the stride,
+    every token of every document appears in at least one chunk, and the
+    chunk count matches ceil((len-overlap)/stride)."""
+    import math as _math
+    from collections import defaultdict
+
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    rows = REGISTRY["doc_chunk_overlap"].build(spark, sf).collect()
+    per_doc = defaultdict(dict)
+    for r in rows:
+        per_doc[r["doc_id"]][r["chunk_idx"]] = r
+    for d, toks in docs.items():
+        chunks = per_doc[d]
+        expect_n = _math.ceil(max(len(toks) - 8, 1) / 24.0)
+        # trailing windows that start past the end are filtered out
+        assert len(chunks) <= expect_n
+        covered = 0
+        for i, r in sorted(chunks.items()):
+            words = r["chunk_text"].split()
+            assert words == toks[i * 24 : i * 24 + 32]
+            covered = max(covered, i * 24 + len(words))
+        assert covered == len(toks), f"doc {d} tokens not fully covered"
+
+
+def test_packing_bins_are_contiguous_and_bounded(spark, sf):
+    """Within a shard, bins form contiguous doc ranges in doc_id order;
+    a bin's token total never exceeds 1024 + its last doc's length
+    (greedy start-offset packing), and totals reconcile with the corpus."""
+    from collections import defaultdict
+
+    docs = {
+        r["doc_id"]: len(r["text"].split())
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    rows = REGISTRY["pack_sequences"].build(spark, sf).collect()
+    assert sum(r["total_tokens"] for r in rows) == sum(docs.values())
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    for shard, bins in by_shard.items():
+        bins.sort(key=lambda r: r["bin"])
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev["last_doc"] < nxt["first_doc"]
+        for b in bins:
+            max_doc = max(
+                n for d, n in docs.items() if d % 8 == shard and b["first_doc"] <= d <= b["last_doc"]
+            )
+            assert b["total_tokens"] < 1024 + max_doc
