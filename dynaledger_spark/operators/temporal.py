@@ -116,3 +116,55 @@ def _interval_seconds(spec: str) -> int:
         "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
     }[unit]
     return int(qty) * mult
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval×interval overlap join (closed intervals) without O(N²).
+
+    Both sides explode into the time buckets they cover and hash-join on
+    (key, bucket); the exact overlap predicate
+    (a_start <= b_end AND b_start <= a_end) filters bucket-local
+    candidates. A pair overlapping k shared buckets would appear k
+    times — instead of a distinct shuffle, each pair is emitted ONLY in
+    its first shared bucket (the bucket of max(a_start, b_start), which
+    any overlapping pair is guaranteed to share), so the join output is
+    exactly-once by construction. Cost scales with interval length /
+    bucket size, never rows².
+    """
+    sec = F.lit(_interval_seconds(bucket))
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(start)) / sec),
+                    F.floor(F.unix_timestamp(F.col(end)) / sec),
+                )
+            ),
+        )
+
+    a_b, b_b = bucketed(a.alias("a"), a_start, a_end), bucketed(b.alias("b"), b_start, b_end)
+    first_shared = F.floor(
+        F.greatest(
+            F.unix_timestamp(F.col(f"a.{a_start}")), F.unix_timestamp(F.col(f"b.{b_start}"))
+        )
+        / sec
+    )
+    cond = (
+        (F.col(f"a.{a_start}") <= F.col(f"b.{b_end}"))
+        & (F.col(f"b.{b_start}") <= F.col(f"a.{a_end}"))
+        & (a_b["_bucket"] == first_shared)
+    )
+    for k in on:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return a_b.join(b_b, cond & (a_b["_bucket"] == b_b["_bucket"])).drop("_bucket")

@@ -815,3 +815,123 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h < F.col("rate"))
         .select("doc_id", "rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (bucketed, exactly-once by construction)
+# ---------------------------------------------------------------------------
+@register(
+    "interval_overlap_sessions",
+    doc="click windows x purchase windows overlapping per user (bucketed interval join)",
+    oracle="""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+               CAST((epoch_us(least(c.ts + INTERVAL 30 MINUTE, p.ts + INTERVAL 2 HOUR))
+                     - epoch_us(greatest(c.ts, p.ts))) // 1000000 AS BIGINT)
+                   AS overlap_seconds
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts + INTERVAL 2 HOUR
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General interval×interval overlap at scale
+    (operators/temporal.py:interval_overlap_join): click attention
+    windows [ts, ts+30m] against purchase windows [ts, ts+2h] per user.
+    Both interval sets explode to hour buckets and hash-join on
+    (user, bucket); a pair is emitted only in the bucket of
+    max(starts), so the output is exactly-once WITHOUT a distinct
+    shuffle. The oracle is the plain theta-join — proving the bucket
+    decomposition + first-shared-bucket dedup is lossless and
+    duplicate-free.
+    """
+    from dynaledger_spark.operators.temporal import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "event_id", "user_id", F.col("ts").alias("c_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("c_end"),
+        )
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"), "user_id",
+            F.col("ts").alias("p_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("p_end"),
+        )
+    )
+    joined = interval_overlap_join(
+        clicks, buys, on=["user_id"],
+        a_start="c_start", a_end="c_end", b_start="p_start", b_end="p_end",
+    )
+    # exact micros first, floor-divide once — truncating each endpoint to
+    # seconds before subtracting would be off by one around fractional
+    # timestamps (subtract-then-truncate is what the oracle's epoch_us
+    # arithmetic does too).
+    overlap = F.expr(
+        "(unix_micros(least(c_end, p_end)) - unix_micros(greatest(c_start, p_start)))"
+        " div 1000000"
+    )
+    return joined.select(
+        F.col("a.event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("a.user_id").alias("user_id"),
+        overlap.cast("bigint").alias("overlap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier flagging (exact moments, deterministic sqrt)
+# ---------------------------------------------------------------------------
+@register(
+    "zscore_outliers",
+    doc="per-type z-score of event values from exact decimal moments; |z|>3 flag",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - s1 / n)
+                     / sqrt((s2 - (s1 * s1) / n) / (n - 1)), 9) AS zscore,
+               abs((e.value - s1 / n) / sqrt((s2 - (s1 * s1) / n) / (n - 1))) > 3.0
+                   AS is_outlier
+        FROM events e JOIN g USING (event_type)
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-cleaning outlier pass: per-type mean/std from exact DECIMAL
+    (n, Σx, Σx²) moment sums (order-independent, so partial aggregation
+    can't change the result), then a per-row z-score and |z|>3 flag.
+    sqrt is correctly rounded under IEEE 754 in both engines, and every
+    other step is a fixed-order IEEE expression — the flag itself is
+    oracle-exact. The 5-row moments table broadcasts back onto the scan.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(27,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,12)")).cast("double").alias("s2"),
+    )
+    z = F.expr("(value - s1 / n) / sqrt((s2 - (s1 * s1) / n) / (n - 1))")
+    return (
+        ev.join(F.broadcast(g), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            # the raw z can differ from DuckDB by 1 ulp (libm vs JVM
+            # division/sqrt sequencing); 9-decimal rounding absorbs it
+            # while the flag compares the unrounded value in both engines
+            F.round(z, 9).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_outlier"),
+        )
+    )

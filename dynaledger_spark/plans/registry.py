@@ -116,7 +116,8 @@ _DEMOTE = frozenset(
         "exists_bulk_orders", "inactive_customers_except", "sales_rollup",
         "anti_join_fk", "broadcast_lookup_default", "statement_query",
         "like_pattern_filter", "union_distinct_actors",
-        "quantiles_disc_by_priority",
+        "quantiles_disc_by_priority", "top3_orders_per_segment",
+        "date_functions_matrix",
     }
 )
 
