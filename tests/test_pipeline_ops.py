@@ -207,3 +207,60 @@ def test_packing_bins_are_contiguous_and_bounded(spark, sf):
                 n for d, n in docs.items() if d % 8 == shard and b["first_doc"] <= d <= b["last_doc"]
             )
             assert b["total_tokens"] < 1024 + max_doc
+
+
+def test_zscore_recomputes_from_scratch(spark, sf):
+    """Mean/std recomputed in plain Python (math.fsum for exactness)
+    must reproduce every flag and match each z-score to 1e-6."""
+    import math as _math
+    from collections import defaultdict
+
+    from dynaledger_spark.catalog import read_table
+
+    ev = read_table(spark, sf, "events").select("event_id", "event_type", "value").collect()
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append(r["value"])
+    stats = {}
+    for t, vs in by_type.items():
+        n = len(vs)
+        mean = _math.fsum(vs) / n
+        var = (_math.fsum(v * v for v in vs) - _math.fsum(vs) ** 2 / n) / (n - 1)
+        stats[t] = (mean, _math.sqrt(var))
+    rows = REGISTRY["zscore_outliers"].build(spark, sf).collect()
+    assert len(rows) == len(ev)
+    flagged = 0
+    for r in rows:
+        mean, std = stats[r["event_type"]]
+        z = (r["value"] - mean) / std
+        assert abs(r["zscore"] - z) < 1e-6
+        assert r["is_outlier"] == (abs(z) > 3.0 or (abs(abs(z) - 3.0) < 1e-9 and r["is_outlier"]))
+        flagged += r["is_outlier"]
+    assert flagged > 0
+
+
+def test_interval_overlap_matches_bruteforce(spark, sf):
+    """Brute-force all-pairs overlap in Python must equal the bucketed
+    join's pair set and every overlap duration."""
+    from dynaledger_spark.catalog import read_table
+
+    ev = read_table(spark, sf, "events").select("event_id", "user_id", "event_type", "ts").collect()
+    clicks = [(r["event_id"], r["user_id"], r["ts"]) for r in ev if r["event_type"] == "click"]
+    buys = [(r["event_id"], r["user_id"], r["ts"]) for r in ev if r["event_type"] == "purchase"]
+    from collections import defaultdict
+    buys_by_user = defaultdict(list)
+    for e, u, t in buys:
+        buys_by_user[u].append((e, t))
+    import datetime as dt
+    want = {}
+    for ce, cu, ct in clicks:
+        c_end = ct + dt.timedelta(minutes=30)
+        for pe, pt in buys_by_user[cu]:
+            p_end = pt + dt.timedelta(hours=2)
+            if ct <= p_end and pt <= c_end:
+                ov = (min(c_end, p_end) - max(ct, pt)) // dt.timedelta(microseconds=1) // 1_000_000
+                want[(ce, pe)] = ov
+    rows = REGISTRY["interval_overlap_sessions"].build(spark, sf).collect()
+    got = {(r["click_id"], r["purchase_id"]): r["overlap_seconds"] for r in rows}
+    assert len(rows) == len(got), "duplicate pairs emitted"
+    assert got == want

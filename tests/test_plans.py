@@ -313,3 +313,21 @@ def test_gap_fill_windows_share_clustering(plans):
     plan = plans["gap_fill_interpolate"]
     assert _nodes(plan, "Window") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_interval_overlap_is_hash_join(plans):
+    """interval_overlap_sessions: the bucketed decomposition must plan an
+    equi hash join (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin) on
+    (user, bucket) — never a nested-loop over the interval sets."""
+    plan = plans["interval_overlap_sessions"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_zscore_moments_broadcast_back(plans):
+    """zscore_outliers: the 5-row per-type moments join back as a
+    broadcast; the moment sums aggregate with a partial phase."""
+    plan = plans["zscore_outliers"]
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
