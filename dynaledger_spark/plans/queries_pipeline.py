@@ -935,3 +935,92 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label centroids: element-wise embedding aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "label_centroids",
+    doc="per-label embedding centroid (element-wise mean), sorted-fold exact sum",
+    oracle="""
+        WITH dims AS (
+            SELECT label, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        agg AS (
+            SELECT label, dim,
+                   list_reduce(list_prepend(0.0, list_sort(list(x))),
+                               (a, b) -> a + b) AS s,
+                   COUNT(*) AS n_vectors
+            FROM dims GROUP BY label, dim
+        )
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+               s / n_vectors AS centroid_val, n_vectors
+        FROM agg
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label — class centroids for
+    similarity baselines and IVF seeding. Float sums are order-dependent
+    in IEEE arithmetic and a DECIMAL accumulator is NOT portable here
+    (DuckDB's double→decimal cast rounds through a double multiply, so
+    it disagrees with the JVM's exact BigDecimal path — measured), so
+    exactness comes from ordering instead: per (label, dim) the values
+    sort ascending and fold sequentially — both engines run the
+    identical IEEE addition chain. The per-group collect is bounded by
+    vectors-per-label; a production centroid at 100 TB would use plain
+    SUM and accept last-ulp nondeterminism — this query exists where
+    bitwise reproducibility is the requirement.
+    """
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "xf")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    agg = dims.groupBy("label", "dim").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("x")), F.lit(0.0), lambda a, x: a + x
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+    return agg.select(
+        "label", "dim", F.expr("s / n_vectors").alias("centroid_val"), "n_vectors"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+# ---------------------------------------------------------------------------
+@register(
+    "value_histogram",
+    doc="fixed-width (25.0) histogram of event values per type",
+    oracle="""
+        SELECT event_type,
+               CAST(floor(value / 25.0) AS BIGINT) AS bin,
+               25.0 * CAST(floor(value / 25.0) AS BIGINT) AS bin_low,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, floor(value / 25.0)
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling: fixed-width bins as floor(value/width) —
+    a pure expression group key, so the histogram is one map-side
+    combined hash aggregation (the same shape at any scale; no sort, no
+    per-bin pass). Complements the exact/sketch quantiles with a shape
+    the eye can read."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 25.0).cast("bigint")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(25.0) * F.col("bin")).alias("bin_low"),
+            "n",
+        )
+    )

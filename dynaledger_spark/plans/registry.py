@@ -117,7 +117,8 @@ _DEMOTE = frozenset(
         "anti_join_fk", "broadcast_lookup_default", "statement_query",
         "like_pattern_filter", "union_distinct_actors",
         "quantiles_disc_by_priority", "top3_orders_per_segment",
-        "date_functions_matrix",
+        "date_functions_matrix", "string_functions_matrix",
+        "rank_family_segments",
     }
 )
 
