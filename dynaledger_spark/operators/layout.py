@@ -1,0 +1,77 @@
+"""Data-layout maintenance: small-file compaction and sorted rewrite.
+
+At 100 TB the dominant operational problem isn't a slow operator — it's
+a table that streaming ingest or over-parallel writes shattered into
+millions of small files (per-file open/seek costs dwarf the scan) and
+row groups with no clustering (no min/max pruning). `compact` is the
+OPTIMIZE-style maintenance pass: rewrite a parquet directory into
+size-targeted files, optionally sorted within files so min/max column
+statistics prune reads on the sort key.
+
+Vanilla-Spark shapes only: no table format required. Exactly the rewrite
+a Delta/Iceberg OPTIMIZE (+ ORDER BY) performs, expressed as
+repartition + sortWithinPartitions + overwrite.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact(
+    spark: SparkSession,
+    source_path: str,
+    dest_path: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ~target_rows_per_file files.
+
+    Row count is read from parquet footers (a metadata query, no data
+    scan); the rewrite itself is one pass: `repartition(n)` (or
+    `repartitionByRange(n, sort_cols)` when sorting, so files hold
+    DISJOINT sort-key ranges and min/max stats prune file-level, not
+    just row-group-level) + `sortWithinPartitions` + write. Returns
+    {files_before, files_after, rows} for observability — a compaction
+    job that can't report what it did gets re-run blind.
+    """
+    df = spark.read.parquet(source_path)
+    rows = df.count()  # parquet count(*) is footer metadata, not a scan
+    files_before = sum(
+        1 for f in os.listdir(source_path) if f.endswith(".parquet")
+    ) if os.path.isdir(source_path) else 1
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dest_path)
+    files_after = sum(1 for f in os.listdir(dest_path) if f.endswith(".parquet"))
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
+def file_stats(dest_path: str, column: str) -> list[tuple]:
+    """(file, min, max) of `column` from parquet footers — the pruning
+    statistics a sorted compaction exists to sharpen."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(os.listdir(dest_path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(dest_path, f))
+        idx = md.schema_arrow.get_field_index(column)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.metadata.row_group(rg).column(idx).statistics
+            if st is not None:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if mins:
+            out.append((f, min(mins), max(maxs)))
+    return out

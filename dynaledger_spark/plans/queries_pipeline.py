@@ -1024,3 +1024,59 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build: change detection → validity intervals
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_user_tiers",
+    doc="slowly-changing-dimension build: per-user tier change rows with validity intervals",
+    oracle="""
+        WITH tiers AS (
+            SELECT user_id, event_id, ts, CAST(floor(value / 50.0) AS BIGINT) AS tier,
+                   lag(CAST(floor(value / 50.0) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+            FROM events WHERE event_type = 'purchase'
+        ),
+        changes AS (
+            SELECT user_id, event_id, ts, tier FROM tiers
+            WHERE prev_tier IS NULL OR tier <> prev_tier
+        )
+        SELECT user_id, tier,
+               ts AS effective_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS effective_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   AS is_current
+        FROM changes
+    """,
+)
+def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from an event history — the
+    warehouse pattern behind the reference's versioned fact tables: each
+    user's purchase tier (floor(value/50)) becomes validity intervals
+    [effective_from, effective_to) with an open current row. Change
+    detection (lag) and interval closing (lead) share one (user, time)
+    clustering — one shuffle, two window passes, no self-joins; an as-of
+    probe on the result is `operators/temporal.py:asof_join`.
+    """
+    ev = _t(spark, sf_dir, "events")
+    tier = F.floor(F.col("value") / 50.0).cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tiers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", tier.alias("tier"))
+        .withColumn("prev_tier", F.lag("tier").over(w))
+    )
+    changes = tiers.filter(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    )
+    eff_to = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "tier",
+        F.col("ts").alias("effective_from"),
+        eff_to.alias("effective_to"),
+        eff_to.isNull().alias("is_current"),
+    )
