@@ -431,3 +431,25 @@ def simhash_portable_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
     return docs.select(
         "doc_id", portable_simhash31("text").alias("fingerprint")
     )
+
+
+@register(
+    "simhash_near_dup_pairs",
+    doc="62-bit SimHash pairs within Hamming<=3 via pigeonhole chunk banding",
+    oracle=None,  # xxhash64-based fingerprints → engine-specific values
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairing half of the SimHash family (operators/dedup.py:
+    simhash_near_duplicates): fingerprints chunk into max_hamming+1
+    pieces, an equi-join on (chunk_idx, chunk_value) finds every pair
+    within the distance bound (pigeonhole — full recall guaranteed), and
+    bit_count(xor) filters exactly. Rows-only here (xxhash64 base); the
+    banding mechanics are oracle-proven on the portable MinHash/SimHash
+    miniatures and unit-tested on crafted duplicates."""
+    from dynaledger_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+    )
+
+    fps = simhash_fingerprints(_docs(spark, sf_dir))
+    return simhash_near_duplicates(fps, max_hamming=3)

@@ -213,3 +213,39 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("int").alias("dim"),
         F.sqrt(F.expr(_SQ_FOLD_SPARK)).alias("l2_norm"),
     )
+
+
+@register(
+    "ann_ivf_persisted_topk",
+    doc="IVF probe against partition-pruned persisted cells (parquet partitionBy centroid)",
+    oracle=None,  # k-means centroids are a runtime fit → engine-specific
+)
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF serving path: cells persisted
+    `partitionBy(centroid)` once, probes read ONLY the n_probes nearest
+    cells via partition pruning (PartitionFilters plan-asserted in
+    tests/test_plans.py). This registry entry exercises the full
+    write→prune→re-rank cycle each round; rows-only because the k-means
+    fit (and therefore cell assignment) is engine-specific."""
+    import shutil
+    import tempfile
+
+    from dynaledger_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk_persisted,
+        ivf_write_cells,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+    corpus = emb.filter("vec_id != 0")
+    assigned, centroids = ivf_index(corpus, n_centroids=8)
+    path = tempfile.mkdtemp(prefix="ivf_cells_")
+    try:
+        ivf_write_cells(assigned, path)
+        out = ivf_topk_persisted(spark, path, centroids, qvec, k=10, n_probes=3)
+        # materialize before the cell files vanish
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
