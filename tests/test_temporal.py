@@ -80,3 +80,60 @@ def test_asof_join_null_payload_carries(spark):
     r = asof_join(left, right, on=["user_id"], payload_cols=["value"]).head()
     # the t=5 row IS the latest match even though its value is NULL
     assert r.asof_ts == _at(5) and r.asof_value is None
+
+
+def test_interval_overlap_join_property(spark):
+    """Randomized interval sets (hypothesis): the bucketed
+    first-shared-bucket join equals brute-force overlap enumeration
+    exactly — pairs, no duplicates, any bucket width."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from dynaledger_spark.operators.temporal import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 72 * 60), st.integers(1, 360)),
+            min_size=1, max_size=12,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 72 * 60), st.integers(1, 360)),
+            min_size=1, max_size=12,
+        ),
+        st.sampled_from(["1 hour", "30 minutes", "1 day"]),
+    )
+    def check(a_rows, b_rows, bucket):
+        a = spark.createDataFrame(
+            [
+                (i, k, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + d))
+                for i, (k, s, d) in enumerate(a_rows)
+            ],
+            "a_id int, k int, a_start timestamp, a_end timestamp",
+        )
+        b = spark.createDataFrame(
+            [
+                (i, k, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + d))
+                for i, (k, s, d) in enumerate(b_rows)
+            ],
+            "b_id int, k int, b_start timestamp, b_end timestamp",
+        )
+        got = sorted(
+            (r["a_id"], r["b_id"])
+            for r in interval_overlap_join(
+                a, b, on=["k"], a_start="a_start", a_end="a_end",
+                b_start="b_start", b_end="b_end", bucket=bucket,
+            ).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, (ka, sa, da) in enumerate(a_rows)
+            for j, (kb, sb, db) in enumerate(b_rows)
+            if ka == kb and sa <= sb + db and sb <= sa + da
+        )
+        assert got == want
+
+    check()
