@@ -36,6 +36,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _docs_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents hash-partitioned on doc_id: one exchange up front that
+    SATISFIES every downstream per-doc clustering — groupBy(doc_id, word),
+    groupBy(doc_id), and Window.partitionBy(doc_id) all accept a
+    hash(doc_id) distribution (subset rule), so the word-level and
+    doc-level aggregations run exchange-free on top (measured: 3
+    exchanges → 1 for the quality pipeline). Same line count as the
+    round-robin spread in queries_text._docs, strictly more useful."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------
@@ -73,7 +85,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a per-doc window top-k (WindowGroupLimit pushes the rank filter
     below the sort at scale).
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_by_id(spark, sf_dir)
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -130,12 +142,12 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is one int→double conversion + one IEEE division, so the
     DuckDB oracle agrees bitwise, `keep` included.
 
-    Plan: explode → (doc, word) count → per-doc aggregate. The second
-    aggregation reuses the first's hash partitioning prefix — at 100 TB
-    the only heavy exchange is the (doc_id, word) one, and AQE coalesces
-    its output.
+    Plan: ONE exchange. Documents hash-partition on doc_id up front;
+    hash(doc_id) satisfies both the (doc_id, word) and the doc_id
+    clustering (subset rule), so both aggregations run exchange-free
+    on top of it (plan-asserted).
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_by_id(spark, sf_dir)
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = wc.groupBy("doc_id").agg(
@@ -795,7 +807,7 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dynaledger_spark.plans.queries_sampling import _H2, _M32, _mhash
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_by_id(spark, sf_dir)
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = wc.groupBy("doc_id").agg(
@@ -809,9 +821,14 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rate"),
     )
     h = _mhash(F.col("doc_id"), _H2, 777) % 100
+    # probe side: raw scan, not the doc_id-partitioned docs — the rates
+    # table broadcasts, so partitioning the probe would be a wasted
+    # exchange
+    probe = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
     return (
-        docs.select("doc_id")
-        .join(rates, "doc_id")
+        probe.join(F.broadcast(rates), "doc_id")
         .filter(h < F.col("rate"))
         .select("doc_id", "rate")
     )

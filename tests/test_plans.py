@@ -331,3 +331,11 @@ def test_zscore_moments_broadcast_back(plans):
     plan = plans["zscore_outliers"]
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
+
+
+def test_quality_pipeline_single_exchange(plans):
+    """quality_gopher / quality_weighted_sample: the up-front hash(doc_id)
+    partitioning must satisfy both the (doc, word) and per-doc
+    clusterings — exactly ONE exchange in the whole plan."""
+    for name in ("quality_gopher", "quality_weighted_sample"):
+        assert _nodes(plans[name], "Exchange") == 1, name
