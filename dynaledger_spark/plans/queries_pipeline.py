@@ -1097,3 +1097,124 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff_to.alias("effective_to"),
         eff_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture rebalancing: per-source sampling rates to hit target shares
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_rebalance_sample",
+    doc="per-source acceptance rates computed from corpus stats to hit a target mixture",
+    oracle="""
+        WITH weighted AS (
+            SELECT source,
+                   CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0
+                        THEN 3 ELSE 1 END AS w,
+                   COUNT(*) AS n_s
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(n_s) AS n, SUM(w) AS wsum FROM weighted
+        ),
+        rates AS (
+            SELECT source,
+                   CAST(least(1000000, (n * w * 1000000) // (wsum * n_s)) AS BIGINT)
+                       AS rate_millionths
+            FROM weighted CROSS JOIN tot
+        )
+        SELECT d.doc_id, d.source, r.rate_millionths
+        FROM documents d JOIN rates r USING (source)
+        WHERE (d.doc_id * 2654435761 + 31) % 4294967296 % 1000000 < r.rate_millionths
+    """,
+)
+def mixture_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: acceptance rates are COMPUTED from corpus statistics
+    to steer the sample toward target source shares (here: even-numbered
+    sources weighted 3×) — the step after quality filtering in a
+    pretraining pipeline, where domains are up/down-weighted to a target
+    mixture. rate = min(1, target_share/actual_share), held as exact
+    integer millionths; membership is the deterministic multiplicative
+    hash. The per-source stats table is tiny and broadcasts; the corpus
+    never shuffles.
+    """
+    from dynaledger_spark.plans.queries_sampling import _H1, _M32, _mhash
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    w = F.when(
+        F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 2 == 0, 3
+    ).otherwise(1)
+    weighted = docs.groupBy("source").agg(
+        F.first(w).alias("w"), F.count(F.lit(1)).alias("n_s")
+    )
+    tot = weighted.agg(
+        F.sum("n_s").alias("n"), F.sum("w").alias("wsum")
+    )
+    rates = (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                "CAST(least(1000000, (n * w * 1000000) div (wsum * n_s)) AS BIGINT)"
+            ).alias("rate_millionths"),
+        )
+    )
+    h = _mhash(F.col("doc_id"), _H1, 31) % 1_000_000
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .filter(h < F.col("rate_millionths"))
+        .select("doc_id", "source", "rate_millionths")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget head: take docs per source until a token budget fills
+# ---------------------------------------------------------------------------
+@register(
+    "token_budget_head",
+    doc="deterministic per-source document selection up to a 300-token budget",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+                   (doc_id * 1103515245 + 555) % 4294967296 AS h
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM cum WHERE cum_tokens <= 300
+    """,
+)
+def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Take N tokens per domain': documents order by a deterministic
+    hash (a reproducible pseudo-random epoch order), a running token
+    count accumulates per source, and selection stops where the budget
+    fills — the token-budget analog of quota sampling. One shuffle on
+    source serves the cumsum window; membership is stable across runs
+    and appends only grow the tail.
+    """
+    from dynaledger_spark.plans.queries_sampling import _H2, _mhash
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        _mhash(F.col("doc_id"), _H2, 555).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 300)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

@@ -118,7 +118,8 @@ _DEMOTE = frozenset(
         "like_pattern_filter", "union_distinct_actors",
         "quantiles_disc_by_priority", "top3_orders_per_segment",
         "date_functions_matrix", "string_functions_matrix",
-        "rank_family_segments",
+        "rank_family_segments", "higher_order_array_ops",
+        "union_distinct_actors", "doc_fingerprint",
     }
 )
 

@@ -51,6 +51,7 @@ def test_no_cartesian_products(plans):
         assert "BroadcastNestedLoopJoin" not in plan or name in (
             "ann_cosine_topk",  # 1-row literal lookup is fine if it appears
             "tfidf_top_terms",  # 1-row broadcast of the corpus count
+            "mixture_rebalance_sample",  # 1-row broadcast of corpus totals
         ), f"{name} nested-loop joins"
 
 
