@@ -1218,3 +1218,136 @@ def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 300)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# The whole curation pipeline, composed end-to-end
+# ---------------------------------------------------------------------------
+@register(
+    "curation_pipeline_e2e",
+    doc="dedup -> quality filter -> decontaminate -> hash sample -> chunk, one composed plan",
+    oracle=r"""
+        WITH dedup AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        survivors0 AS (
+            SELECT d.* FROM documents d JOIN dedup USING (doc_id)
+        ),
+        words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM survivors0
+        ),
+        wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word),
+        quality AS (
+            SELECT doc_id FROM (
+                SELECT doc_id, COUNT(*) AS n_distinct, SUM(cnt) AS n_words
+                FROM wc GROUP BY doc_id)
+            WHERE n_distinct / n_words >= 0.4
+        ),
+        toks AS (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(t) - 4, 1) + 1),
+                i -> array_to_string(t[i:i+4], ' ')))) AS g
+            FROM toks
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        contaminated AS (
+            SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (g)
+            WHERE s.doc_id % 97 <> 0
+        ),
+        clean AS (
+            SELECT s.doc_id, s.text FROM survivors0 s
+            JOIN quality q USING (doc_id)
+            WHERE s.doc_id % 97 <> 0
+              AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+              AND (s.doc_id * 2654435761 + 7) % 4294967296 % 100 < 80
+        ),
+        ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM clean),
+        chunks AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(greatest(len(t) - 8, 1) / 24.0) AS BIGINT)),
+                       i -> struct_pack(chunk_idx := i,
+                                        chunk_text := array_to_string(t[i*24+1 : i*24+32], ' '),
+                                        n := len(t[i*24+1 : i*24+32])))) AS c
+            FROM ct
+        )
+        SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk_text AS chunk_text,
+               CAST(c.n AS BIGINT) AS n_chunk_tokens
+        FROM chunks WHERE c.n > 0
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed into the product they exist for: a cleaned,
+    decontaminated, sampled, training-ready chunk stream — exact dedup
+    (keep min doc per content hash) → repetition-quality filter
+    (distinct ratio ≥ 0.4) → benchmark 5-gram decontamination → 80%
+    deterministic hash sample → 32/24 sliding-window chunking. One
+    Catalyst plan end-to-end (each stage is a join/filter over the
+    last — no materialization barriers), and the DuckDB oracle
+    re-derives the entire pipeline, so stage composition is verified,
+    not just the stages.
+    """
+    from dynaledger_spark.operators.dedup import _shingles
+    from dynaledger_spark.plans.queries_sampling import _H1, _M32, _mhash
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    keepers = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors0 = docs.join(keepers, "doc_id")
+
+    words = survivors0.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    per_doc = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_distinct"), F.sum("cnt").alias("n_words"))
+    )
+    quality = per_doc.filter(
+        F.col("n_distinct") / F.col("n_words") >= 0.4
+    ).select("doc_id")
+
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"), 5)).alias("g"))
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = sh.filter(is_bench).select("g").distinct()
+    contaminated = (
+        sh.filter(~is_bench).join(F.broadcast(bench), "g").select("doc_id").distinct()
+    )
+
+    clean = (
+        survivors0.join(quality, "doc_id")
+        .filter(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(_mhash(F.col("doc_id"), _H1, 7) % 100 < 80)
+        .select("doc_id", "text")
+    )
+
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(
+        (F.greatest(F.size(toks) - 8, F.lit(1))) / F.lit(24.0)
+    ).cast("bigint")
+    mk = lambda i: F.struct(  # noqa: E731
+        i.alias("chunk_idx"),
+        F.array_join(F.slice(toks, (i * 24 + 1).cast("int"), 32), " ").alias("chunk_text"),
+        F.size(F.slice(toks, (i * 24 + 1).cast("int"), 32)).cast("bigint").alias("n_chunk_tokens"),
+    )
+    return (
+        clean.select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1), mk)
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        )
+        .filter(F.col("n_chunk_tokens") > 0)
+    )

@@ -119,7 +119,7 @@ _DEMOTE = frozenset(
         "quantiles_disc_by_priority", "top3_orders_per_segment",
         "date_functions_matrix", "string_functions_matrix",
         "rank_family_segments", "higher_order_array_ops",
-        "union_distinct_actors", "doc_fingerprint",
+        "union_distinct_actors", "doc_fingerprint", "map_functions_props",
     }
 )
 
