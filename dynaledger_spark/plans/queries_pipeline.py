@@ -1351,3 +1351,91 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_chunk_tokens") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user linear trend: regression slope as an exact-moment aggregate
+# ---------------------------------------------------------------------------
+@register(
+    "user_value_trend",
+    doc="per-user least-squares slope of purchase value over time (exact decimal moments)",
+    oracle="""
+        WITH m AS (
+            SELECT user_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(38,0))
+                            * CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(38,0))) AS DOUBLE)
+                       AS sxx,
+                   CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(38,0))
+                            * CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT user_id, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 12) AS slope_per_sec
+        FROM m WHERE n >= 2
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of purchase value over time per user — trend
+    features for cohort analysis, computed as closed-form regression
+    from exact DECIMAL moment sums (n, Σx, Σy, Σx², Σxy): every moment
+    is order-independent, the closed form is one fixed IEEE expression,
+    and 12-decimal rounding absorbs the final-ulp division divergence.
+    x is CENTERED on the 2024-01-01 epoch before the moments — raw epoch
+    seconds make Σx² overflow double's exact-integer range and the
+    denominator n·Σx²−(Σx)² cancels catastrophically, amplifying the
+    decimal→double cast rounding into visible slope divergence
+    (measured); centered, every moment is exactly representable.
+    No MLlib, no iteration — regression as a hash aggregate with
+    map-side partials, the shape that scales.
+    """
+    ev = _t(spark, sf_dir, "events")
+    x = F.expr("CAST(unix_micros(ts) div 1000000 - 1704067200 AS DECIMAL(38,0))")
+    y = F.col("value").cast("decimal(27,6)")
+    m = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    return (
+        m.filter(F.col("n") >= 2)
+        .select(
+            "user_id",
+            "n",
+            F.round(
+                F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 12
+            ).alias("slope_per_sec"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-set aggregation with deterministic array output
+# ---------------------------------------------------------------------------
+@register(
+    "user_event_type_sets",
+    doc="per-user sorted distinct event-type array (deterministic array output)",
+    oracle="""
+        SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+               CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
+        FROM events GROUP BY user_id
+    """,
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed aggregation output: the distinct event types per user
+    as a SORTED array (collect_set order is partition-dependent —
+    array_sort makes the value deterministic and oracle-comparable).
+    Distinct-inside-aggregate plans as a two-phase hash aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
+    )
