@@ -4,18 +4,36 @@ Beyond the round-1/2 surface (dedup families, ANN, text stats, sampling,
 multimodal, streaming) these add the remaining steps of a production
 pretraining-data pipeline:
 
-  * TF-IDF term scoring (keyword extraction / topic features),
-  * Gopher-style repetition & quality heuristics (corpus filtering),
-  * benchmark n-gram decontamination (eval-set leakage removal),
-  * PII redaction (regex scrub with match accounting),
-  * time-bucket OHLC rollup (hypertable-style downsampling of events),
-  * skew-salted join (the explicit hot-key fix from operators/scale.py,
-    proven result-identical to the plain join by the oracle).
+  * corpus scoring & filtering — TF-IDF top terms, Gopher-style
+    repetition/quality heuristics, z-score outlier flags, per-group
+    trend slopes (exact-moment regression);
+  * safety & leakage — benchmark n-gram decontamination, regex PII
+    redaction with match accounting;
+  * dedup at ingest — incremental batch-vs-corpus anti-join;
+  * subsetting — quality-weighted sampling, mixture rebalancing to
+    target source shares, token-budget quota selection;
+  * batch preparation — sliding-window chunking, per-shard greedy
+    sequence packing, and the whole pipeline composed end-to-end
+    (curation_pipeline_e2e: dedup → quality → decontaminate → sample →
+    chunk in ONE Catalyst plan, re-derived wholesale by the oracle);
+  * embeddings — int8 quantization with exact checksums, per-label
+    centroids (order-forced exact float sums);
+  * time series & relational — hourly OHLC rollup (one Exchange),
+    linear gap-fill interpolation, interval×interval overlap join
+    (exactly-once via first-shared-bucket), SCD2 dimension build,
+    fixed-width histograms, sorted distinct-set aggregation, and the
+    skew-salted join proven result-identical to the plain join.
 
-Every query here is oracle-exact: integer/boolean outputs or single IEEE
-double ops (one int→double conversion + one division) and DECIMAL-
-accumulated sums, so DuckDB must agree bitwise. No UDFs anywhere — all
-JVM expression trees (whole-stage codegen) plus shuffles Catalyst plans.
+Every query here is oracle-exact. The determinism patterns, in
+increasing order of subtlety: integer/boolean outputs; single IEEE ops
+on int-derived doubles; DECIMAL-accumulated sums (portable ONLY for
+short-decimal inputs — DuckDB's double→decimal cast rounds through a
+double multiply, so float-derived values need the sorted-fold trick in
+label_centroids instead); subtract-then-truncate for timestamp deltas;
+centered regressors before second moments (cancellation); and 9-12
+decimal rounding only where a final division's last ulp can differ.
+No UDFs anywhere — all JVM expression trees plus shuffles Catalyst
+plans; plan shapes are pinned in tests/test_plans.py.
 """
 
 from __future__ import annotations
