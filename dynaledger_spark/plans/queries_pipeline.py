@@ -1441,19 +1441,26 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_sets",
     doc="per-user sorted distinct event-type array (deterministic array output)",
     oracle="""
-        SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                   AS event_types,
                CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
         FROM events GROUP BY user_id
     """,
 )
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-typed aggregation output: the distinct event types per user
-    as a SORTED array (collect_set order is partition-dependent —
-    array_sort makes the value deterministic and oracle-comparable).
+    """Distinct-set aggregation: the event types per user as a SORTED,
+    comma-joined string (collect_set order is partition-dependent —
+    array_sort makes the value deterministic; the string rendering makes
+    it serialization-stable too: raw array columns stringify differently
+    depending on whether the session converts results through Arrow, so
+    an array output would hash-mismatch under a foreign harness).
     Distinct-inside-aggregate plans as a two-phase hash aggregate.
     """
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
         F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
     )
