@@ -1464,3 +1464,56 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA: sequential recurrence as an ordered fold
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_user_values",
+    doc="exponentially weighted moving average per user (alpha=0.2), ordered-fold exact",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+                   list(event_id ORDER BY ts, event_id) AS ids
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT user_id,
+               ids[len(ids)] AS last_event_id,
+               list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma_value,
+               CAST(len(vs) AS BIGINT) AS n_events
+        FROM ordered
+    """,
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.2) of each user's purchase values — the canonical
+    SEQUENTIAL recurrence (each output depends on the previous), which
+    has no shuffle-free window form. Expressed as an ordered fold: the
+    per-user series collects sorted by (ts, event_id) and folds left,
+    seeded with the first value — DuckDB's 2-arg list_reduce is the
+    byte-identical IEEE chain, so the result needs no rounding at all.
+    State is bounded by events-per-user; at 100 TB this exact shape runs
+    as applyInPandasWithState on a stream (the sessionizer's pattern)
+    rather than a batch collect per key.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ordered = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("rows")
+        )
+    )
+    vs = F.col("rows.value")
+    return ordered.select(
+        "user_id",
+        F.element_at(F.col("rows.event_id"), -1).alias("last_event_id"),
+        F.aggregate(
+            F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+            F.element_at(vs, 1),
+            lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+        ).alias("ewma_value"),
+        F.size(vs).cast("bigint").alias("n_events"),
+    )
