@@ -1517,3 +1517,110 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ewma_value"),
         F.size(vs).cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB-style downsampling: the visually-important point per bucket
+# ---------------------------------------------------------------------------
+@register(
+    "lttb_downsample",
+    doc="largest-triangle downsample per hour bucket (bucket-mean anchors, parallel form)",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type, event_id,
+                   CAST(epoch_us(ts) // 1000000 - 1704067200 AS DOUBLE) AS x,
+                   value AS y,
+                   CAST((epoch_us(ts) // 1000000 - 1704067200) // 3600 AS BIGINT) AS b
+            FROM events
+        ),
+        means AS (
+            SELECT event_type, b,
+                   CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE) / COUNT(*) AS mx,
+                   CAST(SUM(CAST(floor(y * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / (COUNT(*) * 100) AS my
+            FROM pts GROUP BY event_type, b
+        ),
+        ranked AS (
+            SELECT p.event_type, p.b, p.event_id, p.y,
+                   abs((l.mx - r.mx) * (p.y - l.my)
+                       - (l.mx - p.x) * (r.my - l.my)) AS area,
+                   row_number() OVER (
+                       PARTITION BY p.event_type, p.b
+                       ORDER BY abs((l.mx - r.mx) * (p.y - l.my)
+                                    - (l.mx - p.x) * (r.my - l.my)) DESC,
+                                p.event_id) AS rnk
+            FROM pts p
+            JOIN means l ON l.event_type = p.event_type AND l.b = p.b - 1
+            JOIN means r ON r.event_type = p.event_type AND r.b = p.b + 1
+        )
+        SELECT event_type, b AS bucket, event_id, y AS kept_value, area
+        FROM ranked WHERE rnk = 1
+    """,
+)
+def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle downsampling for chart rendering (the hypertable
+    `lttb()` analog): per (event_type, hour bucket) keep the point whose
+    triangle with the NEIGHBOR BUCKET MEANS has the largest area — the
+    parallel form of LTTB (classic LTTB anchors on the previously
+    selected point, a sequential dependency; mean anchors decouple the
+    buckets so every bucket ranks independently — one join against the
+    tiny bucket-means table and one windowed argmax). The mean anchors
+    come from exact decimal sums and the area is a fixed IEEE
+    expression, so selection (and the tie-break by event_id) is
+    identical in both engines; x is centered on the 2024-01-01 epoch so
+    the products stay well-conditioned.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(unix_micros(ts) div 1000000 - 1704067200 AS DOUBLE)").alias("x"),
+        F.col("value").alias("y"),
+        F.expr("CAST((unix_micros(ts) div 1000000 - 1704067200) div 3600 AS BIGINT)").alias("b"),
+    )
+    # anchors from pure-INTEGER sums (seconds; cent-quantized values):
+    # integer sums cast to double exactly, and each mean is one IEEE
+    # division — a DECIMAL accumulator here would reintroduce the
+    # DuckDB double→decimal→double conversion ulp (it flipped one
+    # area's 6th decimal at sf0.01 before this)
+    means = pts.groupBy("event_type", "b").agg(
+        (F.sum(F.col("x").cast("bigint")).cast("double") / F.count(F.lit(1))).alias("mx"),
+        (
+            F.sum(F.floor(F.col("y") * 100 + 0.5).cast("bigint")).cast("double")
+            / (F.count(F.lit(1)) * 100)
+        ).alias("my"),
+    )
+    l = means.select(
+        F.col("event_type").alias("l_et"), (F.col("b") + 1).alias("l_b"),
+        F.col("mx").alias("l_mx"), F.col("my").alias("l_my"),
+    )
+    r = means.select(
+        F.col("event_type").alias("r_et"), (F.col("b") - 1).alias("r_b"),
+        F.col("mx").alias("r_mx"), F.col("my").alias("r_my"),
+    )
+    joined = pts.join(
+        l, (F.col("event_type") == F.col("l_et")) & (F.col("b") == F.col("l_b"))
+    ).join(r, (F.col("event_type") == F.col("r_et")) & (F.col("b") == F.col("r_b")))
+    area = F.abs(
+        (F.col("l_mx") - F.col("r_mx")) * (F.col("y") - F.col("l_my"))
+        - (F.col("l_mx") - F.col("x")) * (F.col("r_my") - F.col("l_my"))
+    )
+    w = W.partitionBy("event_type", "b").orderBy(area.desc(), F.col("event_id"))
+    return (
+        joined.withColumn("area", area)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("b").alias("bucket"),
+            "event_id",
+            F.col("y").alias("kept_value"),
+            # raw double, deliberately NOT rounded: the pre-round areas
+            # are bit-identical across engines (integer-exact anchors +
+            # fixed IEEE expression), while rounding would DIVERGE at
+            # exact decimal ties — cent-quantized inputs make dyadic
+            # area values like x.xx90625 reachable, and Spark rounds
+            # half-up where DuckDB rounds half-even (hit at sf0.01)
+            F.col("area"),
+        )
+    )
