@@ -397,3 +397,69 @@ def stream_time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
         return run_available_now(agg, name, output_mode="complete")
+
+
+@register(
+    "stream_session_windows",
+    doc="native session_window streaming aggregation (30-min gap), AvailableNow drain",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 1800 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, event_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last_event,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value
+        FROM sessions GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session windows (`F.session_window`) — the
+    built-in alternative to the custom applyInPandasWithState
+    sessionizer (`stream_sessionization`): the state store merges
+    per-event windows [t, t+gap) as they arrive, so a session closes
+    when the next event lands exactly at or past the gap (half-open —
+    the oracle's lag condition is therefore `>=`, where a closed-gap
+    sessionizer would use `>`). Watermark bounds session state; drained
+    with AvailableNow it reproduces the batch gap-split bitwise.
+    """
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.functions.agg import dsum
+    from dynaledger_spark.streaming import events_stream, run_available_now
+
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    agg = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_last_event"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+    name = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_available_now(agg, name, output_mode="complete")

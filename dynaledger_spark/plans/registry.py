@@ -121,6 +121,7 @@ _DEMOTE = frozenset(
         "rank_family_segments", "higher_order_array_ops",
         "union_distinct_actors", "doc_fingerprint", "map_functions_props",
         "json_extract_cast", "lang_id", "conditional_routing", "running_window",
+        "dup_detection",
     }
 )
 
