@@ -264,3 +264,78 @@ def test_interval_overlap_matches_bruteforce(spark, sf):
     got = {(r["click_id"], r["purchase_id"]): r["overlap_seconds"] for r in rows}
     assert len(rows) == len(got), "duplicate pairs emitted"
     assert got == want
+
+
+def test_ewma_bounded_by_series(spark, sf):
+    """An EWMA is a convex combination of the series: it must lie within
+    [min, max] of each user's values, and equal the value exactly for
+    single-event users."""
+    from collections import defaultdict
+
+    from dynaledger_spark.catalog import read_table
+
+    ev = read_table(spark, sf, "events").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "purchase":
+            by_user[r["user_id"]].append(((r["ts"], r["event_id"]), r["value"]))
+    rows = REGISTRY["ewma_user_values"].build(spark, sf).collect()
+    assert {r["user_id"] for r in rows} == set(by_user)
+    for r in rows:
+        vals = [v for _, v in by_user[r["user_id"]]]
+        assert min(vals) - 1e-9 <= r["ewma_value"] <= max(vals) + 1e-9
+        assert r["n_events"] == len(vals)
+        if len(vals) == 1:
+            assert r["ewma_value"] == vals[0]
+        # recompute the fold in plain Python (identical chain)
+        ordered = [v for _, v in sorted(by_user[r["user_id"]])]
+        acc = ordered[0]
+        for x in ordered[1:]:
+            acc = 0.2 * x + 0.8 * acc
+        assert r["ewma_value"] == acc
+
+
+def test_lttb_one_point_per_interior_bucket(spark, sf):
+    """LTTB keeps exactly one point per (type, bucket) that has both
+    neighbor buckets, and the kept event really lives in that bucket."""
+    from collections import Counter
+
+    from dynaledger_spark.catalog import read_table
+
+    ev = read_table(spark, sf, "events").collect()
+    base = 1704067200
+    buckets = {}
+    for r in ev:
+        b = (int(r["ts"].timestamp()) - base) // 3600
+        buckets.setdefault((r["event_type"], b), set()).add(r["event_id"])
+    rows = REGISTRY["lttb_downsample"].build(spark, sf).collect()
+    seen = Counter((r["event_type"], r["bucket"]) for r in rows)
+    assert all(c == 1 for c in seen.values())
+    for r in rows:
+        key = (r["event_type"], r["bucket"])
+        assert r["event_id"] in buckets[key]
+        assert (r["event_type"], r["bucket"] - 1) in buckets
+        assert (r["event_type"], r["bucket"] + 1) in buckets
+
+
+def test_session_windows_do_not_overlap(spark, sf):
+    """Per user, native session windows are disjoint and consecutive
+    sessions are separated by at least the 30-minute gap; event counts
+    reconcile with the table."""
+    from collections import defaultdict
+    import datetime as dt
+
+    rows = REGISTRY["stream_session_windows"].build(spark, sf).collect()
+    from dynaledger_spark.catalog import read_table
+
+    total = read_table(spark, sf, "events").count()
+    assert sum(r["n_events"] for r in rows) == total
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for user, sess in by_user.items():
+        sess.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sess, sess[1:]):
+            assert b["session_start"] - a["session_last_event"] >= dt.timedelta(minutes=30)
+        for r in sess:
+            assert r["session_start"] <= r["session_last_event"]
