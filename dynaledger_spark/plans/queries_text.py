@@ -125,10 +125,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) signatures → 32-band LSH bucketing → candidate pairs →
     exact shingle Jaccard ≥ 0.5. One signature pass + one banded
     self-join; never O(N²) (operators/dedup.py).
+
+    Returned LAZY (materialize=False): eager materialization pins the
+    plan outside AQE and measured 3-4× slower than letting the caller's
+    single action run the same pipeline (8-9 s vs 1.2-2.6 s at sf0.1,
+    round-4 root-cause of the flat r3 driver bench). The signature cache
+    this leaves behind is a few MB and session-scoped.
     """
     from dynaledger_spark.operators.dedup import near_duplicates
 
-    return near_duplicates(_docs(spark, sf_dir), threshold=0.5, materialize=True)
+    return near_duplicates(_docs(spark, sf_dir), threshold=0.5)
 
 
 @register(
