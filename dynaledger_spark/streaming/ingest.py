@@ -156,6 +156,12 @@ def replay_as_batches(
     time, so a `maxFilesPerTrigger=1` stream sees watermarks advance the
     way a live source would. Stand-in for Kafka in this container.
     """
+    if n_batches == 1:
+        # no ordering needed for a single landing file — skip the
+        # global-sort ntile (a single-partition window, fine for a test
+        # harness but pure waste when there is nothing to split).
+        df.coalesce(1).write.mode("append").parquet(landing_dir)
+        return landing_dir
     bucketed = df.withColumn("_b", F.ntile(n_batches).over(Window.orderBy(ts_col)))
     bucketed.persist()
     try:

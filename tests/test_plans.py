@@ -340,3 +340,14 @@ def test_quality_pipeline_single_exchange(plans):
     clusterings — exactly ONE exchange in the whole plan."""
     for name in ("quality_gopher", "quality_weighted_sample"):
         assert _nodes(plans[name], "Exchange") == 1, name
+
+
+def test_ewma_single_exchange(plans):
+    """Segmented EWMA: row_number window shuffles on user_id once; the
+    (user, seg) and user aggregations cluster on subsets of that key and
+    must not add exchanges — the scale claim in its docstring."""
+    plan = plans["ewma_user_values"]
+    assert _nodes(plan, "Exchange") == 1
+    # bounded arrays: the collect_list groups on (user_id, seg), never
+    # the whole per-user series
+    assert "collect_list" in plan

@@ -425,3 +425,74 @@ def test_salted_join_rejects_outer(spark):
     for how in ("right", "full", "left_anti"):
         with _pytest.raises(ValueError, match="salted_join supports"):
             salted_join(df, df, ["k"], how=how)
+
+
+# ---------------------------------------------------------------------------
+# segmented EWMA ≡ python segmented reference (bitwise) and ≈ strict chain
+# ---------------------------------------------------------------------------
+def _ewma_chain(vals, alpha=0.2):
+    acc = vals[0]
+    for x in vals[1:]:
+        acc = alpha * x + (1.0 - alpha) * acc
+    return acc
+
+
+def _ewma_segmented_py(vals, seg, alpha=0.2):
+    """Pure-python mirror of the segmented fold — same op order, so the
+    Spark result must match BITWISE, hot keys included."""
+    chunks = [vals[i : i + seg] for i in range(0, len(vals), seg)]
+    acc = _ewma_chain(chunks[0], alpha)
+    for c in chunks[1:]:
+        decay, part = 1.0, 0.0
+        for x in c:
+            decay = decay * (1.0 - alpha)
+            part = alpha * x + (1.0 - alpha) * part
+        acc = part + decay * acc
+    return acc
+
+
+@PROP
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.floats(-1e6, 1e6, allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    hot_n=st.integers(500, 2000),
+)
+def test_ewma_segmented_matches_reference(spark, series, hot_n):
+    """One deliberately hot user (hot_n events — many segments) plus
+    random small users: Spark's segmented fold must equal the python
+    segmented mirror bitwise, and stay within float-linear-recurrence
+    drift of the strict sequential chain."""
+    import datetime
+
+    from dynaledger_spark.plans.queries_pipeline import EWMA_SEGMENT, ewma_segmented
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, per_user = [], {}
+    hot = [((i * 2654435761) % 1_000_000) / 97.0 for i in range(hot_n)]
+    for i, v in enumerate(hot):
+        rows.append((999, t0 + datetime.timedelta(seconds=i), i, v))
+    per_user[999] = hot
+    for i, (u, v) in enumerate(series):
+        rows.append((u, t0 + datetime.timedelta(seconds=i), 10_000 + i, v))
+        per_user.setdefault(u, []).append(v)
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r["user_id"]: (r["ewma_value"], r["n_events"], r["last_event_id"])
+        for r in ewma_segmented(ev).collect()
+    }
+    assert set(got) == set(per_user)
+    for u, vals in per_user.items():
+        want = _ewma_segmented_py(vals, EWMA_SEGMENT)
+        assert got[u][0] == want, f"user {u}: {got[u][0]!r} != {want!r}"
+        assert got[u][1] == len(vals)
+        chain = _ewma_chain(vals)
+        assert abs(got[u][0] - chain) <= 1e-9 * max(1.0, abs(chain))
+    assert got[999][2] == hot_n - 1  # hot user's last event id
