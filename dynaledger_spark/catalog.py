@@ -57,6 +57,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       was verified under. The session timezone is pinned UTC here so the
       NTZ→TZ cast and result rendering are deterministic regardless of
       host timezone (DuckDB's naive timestamps compare as UTC).
+
+    SIDE EFFECT (deliberate, session-wide): when a table carries NTZ
+    columns, this sets ``spark.sql.session.timeZone = UTC`` on the
+    CALLER'S session and leaves it set — subsequent timestamp rendering
+    in unrelated queries on a non-UTC session changes from that point
+    on. Column-level ``to_utc_timestamp`` cannot replace it: the cast
+    semantics AND the downstream rendering both have to agree with the
+    UTC-pinned contract the oracle parity was verified under. A session
+    that needs a different display timezone must set it back after the
+    read and own the resulting NTZ interpretation. (Also noted in
+    README "Gotchas".)
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

@@ -31,16 +31,29 @@ def compact(
 ) -> dict:
     """Rewrite a parquet directory into ~target_rows_per_file files.
 
-    Row count is read from parquet footers (a metadata query, no data
-    scan); the rewrite itself is one pass: `repartition(n)` (or
+    One sizing pass (count) then one rewrite pass: `repartition(n)` (or
     `repartitionByRange(n, sort_cols)` when sorting, so files hold
     DISJOINT sort-key ranges and min/max stats prune file-level, not
     just row-group-level) + `sortWithinPartitions` + write. Returns
     {files_before, files_after, rows} for observability — a compaction
     job that can't report what it did gets re-run blind.
+
+    `dest_path` must differ from `source_path`: Spark reads the input
+    lazily, so an in-place mode("overwrite") would delete the source
+    mid-job and lose the table. Delta/Iceberg OPTIMIZE can rewrite
+    in-place only because a transaction log swaps file sets atomically;
+    on bare parquet the safe recipe is compact to a temp dir + rename.
     """
+    if os.path.realpath(dest_path) == os.path.realpath(source_path):
+        raise ValueError(
+            "compact() cannot rewrite in place: mode('overwrite') deletes "
+            "the lazily-read source mid-job. Write to a temp dir and rename."
+        )
     df = spark.read.parquet(source_path)
-    rows = df.count()  # parquet count(*) is footer metadata, not a scan
+    # a real scan in vanilla Spark (footer-only counts need
+    # spark.sql.parquet.aggregatePushdown, default off) — acceptable:
+    # it's column-pruned to zero columns and prices the rewrite anyway
+    rows = df.count()
     files_before = sum(
         1 for f in os.listdir(source_path) if f.endswith(".parquet")
     ) if os.path.isdir(source_path) else 1

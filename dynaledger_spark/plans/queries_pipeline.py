@@ -506,13 +506,23 @@ def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak. Unlike the shingle operators this keeps DUPLICATE grams
     (LM counts, not set membership). Plan: explode → hash aggregate with
     map-side combine → TakeOrderedAndProject (never a global sort).
+
+    A <2-token document emits no grams via the when() guard — the old
+    greatest(size-2, -1) form fed sequence(0, -1), which yields a
+    DESCENDING [0, -1] (not empty!) and then slice(toks, 0, 2) throws
+    'array indices start at 1' at runtime (round-3 advice; current
+    testdata never hits it, so this is a latent-crash fix, and the
+    DuckDB oracle's range(1, 1) was already empty for that case).
     """
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -1126,7 +1136,7 @@ def scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH weighted AS (
             SELECT source,
-                   CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0
+                   CASE WHEN TRY_CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0
                         THEN 3 ELSE 1 END AS w,
                    COUNT(*) AS n_s
             FROM documents GROUP BY source
@@ -1158,8 +1168,11 @@ def mixture_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.plans.queries_sampling import _H1, _M32, _mhash
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # try_cast on BOTH sides: a digit-less source name must degrade to
+    # NULL -> weight 1 in each engine, not crash one of them (DuckDB's
+    # plain CAST('') errors; Spark's would too under ANSI mode)
     w = F.when(
-        F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 2 == 0, 3
+        F.regexp_extract(F.col("source"), "[0-9]+", 0).try_cast("int") % 2 == 0, 3
     ).otherwise(1)
     weighted = docs.groupBy("source").agg(
         F.first(w).alias("w"), F.count(F.lit(1)).alias("n_s")

@@ -54,3 +54,15 @@ def test_sorted_compaction_prunes_scan(spark, shattered, tmp_path):
     total = spark.read.parquet(dest).count()
     narrow = spark.read.parquet(dest).filter(F.col("o_orderkey") < 100)
     assert narrow.count() < total / 4
+
+
+def test_compact_refuses_in_place(spark, shattered):
+    """overwrite onto the lazily-read source would delete the table
+    mid-job — the natural misuse for anyone expecting OPTIMIZE-style
+    in-place semantics (round-3 advice)."""
+    import pytest as _pytest
+
+    from dynaledger_spark.operators.layout import compact
+
+    with _pytest.raises(ValueError, match="in place"):
+        compact(spark, str(shattered), str(shattered), target_rows_per_file=1000)
