@@ -5,13 +5,18 @@ surface): media travels as a `binary` column with typed metadata beside
 it; decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages with explicit output schemas.
 
-STUB NOTICE: real codecs (PIL / soundfile / av) are not in this container.
-Decode is gated behind an import-try; when absent it falls back to a
-DETERMINISTIC FAKE decoder (`_fake_decode`) whose arithmetic is simple
-enough to mirror in ANSI SQL, so the *plumbing* — schema, batch shape,
-partitioning, row expansion — is fully exercised and oracle-checked even
-though no pixels are decoded. Swap `_fake_decode` for the real parser and
-nothing else changes.
+CODEC NOTICE: real codecs (PIL / soundfile) load behind an import-try
+and are used automatically when (a) the library is present AND (b) the
+bytes actually parse as that medium; every row reports which path
+produced it in the `decoder` column ('pil' / 'soundfile' / 'stub').
+Content that fails to parse — including the synthetic media table, whose
+`content` is utf-8 text — falls back to the DETERMINISTIC FAKE decoder
+(`_fake_decode`) whose arithmetic is simple enough to mirror in ANSI
+SQL. So the *plumbing* — schema, batch shape, partitioning, row
+expansion — is fully exercised and oracle-checked in any environment
+(the oracle pins decoder='stub' because text bytes never parse), while a
+user with real media and codecs gets real dimensions with no code
+change.
 
 Scale posture: mapInPandas streams Arrow batches (bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch) — executors never hold a
@@ -31,11 +36,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 try:  # pragma: no cover - not installed in this container
-    from PIL import Image  # noqa: F401
+    from PIL import Image
 
-    USING_REAL_CODECS = True
+    _HAVE_PIL = True
 except ImportError:
-    USING_REAL_CODECS = False
+    Image = None
+    _HAVE_PIL = False
+
+try:  # pragma: no cover - not installed in this container
+    import soundfile
+
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    soundfile = None
+    _HAVE_SOUNDFILE = False
 
 _MOD = 2_147_483_648  # 2^31: keeps checksums in signed-64 everywhere
 
@@ -62,6 +76,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("checksum", T.LongType()),
         T.StructField("duration_ms", T.LongType()),
+        T.StructField("decoder", T.StringType()),
     ]
 )
 
@@ -133,16 +148,55 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, int]:
     return n_bytes, width, height, checksum
 
 
+def _decode_one(kind: str, content: bytes) -> tuple[int, int, int, int, str]:
+    """(n_bytes, width, height, checksum, decoder) for one media blob.
+
+    Tries the real codec for the claimed kind first (when the library is
+    importable AND the bytes parse); anything else — missing library,
+    wrong/corrupt bytes, unhandled kind — falls back to the
+    deterministic stub, so the function is total and the output schema
+    is identical on both paths. The checksum on real paths is the byte
+    sum (cheap, order-independent of the codec), on the stub path the
+    codepoint fold the SQL oracle mirrors.
+    """
+    if kind == "image" and _HAVE_PIL:
+        try:  # pragma: no cover - exercised only where PIL exists
+            import io as _io
+
+            with Image.open(_io.BytesIO(content)) as img:
+                w, h = img.size
+            return len(content), int(w), int(h), sum(content) % _MOD, "pil"
+        except Exception:
+            pass
+    if kind == "audio" and _HAVE_SOUNDFILE:
+        try:  # pragma: no cover - exercised only where soundfile exists
+            import io as _io
+
+            info = soundfile.info(_io.BytesIO(content))
+            return (
+                len(content),
+                int(info.channels),
+                int(info.samplerate),
+                sum(content) % _MOD,
+                "soundfile",
+            )
+        except Exception:
+            pass
+    return (*_fake_decode(content), "stub")
+
+
 def decode_media(media: DataFrame) -> DataFrame:
-    """Binary → typed metadata, one output row per media row (mapInPandas)."""
+    """Binary → typed metadata, one output row per media row (mapInPandas).
+
+    Auto-upgrades per row: real codec where available and parseable,
+    deterministic stub otherwise; the `decoder` column reports which."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if USING_REAL_CODECS:  # pragma: no cover - container lacks codecs
-                raise NotImplementedError(
-                    "real codec path not implemented in this environment"
-                )
-            decoded = [_fake_decode(bytes(c)) for c in pdf["content"]]
+            decoded = [
+                _decode_one(k, bytes(c))
+                for k, c in zip(pdf["kind"], pdf["content"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
@@ -153,6 +207,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                     "height": [d[2] for d in decoded],
                     "checksum": [d[3] for d in decoded],
                     "duration_ms": pdf["duration_ms"].to_numpy(),
+                    "decoder": [d[4] for d in decoded],
                 }
             )
 

@@ -54,14 +54,18 @@ def _media_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="binary media → typed metadata via Arrow-batched mapInPandas",
     oracle=f"""
         WITH {_DECODED_CTE}
-        SELECT media_id, kind, fmt, n_bytes, width, height, checksum, duration_ms
+        SELECT media_id, kind, fmt, n_bytes, width, height, checksum, duration_ms,
+               'stub' AS decoder
         FROM decoded
     """,
 )
 def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode stage end-to-end: binary column in, typed metadata out,
-    one Arrow batch at a time. The deterministic fake decoder keeps the
-    stage oracle-checkable; swapping in a real codec changes no plumbing.
+    one Arrow batch at a time. Each row's `decoder` column reports which
+    path decoded it — real codecs engage automatically when importable
+    AND the bytes parse; the synthetic table's utf-8 content never does,
+    so the oracle pins decoder='stub' in every environment while real
+    media auto-upgrades (operators/multimodal.py:_decode_one).
     """
     return _media_decoded(spark, sf_dir)
 

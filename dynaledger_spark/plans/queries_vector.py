@@ -144,20 +144,24 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    doc="IVF ANN: k-means coarse quantizer, 4-of-16 cells probed, exact re-rank",
+    doc="IVF ANN: spherical k-means quantizer, 6-of-16 cells probed, exact re-rank",
     oracle=None,  # cell assignment depends on k-means fit → rows-only
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF scale path: ~4/16ths of the corpus scanned per query once
+    """The IVF scale path: 6/16ths of the corpus scanned per query once
     the index is built (at scale: corpus written partitioned by
-    centroid, centroid list kept driver-side). Recall vs the exact
-    baseline is asserted in unit tests.
+    centroid, centroid list kept driver-side). 6 probes because the
+    testdata embeddings are isotropic — recall@10 = 0.9 here, vs 0.9 at
+    2/16 probes on clustered embeddings; both measured in
+    tests/test_pipeline_ops.py::test_ivf_recall_at_10_vs_exact.
     """
     from dynaledger_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_probes=6
+    )
 
 
 @register(
@@ -239,11 +243,11 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qvec = list(emb.filter("vec_id = 0").head()["embedding"])
     corpus = emb.filter("vec_id != 0")
-    assigned, centroids = ivf_index(corpus, n_centroids=8)
+    assigned, centroids = ivf_index(corpus, n_centroids=16)
     path = tempfile.mkdtemp(prefix="ivf_cells_")
     try:
         ivf_write_cells(assigned, path)
-        out = ivf_topk_persisted(spark, path, centroids, qvec, k=10, n_probes=3)
+        out = ivf_topk_persisted(spark, path, centroids, qvec, k=10, n_probes=6)
         # materialize before the cell files vanish
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)

@@ -7,7 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from dynaledger_spark.operators.multimodal import (
-    USING_REAL_CODECS,
+    _HAVE_PIL,
+    _HAVE_SOUNDFILE,
+    _decode_one,
     _fake_decode,
     decode_media,
     extract_features,
@@ -33,8 +35,69 @@ def media(spark):
 
 
 def test_codec_gate():
-    # this container has no PIL/soundfile/av: the deterministic fake runs
-    assert USING_REAL_CODECS is False
+    # this container has no PIL/soundfile: every row must report the
+    # deterministic stub (and would even WITH codecs — text bytes never
+    # parse as media, so the fallback keeps oracles exact everywhere)
+    assert _HAVE_PIL is False and _HAVE_SOUNDFILE is False
+
+
+def test_decode_one_stub_fallback():
+    # unknown kind, unparseable bytes: total function, stub path
+    assert _decode_one("image", b"abc") == (*_fake_decode(b"abc"), "stub")
+    assert _decode_one("video", b"") == (*_fake_decode(b""), "stub")
+
+
+def test_decode_one_real_pil_branch(monkeypatch):
+    """Drive the 'pil' branch with a mocked PIL: real codec present and
+    bytes that parse -> real dims + byte-sum checksum + decoder='pil';
+    bytes that DON'T parse -> stub fallback. (Driver-side: worker
+    processes re-import modules, so the branch logic is tested directly;
+    the distributed path is schema-identical either way.)"""
+    from dynaledger_spark.operators import multimodal as mm
+
+    class FakeImg:
+        size = (640, 480)
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    class FakeImage:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) == b"PNG!":
+                return FakeImg()
+            raise OSError("not an image")
+
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    monkeypatch.setattr(mm, "Image", FakeImage)
+    good = mm._decode_one("image", b"PNG!rest-of-file")
+    assert good == (16, 640, 480, sum(b"PNG!rest-of-file") % mm._MOD, "pil")
+    assert mm._decode_one("image", b"plaintext") == (
+        *_fake_decode(b"plaintext"),
+        "stub",
+    )
+
+
+def test_decode_one_real_soundfile_branch(monkeypatch):
+    from dynaledger_spark.operators import multimodal as mm
+
+    class Info:
+        channels, samplerate = 2, 44100
+
+    class FakeSF:
+        @staticmethod
+        def info(buf):
+            if buf.read(4) == b"RIFF":
+                return Info()
+            raise RuntimeError("not audio")
+
+    monkeypatch.setattr(mm, "_HAVE_SOUNDFILE", True)
+    monkeypatch.setattr(mm, "soundfile", FakeSF)
+    assert mm._decode_one("audio", b"RIFFdata") == (
+        8, 2, 44100, sum(b"RIFFdata") % mm._MOD, "soundfile",
+    )
+    assert mm._decode_one("audio", b"nope") == (*_fake_decode(b"nope"), "stub")
 
 
 def test_fake_decode_known_values():
@@ -55,8 +118,10 @@ def test_synthesize_media_kinds(media):
 def test_decode_media_schema_and_values(media):
     decoded = decode_media(media)
     assert [f.name for f in decoded.schema.fields] == [
-        "media_id", "kind", "fmt", "n_bytes", "width", "height", "checksum", "duration_ms",
+        "media_id", "kind", "fmt", "n_bytes", "width", "height", "checksum",
+        "duration_ms", "decoder",
     ]
+    assert {r.decoder for r in decoded.collect()} == {"stub"}
     got = {r.media_id: r for r in decoded.collect()}
     assert got[0].n_bytes == 3 and got[0].checksum == 97 + 98 + 99
     assert got[3].n_bytes == 0 and got[3].width == 16 and got[3].checksum == 0

@@ -339,3 +339,62 @@ def test_session_windows_do_not_overlap(spark, sf):
             assert b["session_start"] - a["session_last_event"] >= dt.timedelta(minutes=30)
         for r in sess:
             assert r["session_start"] <= r["session_last_event"]
+
+
+# ---------------------------------------------------------------------------
+# IVF recall vs the exact cosine baseline (round-3 verdict item 3)
+# ---------------------------------------------------------------------------
+def test_ivf_recall_at_10_vs_exact():
+    """recall@10 of both IVF registry paths vs brute-force cosine at
+    sf0.1 (registry probe settings, 6/16 cells): turns 'it runs' into
+    'it searches'. Threshold 0.8 per the round-3 verdict. The testdata
+    embeddings are ISOTROPIC (unit-norm near-random; top-10 sims
+    0.31-0.41), the hardest regime for a coarse quantizer — recall is
+    bounded by scan fraction there, hence 6 probes; clustered data is
+    covered by test_ivf_recall_clustered at 4/16."""
+    import os
+
+    import pytest as _pytest
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "embeddings.parquet")):
+        _pytest.skip("sf0.1 testdata not present")
+    from dynaledger_spark.plans.registry import load_all
+    from dynaledger_spark.session import get_spark
+
+    spark = get_spark("ivf_recall_test")
+    reg = load_all()
+    exact = [r["vec_id"] for r in reg["ann_cosine_topk"].build(spark, sf01).collect()]
+    assert len(exact) == 10
+    for name in ("ann_ivf_topk", "ann_ivf_persisted_topk"):
+        approx = [r["vec_id"] for r in reg[name].build(spark, sf01).collect()]
+        recall = len(set(exact) & set(approx)) / len(exact)
+        assert recall >= 0.8, f"{name} recall@10 = {recall} (exact={exact}, got={approx})"
+
+
+def test_ivf_recall_clustered(spark):
+    """IVF's actual contract: on clusterable embeddings (16 directional
+    clusters), a 4/16-cell probe must reach recall@10 >= 0.9 — the
+    spherical quantizer captures direction, so neighbors co-locate."""
+    import numpy as np
+
+    from dynaledger_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.integers(0, 16, 2000)] + 0.25 * rng.normal(size=(2000, 64))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(2000)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in pts[0]]
+    corpus = df.filter("vec_id != 0")
+    exact = [r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(corpus, q, k=10, n_centroids=16, n_probes=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, f"clustered recall@10 = {recall}"
