@@ -68,7 +68,9 @@ def main() -> None:
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as fh:
         json.dump(
-            {"metric": "headline_queries_total_wall", "value": total, "unit": "sec",
+            {"metric": "full_registry_total_wall",
+             "value": round(sum(t for t in timings.values() if t >= 0), 4),
+             "unit": "sec", "headline_total_wall": total,
              "queries": timings, "sf": sf},
             fh,
         )

@@ -113,14 +113,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # arbitrary stateful streaming — rows-only driver check
 )
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events table through the custom stateful sessionizer
+    """Stream purchase events through the custom stateful sessionizer
     and close sessions by event-time timeout as the watermark advances.
     One data microbatch + the no-data timeout batch: the timeout path
     still fires (the final watermark closes every gap-expired session —
     output is identical to the 2-batch replay, verified), while the
     multi-batch state-carry behavior is pinned in unit tests where its
-    extra microbatch scheduling cost belongs. Sessions still open at
-    end-of-replay stay in state, as they would on a live stream.
+    extra microbatch scheduling cost belongs. Purchase-only because this
+    entry demonstrates the CUSTOM operator (applyInPandasWithState) —
+    its cost is the Python emission of one row per session, and the
+    full corpus at sf0.1 is ~95k sessions of microbatch overhead; the
+    native `stream_session_windows` twin is the full-corpus default
+    path. Sessions still open at end-of-replay stay in state, as they
+    would on a live stream.
     """
     from dynaledger_spark.catalog import read_table
     from dynaledger_spark.streaming import (
@@ -130,8 +135,10 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_stream,
     )
 
-    events = read_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
+    events = (
+        read_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
     )
     landing = tempfile.mkdtemp(prefix="dl_sessions_")
     try:
@@ -409,7 +416,7 @@ def stream_time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, event_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                                >= 1800 * 1000000
+                                > 1800 * 1000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -431,11 +438,15 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session windows (`F.session_window`) — the
     built-in alternative to the custom applyInPandasWithState
     sessionizer (`stream_sessionization`): the state store merges
-    per-event windows [t, t+gap) as they arrive, so a session closes
-    when the next event lands exactly at or past the gap (half-open —
-    the oracle's lag condition is therefore `>=`, where a closed-gap
-    sessionizer would use `>`). Watermark bounds session state; drained
-    with AvailableNow it reproduces the batch gap-split bitwise.
+    per-event windows [t, t+gap] as they arrive, INCLUSIVE at the
+    boundary — an event landing exactly `gap` after the previous one
+    still merges, so sessions split only when the gap is STRICTLY
+    exceeded and the oracle's lag condition is `>`. (Round 3 documented
+    `>=` from runs on random-microsecond data where exact-gap pairs
+    can't occur; the round-4 hypothesis suite
+    test_session_window_gap_boundary found the true boundary rule.)
+    Watermark bounds session state; drained with AvailableNow it
+    reproduces the batch gap-split bitwise.
     """
     from pyspark.sql import functions as F
 

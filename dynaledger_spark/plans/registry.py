@@ -107,6 +107,25 @@ _ROUND2_DRIVER_GREEN = (
     "statement_query", "anti_join_fk", "broadcast_lookup_default",
 )
 
+# CORRECTNESS_r03.json: the round-3 window, 50/50 green (key order
+# preserved — it becomes the re-verification priority among green rows).
+_ROUND3_DRIVER_GREEN = (
+    "tfidf_top_terms", "quality_gopher", "decontam_ngram_overlap",
+    "pii_redact", "time_bucket_ohlc", "salted_join_segment_revenue",
+    "embedding_quantize_int8", "ngram_top_bigrams", "gap_fill_interpolate",
+    "doc_chunk_overlap", "pack_sequences", "dedup_incremental_anti",
+    "quality_weighted_sample", "interval_overlap_sessions", "zscore_outliers",
+    "label_centroids", "value_histogram", "scd2_user_tiers",
+    "mixture_rebalance_sample", "token_budget_head", "curation_pipeline_e2e",
+    "user_value_trend", "user_event_type_sets", "ewma_user_values",
+    "lttb_downsample", "stream_time_bucket_ohlc", "stream_session_windows",
+)
+
+# Flagships that must NEVER age out of the 50-entry window, whatever
+# lands in a new round: the entry() query and the portable dedup
+# miniatures that stand in for the engine-specific MinHash/SimHash.
+_PINNED = ("fact_build", "minhash_portable_pairs", "simhash_portable_fingerprints")
+
 # Twice-green simple relational queries: verified in both r1 and r2 (or
 # structurally equivalent to still-windowed queries) — demoted below the
 # rest of the green set so new queries fit in the 50-entry window without
@@ -119,7 +138,7 @@ _DEMOTE = frozenset(
         "quantiles_disc_by_priority", "top3_orders_per_segment",
         "date_functions_matrix", "string_functions_matrix",
         "rank_family_segments", "higher_order_array_ops",
-        "union_distinct_actors", "doc_fingerprint", "map_functions_props",
+        "doc_fingerprint", "map_functions_props",
         "json_extract_cast", "lang_id", "conditional_routing", "running_window",
         "dup_detection",
     }
@@ -127,22 +146,36 @@ _DEMOTE = frozenset(
 
 
 def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
-    """Registry names ordered for the driver's truncated verify window."""
+    """Registry names ordered for the driver's truncated verify window.
+
+    Tiers: (0) pinned flagships — always inside the window; (1) new
+    oracle-backed queries never driver-verified (round-4 additions) —
+    the window budget is spent here; (2) green in a prior round, most
+    recent round first (cheap re-verification insurance); (3) demoted
+    twice-green simple queries; (4) rows-only (no oracle → weakest
+    check) last.
+    """
     r2_rank = {n: i for i, n in enumerate(_ROUND2_DRIVER_GREEN)}
-    green = set(r2_rank) | _ROUND1_DRIVER_GREEN
+    r3_rank = {n: i for i, n in enumerate(_ROUND3_DRIVER_GREEN)}
+    green = set(r2_rank) | set(r3_rank) | _ROUND1_DRIVER_GREEN
     names = list(registry)
 
     def key(name: str):
         spec = registry[name]
-        if spec.oracle is None:
-            tier = 3
+        if name in _PINNED:
+            tier = 0
+        elif spec.oracle is None:
+            tier = 4
         elif name in _DEMOTE:
-            tier = 2
+            tier = 3
         elif name in green:
-            tier = 1
+            tier = 2
         else:
-            tier = 0  # new / never driver-verified: spend the window here
-        return (tier, r2_rank.get(name, len(r2_rank)), names.index(name))
+            tier = 1  # new / never driver-verified: spend the window here
+        # among green rows, re-verify the most recent round's set first
+        # (it contains this round's behavior-touched queries), then r2
+        rank = r3_rank.get(name, len(r3_rank) + r2_rank.get(name, len(r2_rank)))
+        return (tier, rank, names.index(name))
 
     return sorted(names, key=key)
 

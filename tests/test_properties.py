@@ -496,3 +496,141 @@ def test_ewma_segmented_matches_reference(spark, series, hot_n):
         chain = _ewma_chain(vals)
         assert abs(got[u][0] - chain) <= 1e-9 * max(1.0, abs(chain))
     assert got[999][2] == hot_n - 1  # hot user's last event id
+
+
+# ---------------------------------------------------------------------------
+# LTTB tie rules: half-up cent quantization + event_id tiebreak at equal area
+# ---------------------------------------------------------------------------
+def _lttb_reference(rows, bucket_s=3600):
+    """Transparent mirror of the documented parallel-LTTB rules:
+    anchors = (int-sum of x)/n and (sum of floor(y*100+0.5))/(100n);
+    keep the max-area point per middle bucket, ties -> smallest
+    event_id. Same IEEE doubles as both engines."""
+    import math
+    from collections import defaultdict
+
+    pts = defaultdict(list)  # (et, b) -> [(x, y, event_id)]
+    for et, eid, x, y in rows:
+        pts[(et, x // bucket_s)].append((float(x), y, eid))
+    anchors = {}
+    for key, ps in pts.items():
+        mx = float(sum(int(p[0]) for p in ps)) / len(ps)
+        my = float(sum(int(math.floor(p[1] * 100 + 0.5)) for p in ps)) / (
+            len(ps) * 100
+        )
+        anchors[key] = (mx, my)
+    out = {}
+    for (et, b), ps in pts.items():
+        if (et, b - 1) not in anchors or (et, b + 1) not in anchors:
+            continue
+        lmx, lmy = anchors[(et, b - 1)]
+        rmx, rmy = anchors[(et, b + 1)]
+        best = None
+        for x, y, eid in ps:
+            area = abs((lmx - rmx) * (y - lmy) - (lmx - x) * (rmy - lmy))
+            cand = (-area, eid)
+            if best is None or cand < best:
+                best = cand
+        out[(et, b)] = (best[1], -best[0])
+    return out
+
+
+@PROP
+@given(
+    points=st.lists(
+        st.tuples(
+            st.integers(0, 2),        # bucket 0..2 (bucket 1 produces output)
+            st.integers(0, 3599),     # second within the bucket (dups allowed)
+            st.integers(-2000, 2000), # value in half-cents: dyadic .005 ties
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_lttb_tie_rules_match_reference(spark, points):
+    """Duplicate timestamps and exact half-cent values: the Spark plan's
+    half-up quantization and event_id tiebreak must match the
+    transparent reference bitwise (locks the empirically-found rule the
+    oracle encodes)."""
+    import datetime
+    import unittest.mock as mock
+
+    from dynaledger_spark.plans import queries_pipeline as qp
+
+    # ensure every bucket 0..2 is populated so bucket 1 emits
+    points = points + [(0, 0, 100), (1, 0, 100), (2, 0, 100)]
+    epoch = datetime.datetime(2024, 1, 1)
+    rows, ref_rows = [], []
+    for eid, (b, s, half_cents) in enumerate(points):
+        x = b * 3600 + s
+        y = half_cents / 200.0
+        rows.append(("purchase", eid, epoch + datetime.timedelta(seconds=x), y))
+        ref_rows.append(("purchase", eid, x, y))
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    with mock.patch.object(qp, "_t", lambda spark_, sf_dir_, name_: ev):
+        got = {
+            (r["event_type"], r["bucket"]): (r["event_id"], r["area"])
+            for r in qp.lttb_downsample(spark, "unused").collect()
+        }
+    assert got == _lttb_reference(ref_rows)
+
+
+# ---------------------------------------------------------------------------
+# native session_window: half-open gap boundary (>= gap starts a new session)
+# ---------------------------------------------------------------------------
+def _sessions_reference(offsets, gap_s=1800):
+    """Inclusive-boundary rule: an event exactly gap after the previous
+    still MERGES; sessions split only when the gap is strictly exceeded
+    (this test falsified the round-3 `>=` documentation — Spark merges
+    touching [t, t+gap] windows)."""
+    sessions, cur = [], None
+    for off in sorted(offsets):
+        if cur is None or off - cur[-1] > gap_s:
+            if cur:
+                sessions.append(cur)
+            cur = [off]
+        else:
+            cur.append(off)
+    if cur:
+        sessions.append(cur)
+    return [(s[0], s[-1], len(s)) for s in sessions]
+
+
+@PROP
+@given(
+    offsets=st.lists(
+        # multiples of 600 s: exact 1800 gaps (the tie) arise constantly
+        st.integers(0, 30).map(lambda k: k * 600),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_session_window_gap_boundary(spark, offsets):
+    """F.session_window merges at exactly the gap and splits only past
+    it — including duplicate timestamps, which must never split. Locks
+    the boundary semantics the stream_session_windows oracle encodes
+    with `>`."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    epoch = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, epoch + datetime.timedelta(seconds=o)) for o in offsets],
+        "user_id long, ts timestamp",
+    )
+    got = sorted(
+        (
+            int((r["w"]["start"] - epoch).total_seconds()),
+            int((r["w"]["end"] - epoch).total_seconds()) - 1800,
+            r["n"],
+        )
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == sorted(_sessions_reference(offsets))
