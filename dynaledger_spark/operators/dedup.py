@@ -249,7 +249,10 @@ def simhash_fingerprints(
 
 
 def simhash_near_duplicates(
-    fps: DataFrame, max_hamming: int = 3, n_chunks: int | None = None
+    fps: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Pairs within `max_hamming` bit flips, found by chunk banding.
 
@@ -258,7 +261,19 @@ def simhash_near_duplicates(
     pairs without O(N²); exact Hamming via bit_count(xor) filters.
     `n_chunks` defaults to max_hamming+1 — the smallest value with a
     full-recall guarantee at the requested distance.
+
+    `max_bucket_size` drops degenerate (chunk_idx, chunk_val) buckets
+    BEFORE the self-join — same guard as MinHash's LSH bucket cap, same
+    count-window-then-filter shape (rows stay spillable). Without it a
+    cluster of identical/boilerplate content explodes quadratically:
+    the round-4 skew probe (tools/scale_probe.py) measured 3,000
+    duplicated docs turning a 6.5 s query into 55 s (every pair of the
+    cluster survives the join in EVERY chunk). Identical-content pairs
+    belong to exact dedup, which runs first in any real pipeline; the
+    cap documents that contract instead of paying O(cluster²).
     """
+    from pyspark.sql.window import Window
+
     if n_chunks is None:
         n_chunks = max_hamming + 1
     width = 62 // n_chunks + 1
@@ -271,6 +286,10 @@ def simhash_near_duplicates(
     chunked = fps.select(
         "id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
     )
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("chunk_idx", "chunk_val"))
+    chunked = chunked.withColumn("_n", bucket_n).filter(
+        F.col("_n") <= max_bucket_size
+    ).drop("_n")
     a, b = chunked.alias("a"), chunked.alias("b")
     ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
     return (

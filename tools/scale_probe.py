@@ -1,0 +1,168 @@
+"""Empirical skew/scale probe: 10x data + deliberately hot keys.
+
+Builds a ~10x corpus from sf0.1 (events and documents unioned 10 times
+with perturbed ids), injects two adversarial skews —
+  * one hot USER: ~100k extra purchase events on a single user_id
+    (the segmented-EWMA / sessionization stress shape), and
+  * one hot DOCUMENT: one boilerplate text duplicated 3,000 times
+    (the degenerate-LSH-bucket / exact-dup stress shape) —
+then runs the operator families whose scale posture SCALE.md claims,
+at 1x and at 10x+skew, and reports the wall-clock ratio plus whether
+the guard paths (LSH bucket cap, bounded EWMA segments) engaged.
+
+Run: python tools/scale_probe.py   (writes nothing into the repo;
+probe data lives under /tmp and is removed on exit)
+Results are transcribed into SCALE.md ("Measured" section).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import load_all
+from dynaledger_spark.session import get_spark
+
+SF1 = "/root/testdata/sf0.1"
+QUERIES = [
+    "minhash_lsh_pairs",        # LSH banding + bucket cap
+    "dedup_exact",              # hash groupBy
+    "ewma_user_values",         # segmented per-key fold (hot user)
+    "time_bucket_ohlc",         # single-exchange rollup
+    "curation_pipeline_e2e",    # 5-stage composed plan
+    "salted_join_segment_revenue",  # explicit salt path
+    "simhash_near_dup_pairs",   # pigeonhole chunk join
+]
+
+
+def build_probe(spark, dest: str, mult: int = 10) -> None:
+    os.makedirs(dest, exist_ok=True)
+    for f in os.listdir(SF1):
+        if f.endswith(".parquet") and f not in ("events.parquet", "documents.parquet"):
+            os.symlink(os.path.join(SF1, f), os.path.join(dest, f))
+
+    ev = spark.read.parquet(os.path.join(SF1, "events.parquet"))
+    n_ev = ev.count()
+    copies = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        .withColumn("user_id", (F.col("user_id") + F.lit(i * 1500)))
+        for i in range(mult)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    # hot user: 100k purchases on user 999999, spread over the same span
+    hot = (
+        spark.range(100_000)
+        .select(
+            (F.col("id") + 900_000_000).alias("event_id"),
+            F.lit(999_999).cast("long").alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id*7)").alias("ts"),
+            (F.pmod(F.col("id") * 2654435761, F.lit(100_000)) / 100.0).alias("value"),
+            F.lit('{"k":"v"}').alias("props"),
+        )
+    )
+    ev_cols = [f.name for f in ev.schema.fields]
+    big = big.unionByName(hot.select(*[c for c in ev_cols if c in hot.columns]), allowMissingColumns=True)
+    big.write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
+
+    docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
+    n_docs = docs.count()
+    dcopies = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        for i in range(mult)
+    ]
+    dbig = dcopies[0]
+    for c in dcopies[1:]:
+        dbig = dbig.unionByName(c)
+    one = docs.limit(1).collect()[0]
+    boiler = (
+        spark.range(3000)
+        .select(
+            (F.col("id") + 900_000_000).alias("doc_id"),
+            *[F.lit(one[c]).alias(c) for c in docs.columns if c not in ("doc_id",)],
+        )
+    )
+    dbig = dbig.unionByName(boiler.select(*docs.columns))
+    dbig.write.mode("overwrite").parquet(os.path.join(dest, "documents.parquet"))
+    print(f"probe built: events {n_ev} -> {mult}x+100k hot, docs {n_docs} -> {mult}x+3000 dups")
+
+
+def run(spark, reg, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            reg[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            if dt <= 2.0:
+                break
+        out[name] = best
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    reg = load_all()
+    dest = tempfile.mkdtemp(prefix="dl_scale10x_")
+    try:
+        build_probe(spark, dest)
+
+        base = run(spark, reg, SF1)
+        big = run(spark, reg, dest)
+        print(f"\n{'query':34s} {'1x':>7s} {'10x+skew':>9s} {'ratio':>6s}")
+        for name in QUERIES:
+            print(f"{name:34s} {base[name]:7.2f} {big[name]:9.2f} {big[name]/base[name]:6.1f}")
+
+        # guard engagement evidence
+        from dynaledger_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+        docs = spark.read.parquet(os.path.join(dest, "documents.parquet"))
+        sigs = minhash_signatures(docs)
+        banded = sigs.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(31)),
+                    lambda b: F.hash(F.slice("sig", b * 4 + 1, 4), b),
+                )
+            ).alias("band", "band_hash"),
+        )
+        capped = (
+            banded.groupBy("band", "band_hash")
+            .count()
+            .filter(F.col("count") > 1000)
+            .count()
+        )
+        print(f"\nLSH hot buckets over cap (dropped before collect_list): {capped}")
+
+        from dynaledger_spark.plans.queries_pipeline import EWMA_SEGMENT, ewma_segmented
+
+        ev = spark.read.parquet(os.path.join(dest, "events.parquet")).filter(
+            "event_type = 'purchase'"
+        )
+        hot_row = (
+            ewma_segmented(ev).filter("user_id = 999999").collect()[0]
+        )
+        print(
+            f"hot user EWMA: n_events={hot_row['n_events']} -> "
+            f"{-(-hot_row['n_events'] // EWMA_SEGMENT)} bounded segments of <= {EWMA_SEGMENT} rows"
+        )
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
