@@ -287,12 +287,19 @@ def test_ewma_bounded_by_series(spark, sf):
         assert r["n_events"] == len(vals)
         if len(vals) == 1:
             assert r["ewma_value"] == vals[0]
-        # recompute the fold in plain Python (identical chain)
+        # recompute the segmented fold in plain Python (identical op
+        # order — the strict chain differs by ~1 ulp/segment by design,
+        # see ewma_user_values docstring; bitwise equivalence to the
+        # segmented reference is also property-tested with hot keys in
+        # tests/test_properties.py)
+        from dynaledger_spark.plans.queries_pipeline import EWMA_SEGMENT
+
+        from tests.test_properties import _ewma_chain, _ewma_segmented_py
+
         ordered = [v for _, v in sorted(by_user[r["user_id"]])]
-        acc = ordered[0]
-        for x in ordered[1:]:
-            acc = 0.2 * x + 0.8 * acc
-        assert r["ewma_value"] == acc
+        assert r["ewma_value"] == _ewma_segmented_py(ordered, EWMA_SEGMENT)
+        chain = _ewma_chain(ordered)
+        assert abs(r["ewma_value"] - chain) <= 1e-9 * max(1.0, abs(chain))
 
 
 def test_lttb_one_point_per_interior_bucket(spark, sf):
