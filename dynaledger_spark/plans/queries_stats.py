@@ -1,0 +1,537 @@
+"""Statistical / reconciliation operators (round-4 additions).
+
+Beyond the reference's own aggregate inventory (SURVEY.md §2.4 is plain
+COUNT/SUM/MAX), these are the descriptive-statistics and data-integrity
+operators an analytics engine is expected to ship: correlation, higher
+central moments, entropy, mode, weighted means, interpolated quantiles,
+order-independent table checksums, bitmask aggregation, snapshot
+reconciliation, and gaps-and-islands.
+
+Float discipline (same contract as queries_pipeline): every aggregate
+over doubles goes through exact DECIMAL moment sums (order-independent,
+so Spark's partial/final combine order can never change the result),
+closed forms are ONE fixed IEEE expression evaluated identically in both
+engines, and a final 9-12 decimal rounding absorbs last-ulp divergence of
+division/sqrt/ln. No UDFs; everything is a hash aggregate or a window —
+the shapes that scale to 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dynaledger_spark.functions.agg import dsum, osum
+from dynaledger_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation from exact decimal co-moments
+# ---------------------------------------------------------------------------
+@register(
+    "corr_qty_price",
+    doc="Pearson corr(quantity, extendedprice) per returnflag via exact decimal co-moments",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+                   AS corr_qty_price
+        FROM m
+    """,
+)
+def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation without `corr()`: the built-in streams doubles in
+    partition order (non-portable last ulps), so the engine computes the
+    five co-moments as exact DECIMALs — quantity is integral (≤50 →
+    DECIMAL(6,0)), price has 2dp (DECIMAL(18,2)); every product stays
+    inside DECIMAL(38) untruncated — and applies the closed form once in
+    double. One hash aggregate with map-side partials; associative and
+    skew-immune at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(6,0)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            F.expr(
+                "(n * sxy - sx * sy)"
+                " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+            ),
+            12,
+        ).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skewness / kurtosis from exact integer power sums
+# ---------------------------------------------------------------------------
+@register(
+    "skew_kurtosis_quantity",
+    doc="population skewness + excess kurtosis of quantity per returnflag (exact power sums)",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS s3,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS s4
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                     / pow((s2 / n) - (s1 / n) * (s1 / n), 1.5), 12) AS skewness,
+               round(((s4 / n) - 4 * (s1 / n) * (s3 / n)
+                      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                     / (((s2 / n) - (s1 / n) * (s1 / n))
+                        * ((s2 / n) - (s1 / n) * (s1 / n))) - 3, 12) AS excess_kurtosis
+        FROM m
+    """,
+)
+def skew_kurtosis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3rd/4th standardized moments from exact integer power sums —
+    quantity is integral so s1..s4 are exact DECIMAL(.,0) integers
+    (q⁴ ≤ 6.25e6, no overflow, no scale drift). The central-moment
+    expansion runs once in double, identically in both engines;
+    pow(x, 1.5) appears in both (correctly-rounded for these magnitudes
+    is not guaranteed, hence the 12-decimal rounding). Built-ins
+    `skewness()`/`kurtosis()` stream doubles in partition order and are
+    deliberately avoided for the oracle-exact path.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(6,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    mu = "(s1 / n)"
+    m2 = f"((s2 / n) - {mu} * {mu})"
+    m3 = f"((s3 / n) - 3 * {mu} * (s2 / n) + 2 * {mu} * {mu} * {mu})"
+    m4 = (
+        f"((s4 / n) - 4 * {mu} * (s3 / n) + 6 * {mu} * {mu} * (s2 / n)"
+        f" - 3 * {mu} * {mu} * {mu} * {mu})"
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.expr(f"{m3} / pow({m2}, 1.5)"), 12).alias("skewness"),
+        F.round(F.expr(f"{m4} / ({m2} * {m2}) - 3"), 12).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy with an order-forced fold
+# ---------------------------------------------------------------------------
+@register(
+    "lang_entropy_by_source",
+    doc="Shannon entropy (bits) of the language mix per document source",
+    oracle="""
+        WITH c AS (
+            SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+        ),
+        t AS (
+            SELECT source, c,
+                   CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS n
+            FROM c
+        ),
+        terms AS (
+            SELECT source, n,
+                   round(-(c / n) * ln(c / n) / ln(2.0), 12) AS term
+            FROM t
+        )
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                              list_sort(list(term))),
+                                 (a, b) -> a + b), 12) AS lang_entropy_bits
+        FROM terms GROUP BY source, n
+    """,
+)
+def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture diagnostics: how language-diverse each source is.
+    Exact counts → per-category term −p·log₂p rounded to 12 decimals
+    (ln() is ~1-ulp across libm implementations, the rounding pins it) →
+    an ORDER-FORCED sorted fold for the sum, the same pattern proven by
+    label_centroids. Two hash aggregates on the same `source` key — the
+    second reuses the first's clustering, no extra exchange.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    t = c.withColumn(
+        "n", F.sum("c").over(W.partitionBy("source")).cast("double")
+    )
+    terms = t.select(
+        "source",
+        "n",
+        F.round(
+            -(F.col("c") / F.col("n"))
+            * F.log(F.col("c") / F.col("n"))
+            / F.log(F.lit(2.0)),
+            12,
+        ).alias("term"),
+    )
+    return terms.groupBy("source", "n").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            12,
+        ).alias("lang_entropy_bits")
+    ).select(
+        "source", F.col("n").cast("bigint").alias("n_docs"), "lang_entropy_bits"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) with deterministic tie-break
+# ---------------------------------------------------------------------------
+@register(
+    "mode_priority_by_segment",
+    doc="modal order priority per market segment (count desc, value asc tie-break)",
+    oracle="""
+        WITH c AS (
+            SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        )
+        SELECT c_mktsegment, o_orderpriority AS modal_priority, n_orders
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY n_orders DESC, o_orderpriority) = 1
+    """,
+)
+def mode_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode as count + deterministic rank — `mode()` built-ins break ties
+    arbitrarily, so the engine ranks (count DESC, value ASC) and keeps
+    rank 1. The join broadcasts customer when small; the window
+    partitions on the five-row segment key AFTER aggregation, so the
+    sort input is |segments × priorities| (tiny at any corpus scale).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    c = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("n_orders").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted mean via exact decimal sums
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_avg_discount",
+    doc="quantity-weighted average discount per returnflag (exact decimal sums)",
+    oracle=f"""
+        SELECT l_returnflag,
+               {osum('l_discount * l_quantity', 'sum_wx')},
+               {osum('l_quantity', 'sum_w')},
+               round(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 12)
+                   AS weighted_avg_discount
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean = Σ(w·x)/Σw with both sums decimal-exact (discount
+    2dp × integral quantity → products have ≤2dp, exactly representable
+    at scale 6); the single division runs once in double, rounded 12.
+    One hash aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    wx = F.col("l_discount") * F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum(wx, "sum_wx"),
+        dsum(F.col("l_quantity"), "sum_w"),
+        F.sum(wx.cast("decimal(27,6)")).cast("double").alias("_swx"),
+        F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("_sw"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "sum_wx",
+        "sum_w",
+        F.round(F.col("_swx") / F.col("_sw"), 12).alias("weighted_avg_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated (continuous) percentiles
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_cont_priceband",
+    doc="interpolated p25/p50/p90 of order totalprice per priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_cont_priceband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous (linearly interpolated) percentiles — the disc variant
+    is covered by quantiles_disc_by_priority; this adds the interpolating
+    family. Both engines define the quantile at rank p·(n−1) with linear
+    interpolation between neighbors; the interpolation arithmetic can
+    differ in the last ulp, and 2dp input data makes every true quantile
+    ≤4dp, so round(…,4) pins it far above the ulp and below data
+    granularity. Spark's exact `percentile` is a sort-based aggregate
+    per group — at 100 TB swap in approx_percentile or t-digest sketches
+    (see queries_approx) rather than widening this exact path.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum (data-integrity op)
+# ---------------------------------------------------------------------------
+def _duck_hex_poly(hexpr: str, width: int) -> str:
+    """DuckDB lacks conv(hex→int): expand the leading `width` hex chars
+    of `hexpr` into an explicit base-16 polynomial (exact BIGINT)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (width - 1 - i)}"
+        for i in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_ROW_STR_SPARK = (
+    "concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
+    " CAST(round(o_totalprice * 100) AS BIGINT),"
+    " date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss.SSSSSS'), o_orderpriority)"
+)
+_ROW_STR_DUCK = (
+    "concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
+    " CAST(round(o_totalprice * 100) AS BIGINT),"
+    " strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f'), o_orderpriority)"
+)
+
+
+@register(
+    "table_checksum_orders",
+    doc="order-independent md5-sum table checksum per order status",
+    oracle=f"""
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM({_duck_hex_poly(f'md5({_ROW_STR_DUCK})', 10)}) AS BIGINT)
+                   AS checksum
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine data-integrity fingerprint: canonicalize each row to
+    an explicit string (doubles as exact cents, timestamps at fixed
+    microsecond format — never engine-default stringification), md5 it,
+    take the leading 40 bits as an integer, SUM per group. Addition is
+    commutative → the checksum is independent of row order, partitioning
+    and merge order, so two engines (or two snapshots of one table) can
+    be compared without sorting anything. 40-bit terms keep the BIGINT
+    sum overflow-free past 10^12 rows per group.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    h = F.expr(f"CAST(conv(substring(md5({_ROW_STR_SPARK}), 1, 10), 16, 10) AS BIGINT)")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmask aggregation
+# ---------------------------------------------------------------------------
+_EVENT_BITS = {"click": 1, "error": 2, "purchase": 4, "signup": 8, "view": 16}
+
+
+def _bit_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_EVENT_BITS.items())
+    )
+    return f"(CASE {col} {whens} ELSE 0 END)"
+
+
+@register(
+    "event_type_bitmask",
+    doc="bit_or-aggregated event-type bitmask + popcount per user",
+    oracle=f"""
+        SELECT user_id,
+               bit_or({_bit_case('event_type')}) AS type_mask,
+               CAST(bit_count(bit_or({_bit_case('event_type')})) AS INT)
+                   AS n_distinct_types
+        FROM events GROUP BY user_id
+    """,
+)
+def event_type_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-of-small-domain compression: encode each event type as one bit
+    and OR them per user — the idiomatic replacement for collect_set on a
+    small fixed domain (constant-size state, associative, no array
+    shuffle). Popcount recovers the distinct-type count for free.
+    """
+    ev = _t(spark, sf_dir, "events")
+    code = F.expr(_bit_case("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.bit_or(code).alias("type_mask"),
+        F.bit_count(F.bit_or(code)).cast("int").alias("n_distinct_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation via full outer join
+# ---------------------------------------------------------------------------
+@register(
+    "full_outer_reconcile_halves",
+    doc="full-outer reconciliation of pre/post-1998H2 revenue per customer",
+    oracle=f"""
+        WITH h1 AS (
+            SELECT o_custkey, {osum('o_totalprice', 'rev_h1')}
+            FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
+            GROUP BY o_custkey
+        ),
+        h2 AS (
+            SELECT o_custkey, {osum('o_totalprice', 'rev_h2')}
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+            GROUP BY o_custkey
+        )
+        SELECT COALESCE(h1.o_custkey, h2.o_custkey) AS custkey,
+               CASE WHEN h1.o_custkey IS NULL THEN 'h2_only'
+                    WHEN h2.o_custkey IS NULL THEN 'h1_only'
+                    ELSE 'both' END AS presence,
+               COALESCE(rev_h1, 0.0) AS rev_h1,
+               COALESCE(rev_h2, 0.0) AS rev_h2,
+               round(COALESCE(rev_h2, 0.0) - COALESCE(rev_h1, 0.0), 6) AS delta
+        FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+    """,
+)
+def full_outer_reconcile_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot-diff operator every warehouse migration needs:
+    aggregate the same measure in two partitions of the data, FULL OUTER
+    join on the key, classify presence, and emit the delta. Both sides'
+    sums are decimal-exact, so the delta subtraction is bit-deterministic.
+    One shuffle per side on the same key → the join itself co-locates.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    pivot = F.lit("1998-07-01").cast("timestamp")
+    h1 = (
+        orders.filter(F.col("o_orderdate") < pivot)
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice"), "rev_h1"))
+    )
+    h2 = (
+        orders.filter(F.col("o_orderdate") >= pivot)
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice"), "rev_h2"))
+    )
+    j = h1.alias("h1").join(
+        h2.alias("h2"), F.col("h1.o_custkey") == F.col("h2.o_custkey"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("h1.o_custkey"), F.col("h2.o_custkey")).alias("custkey"),
+        F.when(F.col("h1.o_custkey").isNull(), F.lit("h2_only"))
+        .when(F.col("h2.o_custkey").isNull(), F.lit("h1_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+        F.coalesce(F.col("rev_h1"), F.lit(0.0)).alias("rev_h1"),
+        F.coalesce(F.col("rev_h2"), F.lit(0.0)).alias("rev_h2"),
+        F.round(
+            F.coalesce(F.col("rev_h2"), F.lit(0.0))
+            - F.coalesce(F.col("rev_h1"), F.lit(0.0)),
+            6,
+        ).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands
+# ---------------------------------------------------------------------------
+@register(
+    "islands_user_activity",
+    doc="consecutive-day activity islands per user (rank-difference grouping)",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        anchored AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                            AS INTEGER) AS anchor
+            FROM days
+        )
+        SELECT user_id, CAST(MIN(d) AS VARCHAR) AS island_start,
+               CAST(MAX(d) AS VARCHAR) AS island_end,
+               COUNT(*) AS n_days
+        FROM anchored GROUP BY user_id, anchor
+    """,
+)
+def islands_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands by the rank-difference trick: consecutive dates
+    share (date − row_number) so a groupBy on that anchor recovers each
+    maximal run — no self-join, no iteration. The window and the groupBy
+    hash on the same user_id prefix: one exchange total. Streaming twin:
+    session_window with a 1-day gap (stream_session_windows).
+    """
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w).cast("int"))
+    )
+    return anchored.groupBy("user_id", "anchor").agg(
+        F.min("d").cast("string").alias("island_start"),
+        F.max("d").cast("string").alias("island_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("anchor")

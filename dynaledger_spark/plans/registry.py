@@ -193,6 +193,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_pipeline,
         queries_sampling,
         queries_sql_ext,
+        queries_stats,
         queries_streaming,
         queries_text,
         queries_timeseries,
