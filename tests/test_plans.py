@@ -52,6 +52,7 @@ def test_no_cartesian_products(plans):
             "ann_cosine_topk",  # 1-row literal lookup is fine if it appears
             "tfidf_top_terms",  # 1-row broadcast of the corpus count
             "mixture_rebalance_sample",  # 1-row broadcast of corpus totals
+            "copurchase_triangles",  # 1-row × 1-row scalar-metric combine
         ), f"{name} nested-loop joins"
 
 
