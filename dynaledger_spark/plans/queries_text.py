@@ -459,3 +459,175 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fps = simhash_fingerprints(_docs(spark, sf_dir))
     return simhash_near_duplicates(fps, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (paragraph) dedup + boilerplate removal (round-4)
+# ---------------------------------------------------------------------------
+_SEG = 8  # tokens per non-overlapping segment ("paragraph" unit)
+
+# Non-overlapping _SEG-token segments of a whitespace-tokenized text —
+# the DuckDB twin of _segments() below. 1-based inclusive list slicing;
+# the final short segment is kept (slice clamps at the end in BOTH
+# engines).
+_SEGMENTS_DUCK = f"""
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, greatest(CAST(ceil(len(string_split_regex(text, '\\s+')) / {_SEG}.0) AS INT), 1)),
+                       i -> array_to_string(string_split_regex(text, '\\s+')[i*{_SEG}+1 : i*{_SEG}+{_SEG}], ' ')))
+                       AS seg
+            FROM documents
+"""
+
+
+def _segments(text):
+    """Non-overlapping _SEG-token segments — the 'paragraph' unit for
+    boilerplate detection on corpora whose raw newlines were already
+    normalized away. Map-side only: explode multiplies rows by n/_SEG
+    but never shuffles."""
+    tokens = F.split(text, r"\s+")
+    n_segs = F.greatest(
+        F.ceil(F.size(tokens) / F.lit(float(_SEG))).cast("int"), F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(tokens, i * _SEG + 1, _SEG), " "),
+    )
+
+
+@register(
+    "segment_dedup_boilerplate",
+    doc=f"duplicated {_SEG}-token segments across the corpus (boilerplate candidates)",
+    oracle=f"""
+        WITH segs AS ({_SEGMENTS_DUCK})
+        SELECT seg, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM segs GROUP BY seg HAVING COUNT(*) >= 2
+    """,
+)
+def segment_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line/paragraph dedup adapted to newline-free
+    corpora: split every doc into non-overlapping 8-token segments and
+    surface segments occurring more than once corpus-wide — the
+    boilerplate/header/footer candidates a curation pipeline strips.
+    One explode + one hash aggregate on the segment text; at 100 TB the
+    groupBy key becomes xxhash64(seg) with the text kept via first() to
+    shrink shuffle width (documented, same plan shape).
+    """
+    docs = _docs(spark, sf_dir)
+    segs = docs.select("doc_id", F.explode(_segments(F.col("text"))).alias("seg"))
+    return (
+        segs.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+
+
+@register(
+    "boilerplate_strip_stats",
+    doc="per-doc retained-token ratio after dropping corpus-duplicated segments",
+    oracle=f"""
+        WITH segs AS ({_SEGMENTS_DUCK}),
+        counts AS (
+            SELECT seg, COUNT(*) AS n_occ FROM segs GROUP BY seg
+        ),
+        per_doc AS (
+            SELECT s.doc_id,
+                   COUNT(*) AS n_segments,
+                   COUNT(*) FILTER (c.n_occ >= 2) AS n_dup_segments,
+                   SUM(len(string_split(s.seg, ' '))) FILTER (c.n_occ < 2) AS kept_tokens,
+                   SUM(len(string_split(s.seg, ' '))) AS total_tokens
+            FROM segs s JOIN counts c USING (seg)
+            GROUP BY s.doc_id
+        )
+        SELECT doc_id, n_segments,
+               CAST(n_dup_segments AS BIGINT) AS n_dup_segments,
+               CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               round(COALESCE(kept_tokens, 0) / CAST(total_tokens AS DOUBLE), 12)
+                   AS retained_ratio
+        FROM per_doc
+    """,
+)
+def boilerplate_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strip transform itself, reported as per-doc accounting: every
+    segment whose corpus-wide count ≥ 2 is dropped; emit how many
+    segments/tokens each document keeps. Composition: the segment counts
+    aggregate joins back to the exploded segments on the segment key —
+    both sides share the hash(seg) clustering, so the join adds no
+    exchange beyond the aggregate's own. The curation pipeline would
+    follow with array_join over kept segments; the accounting columns
+    are what quality dashboards chart.
+    """
+    docs = _docs(spark, sf_dir)
+    segs = docs.select("doc_id", F.explode(_segments(F.col("text"))).alias("seg"))
+    counts = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("n_occ"))
+    seg_tokens = F.size(F.split(F.col("seg"), " ")).cast("bigint")
+    dup = F.col("n_occ") >= 2
+    return (
+        segs.join(counts, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(dup.cast("bigint")).alias("n_dup_segments"),
+            F.coalesce(
+                F.sum(F.when(~dup, seg_tokens)), F.lit(0).cast("bigint")
+            ).alias("kept_tokens"),
+            F.sum(seg_tokens).alias("_total_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_dup_segments",
+            "kept_tokens",
+            F.round(
+                F.col("kept_tokens") / F.col("_total_tokens").cast("double"), 12
+            ).alias("retained_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness: type-token ratio + hapax counts (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "type_token_ratio",
+    doc="per-doc vocabulary richness: types, tokens, hapax count, TTR",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+            FROM documents
+        ),
+        freq AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types,
+               COUNT(*) FILTER (c = 1) AS n_hapax,
+               round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 12) AS ttr
+        FROM freq GROUP BY doc_id
+    """,
+)
+def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness features (type-token ratio, hapax legomena) —
+    the classic signals for template/generated text (low TTR) vs natural
+    prose. Uses the doc_id-partitioned corpus so the word-level and
+    doc-level aggregations both run inside one exchange
+    (queries_pipeline._docs_by_id pattern, plan-asserted for the quality
+    pipeline)."""
+    from dynaledger_spark.plans.queries_pipeline import _docs_by_id
+
+    docs = _docs_by_id(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    )
+    freq = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 12).alias("ttr"),
+    )
