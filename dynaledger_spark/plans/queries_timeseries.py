@@ -150,3 +150,105 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").isNotNull().alias("converted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VWAP-style weighted price index per time bucket (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "vwap_weekly_priceband",
+    doc="quantity-weighted effective unit price per ship week (exact decimal sums)",
+    oracle="""
+        SELECT date_trunc('week', l_shipdate) AS week_start,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS sum_net,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+               round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE), 9)
+                   AS vwap
+        FROM lineitem GROUP BY date_trunc('week', l_shipdate)
+    """,
+)
+def vwap_weekly_priceband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP over calendar buckets: Σ(net revenue)/Σ(quantity) per ship
+    week — the continuous-aggregate twin of time_bucket_ohlc for a
+    weighted measure. Both sums are decimal-exact (net price has ≤4dp —
+    2dp price × 2dp discount factor — exactly representable at scale 6),
+    the one division runs in double rounded to 9 decimals (the quotient
+    is ~10³, so 12 would demand more significant digits than a double
+    carries). Single hash aggregate on
+    (week) with map-side partials; at 100 TB this is the query a
+    materialized rollup table serves.
+    """
+    from dynaledger_spark.functions.agg import dsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    agg = li.groupBy(
+        F.date_trunc("week", F.col("l_shipdate")).alias("week_start")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        dsum(net, "sum_net"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    )
+    return agg.withColumn(
+        "vwap", F.round(F.col("sum_net") / F.col("sum_qty"), 9)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection via median absolute deviation (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outlier_summary",
+    doc="median/MAD robust outlier counts per event type",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type, m.med,
+                   round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type, m.med
+        )
+        SELECT e.event_type, a.med, a.mad,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(*) FILTER (abs(e.value - a.med) > 3 * a.mad) AS BIGINT)
+                   AS n_outliers
+        FROM events e JOIN mad a USING (event_type)
+        GROUP BY e.event_type, a.med, a.mad
+    """,
+)
+def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection — the z-score twin
+    (zscore_outliers) breaks on heavy tails; MAD does not. Two exact
+    median passes (value, then |value − median|) with the medians
+    rounded to 6dp immediately: 2dp input data makes the true quantiles
+    ≤4dp, so the rounding pins any last-ulp interpolation divergence
+    BEFORE the comparison threshold uses it — boundary rows then flag
+    identically in both engines. The three aggregates all hash on
+    event_type: one exchange, reused. At 100 TB the exact medians
+    become t-digest/GK sketches (queries_approx) with the same shape.
+    """
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(med, "event_type")
+    mad = dev.groupBy("event_type", "med").agg(
+        F.round(
+            F.expr("percentile(abs(value - med), 0.5)"), 6
+        ).alias("mad")
+    )
+    flagged = ev.join(mad, "event_type")
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("bigint")
+        ).alias("n_outliers"),
+    )
