@@ -19,7 +19,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -331,4 +331,53 @@ def ivf_topk(
         .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_salt: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch k-NN join: exact top-k corpus neighbors for EVERY query row.
+
+    Plan shape for scale: the query set is broadcast (a training-data
+    query batch is KBs against a 100 TB corpus), scoring is a map-side
+    fan-out (corpus × n_queries rows, no corpus shuffle), and top-k runs
+    in TWO stages so no reducer ever sees a query's full score list:
+
+      1. per (query, salt) partial top-k — salt = hash(corpus id) mod
+         n_salt spreads each query's scores over n_salt reducers
+         (deterministic, partitioning-independent), each keeping ≤ k
+         rows via a spillable window sort;
+      2. global top-k per query over the ≤ n_salt·k survivors.
+
+    Every global top-k row is in the top-k of its own salt bucket, so
+    stage 1 keeps a superset — the two-stage result is exactly the
+    single-stage result. Ties break on (cos_sim DESC, corpus id ASC).
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
+    w1 = Window.partitionBy(query_id_col, salt.alias("salt")).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    partial = scored.withColumn("rn1", F.row_number().over(w1)).filter(
+        F.col("rn1") <= k
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
     )

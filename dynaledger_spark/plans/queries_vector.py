@@ -253,3 +253,169 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Batch k-NN join (round-4): every query row gets exact top-k neighbors
+# ---------------------------------------------------------------------------
+_KNN_K, _KNN_NQ = 5, 5
+
+
+@register(
+    "knn_join_topk",
+    doc=f"batch k-NN join: exact top-{_KNN_K} corpus neighbors for {_KNN_NQ} query vectors",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < {_KNN_NQ}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   {_duck_dot('e.embedding', 'q.qv')}
+                   / (sqrt({_SQ_FOLD_DUCK.replace('embedding', 'e.embedding')})
+                      * sqrt({_SQ_FOLD_DUCK.replace('embedding', 'q.qv')})) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id >= {_KNN_NQ}
+        )
+        SELECT query_id, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= {_KNN_K}
+    """,
+)
+def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch retrieval primitive (RAG corpus-vs-query-set scoring,
+    nearest-neighbor labeling): a k-NN JOIN, not a single-vector lookup.
+    operators/similarity.knn_join broadcasts the query batch, fans out
+    map-side, and runs top-k in two stages — per-(query, salt-bucket)
+    partial top-k then a global merge over ≤ n_salt·k survivors — so no
+    reducer ever materializes one query's full score list (the skew that
+    kills the naive window at corpus scale). The two-stage result is
+    provably identical to the oracle's single QUALIFY window.
+    """
+    from dynaledger_spark.operators.similarity import knn_join
+
+    emb = _emb(spark, sf_dir)
+    queries = (
+        emb.filter(F.col("vec_id") < _KNN_NQ)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    corpus = emb.filter(F.col("vec_id") >= _KNN_NQ)
+    out = knn_join(corpus, queries, k=_KNN_K)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-centroid assignment (round-4): the oracle-exact IVF building block
+# ---------------------------------------------------------------------------
+_CENT_N, _CENT_SEED = 8, 7
+
+
+def _centroids():
+    from dynaledger_spark.operators.similarity import random_hyperplanes
+
+    return random_hyperplanes(_LSH_DIM, _CENT_N, _CENT_SEED)
+
+
+def _duck_sqdist(vec: str, lit_vec: list[float]) -> str:
+    lit = "[" + ", ".join(repr(float(v)) for v in lit_vec) + "]::DOUBLE[]"
+    return (
+        f"list_aggregate(list_transform(list_zip({vec}, {lit}),"
+        " x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])),"
+        " 'sum')"
+    )
+
+
+@register(
+    "centroid_assign_fixed",
+    doc=f"nearest-of-{_CENT_N} fixed centroids assignment + per-cell stats",
+    oracle=None,  # assembled below (needs the centroid literals)
+)
+def centroid_assign_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assignment half of IVF/k-means isolated with FIXED seeded
+    centroids, making it oracle-exact end-to-end (the runtime-fit
+    ann_ivf_* stay rows-only because their centroids are a fit artifact).
+    Distances are sequential-fold sums of squared differences — the same
+    proven-portable fold as the cosine family; argmin breaks ties by
+    first-index via a strict-less CASE chain, identical in both engines.
+    Per-cell mean squared distance goes through the exact decimal
+    accumulator. One map-side expression tree + one hash aggregate on an
+    8-value key: the shape that holds at any corpus size (AQE handles
+    the small-key skew).
+    """
+    from dynaledger_spark.functions.agg import dsum
+
+    emb = _emb(spark, sf_dir)
+    cents = _centroids()
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                e,
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(cents)
+    ]
+    scored = emb.select("vec_id", *dists)
+    least = F.least(*[F.col(f"d{i}") for i in range(_CENT_N)])
+    assign = F.lit(None).cast("int")
+    # first index attaining the minimum wins (reverse build of the chain)
+    for i in reversed(range(_CENT_N)):
+        assign = F.when(F.col(f"d{i}") == least, F.lit(i)).otherwise(assign)
+    cells = scored.select(
+        "vec_id",
+        assign.alias("centroid_id"),
+        least.alias("sq_dist"),
+    )
+    return cells.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        dsum(F.col("sq_dist"), "sum_sq_dist"),
+        F.round(
+            F.sum(F.col("sq_dist").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_sq_dist"),
+    )
+
+
+def _centroid_assign_oracle() -> str:
+    cents = _centroids()
+    d_exprs = ",\n                   ".join(
+        f"{_duck_sqdist('embedding', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(_CENT_N)) + ")"
+    chain = "CASE " + " ".join(
+        f"WHEN d{i} = m THEN {i}" for i in range(_CENT_N)
+    ) + " END"
+    return f"""
+        WITH scored AS (
+            SELECT vec_id,
+                   {d_exprs}
+            FROM embeddings
+        ),
+        assigned AS (
+            SELECT vec_id, {least} AS m, {chain} AS centroid_id
+            FROM scored
+        )
+        SELECT CAST(centroid_id AS INT) AS centroid_id,
+               COUNT(*) AS n_vectors,
+               CAST(SUM(CAST(m AS DECIMAL(27,6))) AS DOUBLE) AS sum_sq_dist,
+               round(CAST(SUM(CAST(m AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 9)
+                   AS mean_sq_dist
+        FROM assigned GROUP BY centroid_id
+    """
+
+
+# attach the assembled oracle (kept out of the decorator so the literal
+# block stays readable)
+from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QR  # noqa: E402
+
+_QR["centroid_assign_fixed"].oracle = _centroid_assign_oracle()

@@ -53,6 +53,7 @@ def test_no_cartesian_products(plans):
             "tfidf_top_terms",  # 1-row broadcast of the corpus count
             "mixture_rebalance_sample",  # 1-row broadcast of corpus totals
             "copurchase_triangles",  # 1-row × 1-row scalar-metric combine
+            "knn_join_topk",  # deliberate broadcast fan-out of the query batch
         ), f"{name} nested-loop joins"
 
 
