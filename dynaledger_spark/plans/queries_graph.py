@@ -121,3 +121,54 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")).crossJoin(
         edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     )
+
+
+@register(
+    "pagerank_copurchase",
+    doc="PageRank over the co-purchase graph (8 power iterations, d=0.85)",
+    oracle=None,  # iterative float recurrence → engine-specific last ulps;
+    # property-tested against a transparent python reference in
+    # tests/test_graph.py with 1e-9 relative tolerance
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank as repeated join+aggregate — the canonical iterative
+    graph workload expressed relationally. Undirected edges become two
+    directed arcs; every vertex has degree ≥ 1 (edges define the vertex
+    set) so there are no dangling-mass corrections. Each iteration is
+    contributions = ranks ⋈ arcs (co-partitioned on src) → groupBy(dst);
+    8 iterations deepen one lazy plan — production would checkpoint
+    every ~5 iterations to cut lineage (operators/graph.py does exactly
+    that for connected components). Rows-only: cross-engine float sums
+    of contributions are order-dependent in the last ulps; correctness
+    is pinned by the python-reference property test instead.
+    """
+    return pagerank(_edges(spark, sf_dir), iters=8, damping=0.85)
+
+
+def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85) -> DataFrame:
+    """PageRank on canonical (pa < pb) undirected edges; returns
+    (v, rank) rounded to 9dp for output stability."""
+    arcs = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # scalar: |V|, bounded driver value
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contribs = (
+            ranks.join(deg, "src")
+            .join(arcs, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+            .select(
+                F.col("dst").alias("src"),
+                (F.lit(base) + F.lit(damping) * F.col("in_mass")).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("src").alias("v"), F.round(F.col("rank"), 9).alias("rank")
+    )

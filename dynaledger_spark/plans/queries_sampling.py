@@ -119,3 +119,52 @@ def shard_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", (F.row_number().over(w) % 8).cast("int").alias("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "split_leakage_check",
+    doc="exact-content duplicates crossing the train/val/test boundary",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT md5(text) AS content_hash,
+                   CASE WHEN (doc_id * {_H1}) % {_M32} % 100 < 80 THEN 'train'
+                        WHEN (doc_id * {_H1}) % {_M32} % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT content_hash,
+               CAST(COUNT(*) FILTER (split = 'train') AS BIGINT) AS n_train,
+               CAST(COUNT(*) FILTER (split = 'val') AS BIGINT) AS n_val,
+               CAST(COUNT(*) FILTER (split = 'test') AS BIGINT) AS n_test
+        FROM labeled
+        GROUP BY content_hash
+        HAVING COUNT(*) FILTER (split = 'train') > 0
+           AND COUNT(*) FILTER (split <> 'train') > 0
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit every eval pipeline needs after hash-splitting: content
+    hashes that appear in train AND in val/test (identical text under
+    different doc_ids silently inflates eval scores). Composes the
+    hash_split assignment with the dedup_exact hash — one groupBy on the
+    16-byte content hash with conditional counts, map-side combinable.
+    An empty result is the passing state; the driver check covers both
+    (the testdata's injected exact dups do leak, so rows > 0 here).
+    """
+    docs = _docs(spark, sf_dir)
+    bucket = _mhash(F.col("doc_id"), _H1) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    labeled = docs.select(F.md5("text").alias("content_hash"), split.alias("split"))
+    agg = labeled.groupBy("content_hash").agg(
+        F.sum((F.col("split") == "train").cast("bigint")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("bigint")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("bigint")).alias("n_test"),
+    )
+    return agg.filter(
+        (F.col("n_train") > 0) & ((F.col("n_val") + F.col("n_test")) > 0)
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dynaledger_spark.plans.registry import register
@@ -630,4 +630,56 @@ def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
         F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 12).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary construction (round-4)
+# ---------------------------------------------------------------------------
+_VOCAB_N, _VOCAB_MIN = 500, 2
+
+
+@register(
+    "vocab_build_topn",
+    doc=f"top-{_VOCAB_N} tokenizer vocabulary with deterministic ids (count desc, word asc)",
+    oracle=rf"""
+        WITH words AS (
+            SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+        ),
+        counts AS (
+            SELECT w, COUNT(*) AS n FROM words GROUP BY w HAVING COUNT(*) >= {_VOCAB_MIN}
+        ),
+        ranked AS (
+            SELECT w AS token, n AS n_occurrences,
+                   CAST(row_number() OVER (ORDER BY n DESC, w) - 1 AS INT)
+                       AS token_id
+            FROM counts
+        )
+        SELECT token, n_occurrences, token_id FROM ranked
+        WHERE token_id < {_VOCAB_N}
+    """,
+)
+def vocab_build_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction for tokenizer training: corpus word
+    counts, a frequency cutoff, and DENSE deterministic ids assigned in
+    (count DESC, word ASC) order so two runs — or two engines — emit the
+    identical token↔id table. The global order-by is a distributed
+    TakeOrdered (partial top-N per partition, merge on the driver-side
+    heap), so the single-partition window that assigns ids only ever
+    sees the N surviving rows — bounded by construction, never by the
+    corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _VOCAB_MIN)
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("w")).limit(_VOCAB_N)
+    w = W.orderBy(F.col("n").desc(), F.col("w"))
+    return top.select(
+        F.col("w").alias("token"),
+        F.col("n").alias("n_occurrences"),
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
     )

@@ -37,3 +37,77 @@ def test_dedup_clusters_canonical(spark):
         12: (10, False),
         20: (20, True),
     }
+
+
+# ---------------------------------------------------------------------------
+# PageRank vs transparent python power iteration (round-4)
+# ---------------------------------------------------------------------------
+def _pagerank_py(edge_list, iters=8, damping=0.85):
+    from collections import defaultdict
+
+    adj, deg = defaultdict(list), defaultdict(int)
+    verts = set()
+    for a, b in edge_list:
+        adj[a].append(b)
+        adj[b].append(a)
+        deg[a] += 1
+        deg[b] += 1
+        verts.update((a, b))
+    n = len(verts)
+    ranks = {v: 1.0 / n for v in verts}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        nxt = {v: 0.0 for v in verts}
+        for v in verts:
+            share = ranks[v] / deg[v]
+            for u in adj[v]:
+                nxt[u] += share
+        ranks = {v: base + damping * nxt[v] for v in verts}
+    return ranks
+
+
+def test_pagerank_matches_reference(spark):
+    """Spark's join+aggregate PageRank must agree with a plain-python
+    power iteration on an asymmetric graph (hub + chain + pair), within
+    float-accumulation tolerance, and the total mass must stay 1."""
+    from dynaledger_spark.plans.queries_graph import pagerank
+
+    edge_list = [
+        (0, 1), (0, 2), (0, 3), (0, 4), (0, 5),  # hub 0
+        (5, 6), (6, 7), (7, 8),                  # chain off the hub
+        (9, 10),                                 # far pair
+    ]
+    edges = spark.createDataFrame(edge_list, "pa long, pb long")
+    got = {r.v: r.rank for r in pagerank(edges, iters=8).collect()}
+    want = _pagerank_py(edge_list, iters=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) <= 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) <= 1e-9
+    # hub out-ranks every chain node; leaf pair shares rank symmetrically
+    assert got[0] == max(got.values())
+    assert abs(got[9] - got[10]) <= 1e-9
+
+
+def test_triangle_count_brute_force(spark, sf_dir):
+    """copurchase_triangles equals an itertools brute-force count over
+    the same support-thresholded edge set."""
+    from itertools import combinations
+
+    from dynaledger_spark.plans.queries_graph import _edges
+    from dynaledger_spark.plans.registry import load_all
+
+    edges = {(r.pa, r.pb) for r in _edges(spark, sf_dir).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for v, nbrs in adj.items()
+        for a, b in combinations(sorted(nbrs), 2)
+        if v < a and (a, b) in edges
+    )
+    row = load_all()["copurchase_triangles"].build(spark, sf_dir).head()
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)

@@ -405,3 +405,52 @@ def test_ivf_recall_clustered(spark):
     ]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.9, f"clustered recall@10 = {recall}"
+
+
+def test_knn_join_two_stage_equals_single_window(spark):
+    """The salted two-stage top-k must equal a brute-force python top-k
+    on a corpus crafted with exact cosine TIES (duplicate vectors), so
+    the (cos DESC, id ASC) tie-break is exercised across stage
+    boundaries."""
+    import math
+    import struct
+
+    from dynaledger_spark.operators.similarity import knn_join
+
+    dim = 4
+    # corpus: 30 vectors in 6 duplicate groups of 5 → guaranteed ties
+    base = [[1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0], [0.5, 0.5, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [0.3, 0.3, 0.3, 0.1]]
+    corpus_rows = [(100 + i, base[i % 6]) for i in range(30)]
+    query_rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(query_rows, "query_id long, query_vec array<float>")
+    k = 7
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cos_sim)
+        for r in knn_join(corpus, queries, k=k, n_salt=4).collect()
+    }
+
+    def cos(a, b):
+        # same sequential fold order as the engine
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = nb = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    for qid, qv in query_rows:
+        # float32 storage: recompute from the round-tripped float values
+        scored = sorted(
+            ((cos([f32(x) for x in v], qv), vid) for vid, v in corpus_rows),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (sim, vid) in enumerate(scored[:k], start=1):
+            assert got[(qid, rank)][0] == vid, (qid, rank, got[(qid, rank)], vid)
