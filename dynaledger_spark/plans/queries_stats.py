@@ -535,3 +535,137 @@ def islands_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").cast("string").alias("island_end"),
         F.count(F.lit(1)).alias("n_days"),
     ).drop("anchor")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence + Cramér's V (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "chi_square_segment_priority",
+    doc="chi-square independence of (mktsegment × orderpriority) + Cramér's V",
+    oracle="""
+        WITH cells AS (
+            SELECT c_mktsegment AS seg, o_orderpriority AS pri, COUNT(*) AS obs
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY seg, pri
+        ),
+        tot AS (
+            SELECT seg, pri, obs,
+                   SUM(obs) OVER (PARTITION BY seg) AS row_t,
+                   SUM(obs) OVER (PARTITION BY pri) AS col_t,
+                   SUM(obs) OVER () AS n
+            FROM cells
+        ),
+        terms AS (
+            SELECT n,
+                   round(CAST((obs - CAST(row_t AS DOUBLE) * col_t / n) AS DOUBLE)
+                         * (obs - CAST(row_t AS DOUBLE) * col_t / n)
+                         / (CAST(row_t AS DOUBLE) * col_t / n), 9) AS term
+            FROM tot
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                              list_sort(list(term))),
+                                 (a, b) -> a + b), 9) AS chi_square,
+               round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                   list_sort(list(term))),
+                                      (a, b) -> a + b) / (n * 4)), 9) AS cramers_v
+        FROM terms GROUP BY n
+    """,
+)
+def chi_square_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association testing: χ² = Σ (obs−exp)²/exp over the
+    5×5 contingency of market segment × order priority, plus Cramér's
+    V = sqrt(χ²/(n·(min(r,c)−1))). Expected counts derive from exact
+    integer marginals (window sums over the aggregated cells — 25 rows,
+    so the windows are free); each cell term is one fixed double
+    expression rounded to 9dp, then summed with the order-forced sorted
+    fold. The only corpus-sized work is the first count aggregate.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = cells.select(
+        "seg",
+        "pri",
+        "obs",
+        F.sum("obs").over(W.partitionBy("seg")).alias("row_t"),
+        F.sum("obs").over(W.partitionBy("pri")).alias("col_t"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
+    terms = tot.select(
+        "n",
+        F.round((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 9).alias(
+            "term"
+        ),
+    )
+    chi = F.aggregate(
+        F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, b: a + b
+    )
+    return terms.groupBy("n").agg(
+        F.round(chi, 9).alias("chi_square"),
+        F.round(F.sqrt(chi / (F.col("n") * 4)), 9).alias("cramers_v"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_orders"), "chi_square", "cramers_v"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention_matrix",
+    doc="monthly signup-cohort retention: distinct active users per (cohort, offset)",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('month', MIN(ts)) AS cohort_month
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_month,
+                   date_trunc('month', e.ts) AS active_month
+            FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT cohort_month,
+               CAST(datediff('month', cohort_month, active_month) AS INT)
+                   AS month_offset,
+               COUNT(*) AS n_active_users
+        FROM activity
+        GROUP BY cohort_month, month_offset
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics staple: bucket each user by first-activity
+    month, then count distinct users active at each month offset. Three
+    aggregations, all hashing on user_id or the small (cohort, month)
+    key; the cohort table joins back broadcast-sized (|users| rows of
+    two columns). Calendar-month offsets use datediff-by-month in both
+    engines (timestamps are UTC-pinned by catalog.read_table).
+    """
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_month",
+            F.date_trunc("month", F.col("ts")).alias("active_month"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        "cohort_month",
+        F.months_between(F.col("active_month"), F.col("cohort_month"))
+        .cast("int")
+        .alias("month_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
