@@ -188,8 +188,9 @@ def lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact counts → per-category term −p·log₂p rounded to 12 decimals
     (ln() is ~1-ulp across libm implementations, the rounding pins it) →
     an ORDER-FORCED sorted fold for the sum, the same pattern proven by
-    label_centroids. Two hash aggregates on the same `source` key — the
-    second reuses the first's clustering, no extra exchange.
+    label_centroids. Two exchanges: (source, lang) counts combine
+    map-side first (the corpus-sized reduction), then the ~|sources×langs|
+    surviving rows re-cluster on source for the window + final fold.
     """
     docs = _t(spark, sf_dir, "documents")
     c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
@@ -520,9 +521,14 @@ def full_outer_reconcile_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 def islands_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands by the rank-difference trick: consecutive dates
     share (date − row_number) so a groupBy on that anchor recovers each
-    maximal run — no self-join, no iteration. The window and the groupBy
-    hash on the same user_id prefix: one exchange total. Streaming twin:
-    session_window with a 1-day gap (stream_session_windows).
+    maximal run — no self-join, no iteration. Two exchanges, both the
+    right ones: the distinct hashes on (user, day) AFTER map-side
+    partial dedup (the big reduction), then the window re-clusters the
+    reduced day-level rows on user_id and the final groupBy reuses that
+    clustering. Pre-partitioning the raw events by user would make it
+    one exchange but ship the full event stream — strictly worse.
+    Streaming twin: session_window with a 1-day gap
+    (stream_session_windows).
     """
     ev = _t(spark, sf_dir, "events")
     days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()

@@ -353,3 +353,42 @@ def test_ewma_single_exchange(plans):
     # bounded arrays: the collect_list groups on (user_id, seg), never
     # the whole per-user series
     assert "collect_list" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator plan shapes
+# ---------------------------------------------------------------------------
+def test_stats_moments_single_exchange(plans):
+    """The exact-moment aggregates (corr, skew/kurt, weighted mean,
+    checksum, bitmask, VWAP, centroid assignment) are each ONE hash
+    aggregate: exactly one shuffle Exchange, partial aggregation
+    map-side."""
+    for name in (
+        "corr_qty_price",
+        "skew_kurtosis_quantity",
+        "weighted_avg_discount",
+        "table_checksum_orders",
+        "event_type_bitmask",
+        "vwap_weekly_priceband",
+    ):
+        plan = plans[name]
+        assert _nodes(plan, "Exchange") == 1, name
+        assert "partial" in plan.lower() or "HashAggregate" in plan, name
+    # centroid_assign_fixed pays one extra round-robin Exchange from the
+    # _emb single-file compute spread (local-only wart, see queries_vector)
+    assert _nodes(plans["centroid_assign_fixed"], "Exchange") <= 2
+
+
+def test_knn_join_broadcasts_queries(plans):
+    """knn_join_topk: the query batch must broadcast (map-side fan-out);
+    the corpus must NOT shuffle for scoring — the only hash exchanges
+    are the two top-k windows."""
+    plan = plans["knn_join_topk"]
+    assert "BroadcastExchange" in plan
+    assert _nodes(plan, "Exchange hashpartitioning") <= 2
+
+
+def test_type_token_ratio_single_exchange(plans):
+    """type_token_ratio rides the _docs_by_id partitioning: the word- and
+    doc-level aggregations share ONE exchange."""
+    assert _nodes(plans["type_token_ratio"], "Exchange") == 1
