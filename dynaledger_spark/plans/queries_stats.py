@@ -675,3 +675,122 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("month_offset"),
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "target_encode_priority",
+    doc="Bayesian-smoothed target encoding of order priority by totalprice (m=50)",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS gs,
+                   COUNT(*) AS gn
+            FROM orders
+        ),
+        c AS (
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS cs,
+                   COUNT(*) AS cn
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, cn AS n_orders,
+               round((cs + 50 * (gs / gn)) / (cn + 50), 4) AS encoded_value
+        FROM c, g
+    """,
+)
+def target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic ML feature transform: replace a category with the
+    smoothed mean of the target, enc = (Σy_cat + m·prior)/(n_cat + m),
+    prior = global mean, m = 50. Category and global sums are both
+    decimal-exact; the blend is one fixed double expression rounded to
+    4dp (the encoding is ~10⁵, so deeper rounding would chase digits a
+    double does not carry). The global prior joins in as a 1-row
+    broadcast — same accepted pattern as tfidf's corpus count. Smoothing
+    keeps rare categories near the prior — the leakage-resistant form
+    used for high-cardinality features at scale.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    y = F.col("o_totalprice").cast("decimal(27,6)")
+    g = orders.agg(
+        F.sum(y).cast("double").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    c = orders.groupBy("o_orderpriority").agg(
+        F.sum(y).cast("double").alias("cs"), F.count(F.lit(1)).alias("cn")
+    )
+    return c.crossJoin(F.broadcast(g)).select(
+        "o_orderpriority",
+        F.col("cn").alias("n_orders"),
+        F.round(
+            (F.col("cs") + 50 * (F.col("gs") / F.col("gn")))
+            / (F.col("cn") + 50),
+            4,
+        ).alias("encoded_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked entity resolution via edit distance (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "entity_resolution_blocked",
+    doc="blocked fuzzy matching: part-name pairs within a block at levenshtein <= 4",
+    oracle="""
+        WITH names AS (
+            SELECT p_name, MIN(p_partkey) AS canon_key,
+                   string_split(p_name, ' ')[2] AS block_key
+            FROM part GROUP BY p_name
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               a.canon_key AS key_a, b.canon_key AS key_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance,
+               round(1.0 - levenshtein(a.p_name, b.p_name)
+                     / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE),
+                     12) AS name_similarity
+        FROM names a JOIN names b
+          ON a.block_key = b.block_key AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with BLOCKING — the shape that makes fuzzy
+    matching survive scale: candidate pairs come from an equi-join on a
+    cheap block key (here the name's noun; in production a phonetic code
+    or sorted-neighborhood key), so the quadratic edit-distance verify
+    runs only inside blocks, never across the corpus. Dedup to distinct
+    names first (min key as canonical id), then levenshtein ≤ 4 within
+    the block — integer metric, identical in both engines; similarity
+    normalizes by the longer name. Hot blocks get the same cap treatment
+    as LSH buckets (not needed at this vocabulary).
+    """
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("canon_key"))
+    names = names.withColumn(
+        "block_key", F.split(F.col("p_name"), " ").getItem(1)
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 4)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.canon_key").alias("key_a"),
+            F.col("b.canon_key").alias("key_b"),
+            dist.cast("int").alias("edit_distance"),
+            F.round(
+                1.0
+                - dist
+                / F.greatest(
+                    F.length("a.p_name"), F.length("b.p_name")
+                ).cast("double"),
+                12,
+            ).alias("name_similarity"),
+        )
+    )

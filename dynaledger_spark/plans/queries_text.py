@@ -683,3 +683,52 @@ def vocab_build_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_occurrences"),
         (F.row_number().over(w) - 1).cast("int").alias("token_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (round-4) — Arrow mapInPandas
+# ---------------------------------------------------------------------------
+@register(
+    "compression_ratio_quality",
+    doc="zlib compression ratio per doc (Arrow mapInPandas) — repetition signal",
+    oracle=None,  # zlib is not expressible in DuckDB SQL; exactness is
+    # pinned by tests/test_textops.py::test_compression_ratio_matches_zlib
+    # (same libz, byte-identical compressed sizes)
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-family quality signal SQL can't express: highly
+    repetitive/templated text compresses far below natural prose, so
+    compressed_len/raw_len separates boilerplate from content. zlib runs
+    in Python — the legitimate non-JVM case — as an Arrow-batched
+    mapInPandas with an explicit schema (the multimodal decode pattern,
+    operators/multimodal.py): per-batch pandas work, no row-at-a-time
+    pickling, cost linear in corpus bytes and embarrassingly parallel.
+    Level is pinned (6) so results are reproducible across runs and
+    platforms (zlib output is deterministic for a given level/strategy).
+    """
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf["text"].str.encode("utf-8")
+            comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
+            raw_len = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw_len.astype("int64"),
+                    "compressed_len": comp_len.astype("int64"),
+                    "compression_ratio": (
+                        comp_len / raw_len.astype("float64")
+                    ).round(6),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        schema="doc_id long, raw_len long, compressed_len long, compression_ratio double",
+    )

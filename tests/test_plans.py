@@ -54,6 +54,7 @@ def test_no_cartesian_products(plans):
             "mixture_rebalance_sample",  # 1-row broadcast of corpus totals
             "copurchase_triangles",  # 1-row × 1-row scalar-metric combine
             "knn_join_topk",  # deliberate broadcast fan-out of the query batch
+            "target_encode_priority",  # 1-row broadcast of the global prior
         ), f"{name} nested-loop joins"
 
 

@@ -209,3 +209,31 @@ def test_bigrams_short_documents_emit_nothing(spark):
             for r in qp.ngram_top_bigrams(spark, "unused").collect()
         }
     assert out == {("two tokens", 1), ("a b", 2), ("b a", 1)}
+
+
+def test_compression_ratio_matches_zlib(spark, sf_dir):
+    """The mapInPandas compression signal must equal a direct python zlib
+    recomputation byte-for-byte (same libz, pinned level), and repeated
+    text must compress materially better than the corpus median."""
+    import statistics
+    import zlib
+
+    from dynaledger_spark.plans.registry import load_all
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = load_all()["compression_ratio_quality"].build(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == set(docs)
+    ratios = []
+    for r in rows:
+        raw = docs[r["doc_id"]].encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        assert r["raw_len"] == len(raw)
+        assert r["compressed_len"] == len(comp)
+        assert r["compression_ratio"] == round(len(comp) / len(raw), 6)
+        ratios.append(r["compression_ratio"])
+    # sanity: a pathological 50x-repeated text compresses far below median
+    rep = ("lorem ipsum " * 50).strip().encode()
+    assert len(zlib.compress(rep, 6)) / len(rep) < statistics.median(ratios)
