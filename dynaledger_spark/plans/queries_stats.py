@@ -794,3 +794,149 @@ def entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("name_similarity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile binning + decile migration (round-4)
+# ---------------------------------------------------------------------------
+def _decile_cte(pred: str, alias: str) -> str:
+    return f"""
+        {alias}_rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS rev
+            FROM orders WHERE {pred} GROUP BY o_custkey
+        ),
+        {alias}_bounds AS (
+            SELECT list_transform(
+                       quantile_cont(rev, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                       b -> round(b, 4)) AS bs
+            FROM {alias}_rev
+        ),
+        {alias}_dec AS (
+            SELECT o_custkey,
+                   1 + len(list_filter(bs, b -> b < rev)) AS decile
+            FROM {alias}_rev, {alias}_bounds
+        )"""
+
+
+@register(
+    "quantile_binning_migration",
+    doc="revenue decile migration matrix between the two order-date halves",
+    oracle=f"""
+        WITH {_decile_cte("o_orderdate < TIMESTAMP '1998-07-01'", "h1")},
+        {_decile_cte("o_orderdate >= TIMESTAMP '1998-07-01'", "h2")}
+        SELECT COALESCE(h1_dec.decile, 0) AS decile_h1,
+               COALESCE(h2_dec.decile, 0) AS decile_h2,
+               COUNT(*) AS n_customers
+        FROM h1_dec FULL OUTER JOIN h2_dec USING (o_custkey)
+        GROUP BY decile_h1, decile_h2
+    """,
+)
+def quantile_binning_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning WITHOUT a global ntile sort: per half,
+    compute the 9 interior decile boundaries once (a 1-row aggregate,
+    broadcast back) and assign each customer by counting boundaries
+    below their revenue — a scan-side expression, so binning scales as a
+    map pass instead of a corpus-wide sort (at 100 TB the exact
+    quantiles become sketches; assignment is unchanged). Boundaries are
+    rounded to 4dp BEFORE assignment so both engines bin against
+    identical cutoffs; decile 0 = absent that half. The migration matrix
+    is the full-outer join of the two assignments — ≤ 11×11 output rows.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    pivot = F.lit("1998-07-01").cast("timestamp")
+
+    def deciles(pred):
+        rev = (
+            orders.filter(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+                .cast("double")
+                .alias("rev")
+            )
+        )
+        bounds = rev.agg(
+            F.expr(
+                "transform(percentile(rev,"
+                " array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
+                " b -> round(b, 4))"
+            ).alias("bs")
+        )
+        return rev.crossJoin(F.broadcast(bounds)).select(
+            "o_custkey",
+            (
+                1
+                + F.size(F.filter(F.col("bs"), lambda b: b < F.col("rev")))
+            ).alias("decile"),
+        )
+
+    h1 = deciles(F.col("o_orderdate") < pivot).alias("h1")
+    h2 = deciles(F.col("o_orderdate") >= pivot).alias("h2")
+    j = h1.join(h2, F.col("h1.o_custkey") == F.col("h2.o_custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("h1.decile"), F.lit(0)).alias("decile_h1"),
+        F.coalesce(F.col("h2.decile"), F.lit(0)).alias("decile_h2"),
+    ).groupBy("decile_h1", "decile_h2").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout statistics (round-4)
+# ---------------------------------------------------------------------------
+def _morton_terms(x: str, y: str, bits: int = 8):
+    spark_t, duck_t = [], []
+    for i in range(bits):
+        spark_t.append(f"(shiftleft(shiftright({x}, {i}) & 1, {2 * i}))")
+        spark_t.append(f"(shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1}))")
+        duck_t.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        duck_t.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(spark_t), " + ".join(duck_t)
+
+
+_MORTON_SPARK, _MORTON_DUCK = _morton_terms("xk", "yk")
+
+
+@register(
+    "zorder_bucket_stats",
+    doc="Morton (Z-order) interleave of (partkey, suppkey) → per-bucket locality stats",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT l_partkey % 256 AS xk, l_suppkey % 256 AS yk FROM lineitem
+        ),
+        coded AS (
+            SELECT xk, yk, ({_MORTON_DUCK}) AS z FROM keyed
+        )
+        SELECT CAST(z >> 8 AS INT) AS z_bucket,
+               COUNT(*) AS n_rows,
+               CAST(MIN(xk) AS INT) AS x_min, CAST(MAX(xk) AS INT) AS x_max,
+               CAST(MIN(yk) AS INT) AS y_min, CAST(MAX(yk) AS INT) AS y_max
+        FROM coded GROUP BY z_bucket
+    """,
+)
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data layout: interleave the bits of two keys
+    into a Morton code and bucket by its high byte — every bucket then
+    spans ≤ 1/16 of BOTH key ranges simultaneously (x_max−x_min and
+    y_max−y_min ≤ 15, asserted in tests), which is what makes Z-order
+    sorted files prunable on either predicate. Pure integer bit
+    expressions in both engines; one hash aggregate. The range-sorted
+    sibling (operators/layout.py compact) optimizes one dimension; this
+    is the layout you switch to when two filter columns matter.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_partkey") % 256).alias("xk"),
+        (F.col("l_suppkey") % 256).alias("yk"),
+    )
+    coded = keyed.withColumn("z", F.expr(_MORTON_SPARK))
+    return coded.groupBy(
+        F.shiftright(F.col("z"), 8).cast("int").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("xk").cast("int").alias("x_min"),
+        F.max("xk").cast("int").alias("x_max"),
+        F.min("yk").cast("int").alias("y_min"),
+        F.max("yk").cast("int").alias("y_max"),
+    )

@@ -732,3 +732,85 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         schema="doc_id long, raw_len long, compressed_len long, compression_ratio double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup purge, end-to-end (round-4 composition flagship)
+# ---------------------------------------------------------------------------
+@register(
+    "near_dup_purge_e2e",
+    doc="end-to-end near-dup removal: pairs → components → keep canonical, per-source accounting",
+    oracle="""
+        WITH shingled AS (
+            SELECT doc_id, source,
+                   list_distinct([text[i:i+18]
+                                  FOR i IN range(1, greatest(length(text) - 18, 1) + 1)])
+                       AS shingles
+            FROM documents
+        ),
+        edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM shingled a JOIN shingled b
+              ON a.source = b.source AND b.doc_id - a.doc_id BETWEEN 1 AND 5
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        ),
+        bidir AS (
+            SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        reach AS (
+            WITH RECURSIVE r(src, dst) AS (
+                SELECT src, dst FROM bidir
+                UNION
+                SELECT r.src, b.dst FROM r JOIN bidir b ON r.dst = b.src
+            ) SELECT * FROM r
+        ),
+        comp AS (
+            SELECT d.doc_id, d.source,
+                   len(string_split_regex(d.text, '\\s+')) AS n_tokens,
+                   LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) = d.doc_id
+                       AS is_kept
+            FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+            GROUP BY d.doc_id, d.source, d.text
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT) AS n_purged,
+               CAST(COALESCE(SUM(n_tokens) FILTER (is_kept), 0) AS BIGINT)
+                   AS kept_tokens
+        FROM comp GROUP BY source
+    """,
+)
+def near_dup_purge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family composed into the transform users actually run:
+    candidate pairs (windowed char-19-gram Jaccard ≥ 0.5) → connected
+    components (iterative label propagation, operators/graph.py) → keep
+    only each cluster's canonical (min doc_id) → per-source purge
+    accounting. The DuckDB twin re-derives the WHOLE pipeline — pairs,
+    a recursive-CTE transitive closure, canonical choice, token
+    accounting — so the composition is verified end-to-end exactly like
+    curation_pipeline_e2e. At 100 TB: pairs come from MinHash-LSH
+    banding instead of the windowed candidates (same downstream),
+    components run O(log d) rounds, the final join is hash-on-doc_id.
+    """
+    from dynaledger_spark.operators.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    clusters = dedup_clusters(docs, pairs, pair_a="doc_a", pair_b="doc_b")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    ).join(clusters.select("doc_id", "is_canonical"), "doc_id")
+    kept = F.col("is_canonical")
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum((~kept).cast("bigint")).alias("n_purged"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0).cast("bigint")
+        ).alias("kept_tokens"),
+    )

@@ -252,3 +252,60 @@ def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("bigint")
         ).alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: time-to-convert percentiles (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "time_to_convert_stats",
+    doc="first-view → first-purchase latency percentiles across users",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (event_type = 'view') AS first_view,
+                   MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+            FROM events GROUP BY user_id
+        ),
+        converted AS (
+            SELECT CAST(epoch_us(first_purchase) // 1000000
+                        - epoch_us(first_view) // 1000000 AS BIGINT) AS delta_s
+            FROM firsts
+            WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+              AND first_purchase >= first_view
+        )
+        SELECT COUNT(*) AS n_converted,
+               round(quantile_cont(delta_s, 0.25), 4) AS p25_s,
+               round(quantile_cont(delta_s, 0.50), 4) AS p50_s,
+               round(quantile_cont(delta_s, 0.90), 4) AS p90_s
+        FROM converted
+    """,
+)
+def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: one conditional-MIN aggregate per
+    user (no self-join of the event stream), truncate both endpoints to
+    epoch seconds, then interpolated percentiles over the per-user
+    deltas. Deltas are exact integers so the interpolation arithmetic is
+    the only float op — rounded at 4dp, far above its ulp. Two
+    aggregates: per-user (corpus-sized, map-side combinable) and the
+    1-row summary.
+    """
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    conv = firsts.filter(
+        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    ).select(
+        (
+            F.expr("unix_micros(fp) div 1000000")
+            - F.expr("unix_micros(fv) div 1000000")
+        ).alias("delta_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(delta_s, 0.25)"), 4).alias("p25_s"),
+        F.round(F.expr("percentile(delta_s, 0.50)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(delta_s, 0.90)"), 4).alias("p90_s"),
+    )

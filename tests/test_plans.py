@@ -55,6 +55,7 @@ def test_no_cartesian_products(plans):
             "copurchase_triangles",  # 1-row × 1-row scalar-metric combine
             "knn_join_topk",  # deliberate broadcast fan-out of the query batch
             "target_encode_priority",  # 1-row broadcast of the global prior
+            "quantile_binning_migration",  # 1-row broadcast of decile bounds
         ), f"{name} nested-loop joins"
 
 
