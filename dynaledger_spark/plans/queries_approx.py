@@ -18,9 +18,13 @@ from dynaledger_spark.plans.registry import register
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from dynaledger_spark.catalog import read_table
 
-    return read_table(spark, sf_dir, "events")
+    return read_table(spark, sf_dir, name)
 
 
 @register(
@@ -84,4 +88,145 @@ def value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q")[1].alias("p95"),
             F.col("q")[2].alias("p99"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter: build + probe + false-positive accounting (round-4)
+# ---------------------------------------------------------------------------
+# m = 4096 bits in 63-bit words; k = 3 seeded multiplicative hashes.
+# Every step is integer arithmetic both engines replay bitwise, so unlike
+# the engine-native sketches (HLL/GK, rows-only) this one is oracle-EXACT.
+_BLOOM_M = 4096
+_BLOOM_HASHES = ((2654435761, 97), (2246822519, 3), (3266489917, 59))
+
+
+def _bloom_bits_sql(key: str) -> list[str]:
+    return [
+        f"CAST(({key} * {a} + {b}) % 4294967296 % {_BLOOM_M} AS BIGINT)"
+        for a, b in _BLOOM_HASHES
+    ]
+
+
+@register(
+    "bloom_filter_probe",
+    doc="portable 4096-bit/3-hash Bloom filter over customers, probed with half-absent keys",
+    oracle=f"""
+        WITH bits AS (
+            {' UNION ALL '.join(
+                f"SELECT {b} AS bit FROM customer" for b in _bloom_bits_sql('c_custkey')
+            )}
+        ),
+        bloom AS (
+            SELECT bit // 63 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(bit % 63 AS INT)) AS word
+            FROM bits GROUP BY bit // 63
+        ),
+        probes AS (
+            SELECT DISTINCT o_custkey * 2 AS probe_key FROM orders
+        ),
+        probe_bits AS (
+            SELECT probe_key, u.bit,
+                   CAST(u.bit // 63 AS BIGINT) AS word_idx,
+                   CAST(u.bit % 63 AS INT) AS bit_in_word
+            FROM probes, unnest([{', '.join(_bloom_bits_sql('probe_key'))}]) AS u(bit)
+        ),
+        hits AS (
+            SELECT probe_key,
+                   CASE WHEN COUNT(*) FILTER (
+                            (bloom.word >> bit_in_word) & 1 = 1) = 3
+                        THEN 1 ELSE 0 END AS bloom_positive
+            FROM probe_bits LEFT JOIN bloom USING (word_idx)
+            GROUP BY probe_key
+        ),
+        truth AS (
+            SELECT h.probe_key, h.bloom_positive,
+                   CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS actually_present
+            FROM hits h LEFT JOIN customer c ON h.probe_key = c.c_custkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+               CAST(SUM(bloom_positive) AS BIGINT) AS n_bloom_positive,
+               CAST(SUM(actually_present) AS BIGINT) AS n_actually_present,
+               CAST(SUM(CASE WHEN bloom_positive = 1 AND actually_present = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+               CAST(SUM(CASE WHEN bloom_positive = 0 AND actually_present = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+        FROM truth
+    """,
+)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom filter built, probed, and audited entirely in relational
+    operators with PORTABLE hashes — so the whole sketch is oracle-exact
+    (the HLL/GK entries stay rows-only because their hashes are
+    engine-native). Build: each key sets k=3 of m=4096 bits; the filter
+    materializes as ≤64 (word_idx, bit_or word) rows — the associative
+    bit_or aggregation IS the filter union, which is how per-partition
+    filters merge at scale. Probe: half-absent crafted keys join the
+    64-row filter (broadcast-sized at any corpus scale) and report the
+    confusion counts. n_false_negative MUST be 0 (Bloom guarantee —
+    asserted by both engines agreeing with the exact membership join);
+    the false-positive rate is the documented (1−e^{{-kn/m}})^k. This is
+    the primitive behind Spark's own runtime bloom-join pruning; here it
+    is explicit so the pruning ratio is measurable.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bits = None
+    for a, b in _BLOOM_HASHES:
+        part = cust.select(
+            ((F.col("c_custkey") * a + b) % 4294967296 % _BLOOM_M)
+            .cast("bigint")
+            .alias("bit")
+        )
+        bits = part if bits is None else bits.unionAll(part)
+    bloom = bits.groupBy((F.col("bit") / 63).cast("bigint").alias("word_idx")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT))")
+        ).alias("word")
+    )
+    probes = orders.select((F.col("o_custkey") * 2).alias("probe_key")).distinct()
+    bit_arr = F.array(
+        *[
+            ((F.col("probe_key") * a + b) % 4294967296 % _BLOOM_M).cast("bigint")
+            for a, b in _BLOOM_HASHES
+        ]
+    )
+    probe_bits = probes.select(
+        "probe_key", F.explode(bit_arr).alias("bit")
+    ).select(
+        "probe_key",
+        (F.col("bit") / 63).cast("bigint").alias("word_idx"),
+        (F.col("bit") % 63).cast("int").alias("bit_in_word"),
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("probe_key")
+        .agg(
+            F.when(
+                F.sum(
+                    F.expr("CAST(shiftright(word, bit_in_word) % 2 = 1 AS INT)")
+                )
+                == 3,
+                1,
+            )
+            .otherwise(0)
+            .alias("bloom_positive")
+        )
+    )
+    truth = hits.join(
+        cust.select(F.col("c_custkey").alias("probe_key")), "probe_key", "left_semi"
+    ).select("probe_key").withColumn("actually_present", F.lit(1))
+    joined = hits.join(truth.select("probe_key", "actually_present"), "probe_key", "left").fillna(
+        {"actually_present": 0}
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("bloom_positive").cast("bigint").alias("n_bloom_positive"),
+        F.sum("actually_present").cast("bigint").alias("n_actually_present"),
+        F.sum(
+            ((F.col("bloom_positive") == 1) & (F.col("actually_present") == 0)).cast("bigint")
+        ).alias("n_false_positive"),
+        F.sum(
+            ((F.col("bloom_positive") == 0) & (F.col("actually_present") == 1)).cast("bigint")
+        ).alias("n_false_negative"),
     )

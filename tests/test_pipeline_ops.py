@@ -471,3 +471,20 @@ def test_zorder_buckets_are_local_in_both_dims(spark, sf):
         # the bucket id really is the interleaved high nibbles
         assert r["z_bucket"] >> 8 == 0 or True
         assert 0 <= r["z_bucket"] < 256
+
+
+def test_bloom_filter_guarantees(spark, sf):
+    """Bloom guarantee: zero false negatives; the false-positive rate on
+    absent probes must sit near the theoretical (1-e^{-kn/m})^k."""
+    import math
+
+    from dynaledger_spark.catalog import read_table
+
+    r = REGISTRY["bloom_filter_probe"].build(spark, sf).head()
+    assert r["n_false_negative"] == 0
+    n_keys = read_table(spark, sf, "customer").count()
+    theory = (1.0 - math.exp(-3.0 * n_keys / 4096)) ** 3
+    absent = r["n_probed"] - r["n_actually_present"]
+    if absent >= 100:  # enough probes for the rate to concentrate
+        fpr = r["n_false_positive"] / absent
+        assert abs(fpr - theory) < max(0.1, 3 * math.sqrt(theory / absent))
