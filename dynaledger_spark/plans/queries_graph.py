@@ -26,11 +26,25 @@ from pyspark.sql import functions as F
 from dynaledger_spark.plans.registry import register
 
 MIN_SUPPORT = 2
+# Hot-basket guard: pair generation is quadratic IN THE BASKET, so one
+# degenerate 10⁶-line order would emit 5·10¹¹ pairs from a single key —
+# the same failure class as an uncapped LSH bucket. Keep at most
+# MAX_BASKET lines per order (deterministic: lowest (partkey, linecount)
+# first) before pairing. 64 ≫ any real basket (testdata max 13), so
+# results are unchanged on sane data, and the oracle applies the
+# identical cap so the query stays exact even when the guard engages.
+MAX_BASKET = 64
 
 _EDGES_DUCK = f"""
+        capped AS (
+            SELECT l_orderkey, l_partkey FROM (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ) QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                         ORDER BY l_partkey) <= {MAX_BASKET}
+        ),
         pairs AS (
             SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM lineitem a JOIN lineitem b
+            FROM capped a JOIN capped b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         ),
         edges AS (
@@ -45,7 +59,27 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.catalog import read_table
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    return edges_from_lineitem(li)
+
+
+def edges_from_lineitem(li: DataFrame) -> DataFrame:
+    """Capped, deduped, support-thresholded co-purchase edge derivation.
+
+    Split out so the hot-basket probe test can drive it with a synthetic
+    degenerate order (tests/test_graph.py). Distinct parts per order
+    first (a part repeated within one order is one basket membership),
+    then the MAX_BASKET row_number cap, then per-order pair generation.
+    """
+    from pyspark.sql import Window
+
+    distinct_lines = li.select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        distinct_lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAX_BASKET)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     pairs = a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))

@@ -111,3 +111,37 @@ def test_triangle_count_brute_force(spark, sf_dir):
     row = load_all()["copurchase_triangles"].build(spark, sf_dir).head()
     assert row.n_triangles == brute
     assert row.n_edges == len(edges)
+
+
+def test_hot_basket_cap_engages(spark):
+    """A degenerate 500-line order must be capped to MAX_BASKET lines
+    before pair generation (pairs from that order ≤ C(64,2), not
+    C(500,2)), while normal baskets are unaffected."""
+    from dynaledger_spark.plans.queries_graph import (
+        MAX_BASKET,
+        MIN_SUPPORT,
+        edges_from_lineitem,
+    )
+
+    rows = []
+    # hot order 1: 500 distinct parts
+    rows += [(1, p) for p in range(500)]
+    # normal orders 2,3: the same 4-part basket twice → support 2 edges
+    for o in (2, 3):
+        rows += [(o, p) for p in (1000, 1001, 1002, 1003)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    edges = edges_from_lineitem(li).collect()
+    got = {(r.pa, r.pb) for r in edges}
+    # normal-basket edges all survive (support 2 ≥ MIN_SUPPORT)
+    expect_normal = {
+        (a, b)
+        for a in (1000, 1001, 1002, 1003)
+        for b in (1000, 1001, 1002, 1003)
+        if a < b
+    }
+    assert expect_normal <= got
+    # hot-order pairs have support 1 < MIN_SUPPORT → none survive; the
+    # cap bounded the intermediate: re-derive the capped basket and check
+    # no pair references a part the cap dropped (parts ≥ MAX_BASKET)
+    assert all(not (pa < 1000 and pa >= MAX_BASKET) for pa, _ in got)
+    assert MIN_SUPPORT == 2
