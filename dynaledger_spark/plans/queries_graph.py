@@ -10,8 +10,8 @@ other staples, degree distribution and triangle counting.
 Scale posture: pair generation is grouped per order, so its cost is
 Σ k_i·(k_i−1)/2 over order sizes — bounded by the max basket size (13 in
 the testdata), never corpus-quadratic. A pathological hot basket (a
-10⁶-line order) would need the same cap treatment as the LSH buckets;
-orders have natural line limits so none is applied here. The triangle
+10⁶-line order) is additionally guarded by the MAX_BASKET row_number
+cap (oracle-mirrored, probe-tested) — the LSH-bucket treatment. The triangle
 join orders each edge a<b and joins edges-to-wedges-to-closures — the
 standard distributed edge-iterator; at 100 TB you'd pre-partition edges
 by low vertex and optionally degree-order (b counts only wedges at its
