@@ -294,14 +294,12 @@ def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.groupBy("l_returnflag").agg(
         dsum(wx, "sum_wx"),
         dsum(F.col("l_quantity"), "sum_w"),
-        F.sum(wx.cast("decimal(27,6)")).cast("double").alias("_swx"),
-        F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("_sw"),
     )
     return agg.select(
         "l_returnflag",
         "sum_wx",
         "sum_w",
-        F.round(F.col("_swx") / F.col("_sw"), 12).alias("weighted_avg_discount"),
+        F.round(F.col("sum_wx") / F.col("sum_w"), 12).alias("weighted_avg_discount"),
     )
 
 
