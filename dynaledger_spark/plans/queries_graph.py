@@ -55,11 +55,18 @@ _EDGES_DUCK = f"""
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-thresholded co-purchase edges with canonical pa < pb."""
+    """Support-thresholded co-purchase edges with canonical pa < pb.
+
+    persist()ed (lazy): the triangle query self-joins the edge set three
+    times and PageRank reads it every iteration — without the cache each
+    reference re-executes the lineitem self-join subtree. The cache is
+    |edges| rows of two longs, session-scoped, same pattern as the
+    minhash signature cache.
+    """
     from dynaledger_spark.catalog import read_table
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return edges_from_lineitem(li)
+    return edges_from_lineitem(li).persist()
 
 
 def edges_from_lineitem(li: DataFrame) -> DataFrame:
@@ -181,15 +188,24 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85) -> DataFrame:
     """PageRank on canonical (pa < pb) undirected edges; returns
-    (v, rank) rounded to 9dp for output stability."""
+    (v, rank) rounded to 9dp for output stability.
+
+    Loop-invariant arcs and degrees are persist()ed — without that,
+    every iteration re-derives the full edge pipeline (the lineitem
+    self-join) from scratch, measured 2× total wall at sf0.1. A LAZY
+    localCheckpoint every 4 iterations truncates lineage so late
+    iterations don't re-plan the whole prefix (lazy, so AQE keeps
+    optimizing each executed segment — the eager form is the
+    plan-pinning trap round 4 root-caused in the minhash bench).
+    """
     arcs = edges.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.count()  # scalar: |V|, bounded driver value
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))).persist()
+    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = deg.count()  # scalar: |V|, bounded driver value (also primes the caches)
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             ranks.join(deg, "src")
             .join(arcs, "src")
@@ -203,6 +219,8 @@ def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85) -> DataFra
                 (F.lit(base) + F.lit(damping) * F.col("in_mass")).alias("rank"),
             )
         )
+        if i % 4 == 3 and i != iters - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         F.col("src").alias("v"), F.round(F.col("rank"), 9).alias("rank")
     )
