@@ -814,3 +814,86 @@ def near_dup_purge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0).cast("bigint")
         ).alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer application: text → vocab id sequences (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "tokenize_to_ids",
+    doc="apply the built vocabulary: per-doc ordered token-id sequence, OOV = -1",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        ),
+        words AS (
+            SELECT doc_id, u.s.i AS pos, u.s.w AS w
+            FROM toks, unnest(list_transform(range(1, len(t) + 1),
+                                             i -> {'i': i, 'w': t[i]})) AS u(s)
+        ),
+        counts AS (
+            SELECT w, COUNT(*) AS n FROM words GROUP BY w HAVING COUNT(*) >= 2
+        ),
+        vocab AS (
+            SELECT w AS token,
+                   CAST(row_number() OVER (ORDER BY n DESC, w) - 1 AS INT)
+                       AS token_id
+            FROM counts QUALIFY token_id < 500
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (v.token_id IS NULL) AS BIGINT) AS n_oov,
+               array_to_string(list(CAST(COALESCE(v.token_id, -1) AS VARCHAR)
+                                    ORDER BY pos), ' ') AS token_ids
+        FROM words w LEFT JOIN vocab v ON w.w = v.token
+        GROUP BY doc_id
+    """,
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of tokenizer training (vocab_build_topn is the
+    build half): every document becomes its ordered sequence of vocab
+    ids with OOV → −1 — the text→tensor step of a training-data
+    pipeline. The vocabulary is broadcast (≤N rows) so the token lookup
+    is a map-side hash probe; sequence reassembly sorts (pos, id)
+    structs inside the per-doc aggregation, riding the doc_id
+    partitioning. Output ids are a space-joined STRING — the
+    serialization-stable form for raw arrays found in round 3 (Arrow
+    conversion renders bare arrays session-dependently).
+    """
+    from dynaledger_spark.plans.queries_pipeline import _docs_by_id
+
+    docs = _docs_by_id(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "w"),
+    )
+    counts = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _VOCAB_MIN)
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("w")).limit(_VOCAB_N)
+    vocab = top.select(
+        F.col("w").alias("token"),
+        (F.row_number().over(W.orderBy(F.col("n").desc(), F.col("w"))) - 1)
+        .cast("int")
+        .alias("token_id"),
+    )
+    joined = words.join(
+        F.broadcast(vocab), words.w == vocab.token, "left"
+    ).select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(-1)).alias("tid"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("tid") == -1).cast("bigint")).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x.tid.cast("string"),
+            ),
+            " ",
+        ).alias("token_ids"),
+    )

@@ -237,3 +237,29 @@ def test_compression_ratio_matches_zlib(spark, sf_dir):
     # sanity: a pathological 50x-repeated text compresses far below median
     rep = ("lorem ipsum " * 50).strip().encode()
     assert len(zlib.compress(rep, 6)) / len(rep) < statistics.median(ratios)
+
+
+def test_tokenize_to_ids_oov_path(spark, tmp_path):
+    """On a corpus with singleton (sub-min-count) words, tokenize_to_ids
+    must emit -1 at exactly those positions — the testdata's vocabulary
+    fits entirely in the 500-slot budget, so this path only fires here."""
+    from dynaledger_spark.plans.registry import load_all
+
+    rows = [
+        (0, "alpha beta alpha uniqueword1", "en", "s0", 28),
+        (1, "beta alpha beta uniqueword2", "en", "s0", 27),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in load_all()["tokenize_to_ids"].build(spark, d).collect()
+    }
+    # vocab (count desc, word asc): alpha(3)=0, beta(3)=1; singletons OOV
+    assert out[0]["token_ids"] == "0 1 0 -1"
+    assert out[1]["token_ids"] == "1 0 1 -1"
+    assert out[0]["n_oov"] == 1 and out[1]["n_oov"] == 1
+    assert out[0]["n_tokens"] == 4
