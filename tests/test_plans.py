@@ -394,3 +394,22 @@ def test_type_token_ratio_single_exchange(plans):
     """type_token_ratio rides the _docs_by_id partitioning: the word- and
     doc-level aggregations share ONE exchange."""
     assert _nodes(plans["type_token_ratio"], "Exchange") == 1
+
+
+def test_bloom_probe_broadcasts_filter(plans):
+    """bloom_filter_probe: the <=66-row filter must broadcast to the
+    probe side (never shuffle the probes against it)."""
+    assert "BroadcastHashJoin" in plans["bloom_filter_probe"]
+
+
+def test_tokenize_vocab_broadcasts(plans):
+    """tokenize_to_ids: the vocabulary lookup must be a broadcast hash
+    probe — a shuffled join on the token would move the whole exploded
+    corpus."""
+    assert "BroadcastHashJoin" in plans["tokenize_to_ids"]
+
+
+def test_zorder_single_exchange(plans):
+    """Morton coding is scan-side; the per-bucket stats are one hash
+    aggregate."""
+    assert _nodes(plans["zorder_bucket_stats"], "Exchange") == 1

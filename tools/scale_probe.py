@@ -39,6 +39,13 @@ QUERIES = [
     "curation_pipeline_e2e",    # 5-stage composed plan
     "salted_join_segment_revenue",  # explicit salt path
     "simhash_near_dup_pairs",   # pigeonhole chunk join
+    # round-4 families
+    "segment_dedup_boilerplate",  # hot doc -> 3000x duplicated segment keys
+    "boilerplate_strip_stats",    # skewed join back on the hot segment key
+    "knn_join_topk",              # broadcast fan-out over a 10x corpus
+    "tokenize_to_ids",            # broadcast-vocab probe + doc reassembly
+    "mad_outlier_summary",        # exact medians over 10x groups (the documented sketch-at-scale caveat)
+    "near_dup_purge_e2e",         # CC with a 3000-node dup cluster (diameter ~600 via the +-5 window)
 ]
 
 
@@ -159,6 +166,18 @@ def main() -> None:
             f"hot user EWMA: n_events={hot_row['n_events']} -> "
             f"{-(-hot_row['n_events'] // EWMA_SEGMENT)} bounded segments of <= {EWMA_SEGMENT} rows"
         )
+
+        # round-4 guard evidence: the hot document's duplicated segments
+        # concentrate on few keys — count the occurrences the hot keys carry
+        from dynaledger_spark.plans.queries_text import _segments
+
+        seg_counts = (
+            spark.read.parquet(os.path.join(dest, "documents.parquet"))
+            .select(F.explode(_segments(F.col("text"))).alias("seg"))
+            .groupBy("seg").count()
+        )
+        hot_segs = seg_counts.filter("count >= 3000").count()
+        print(f"hot segment keys (>=3000 occurrences, AQE skew-join territory): {hot_segs}")
     finally:
         shutil.rmtree(dest, ignore_errors=True)
         spark.stop()
