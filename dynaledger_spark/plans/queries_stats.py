@@ -938,3 +938,82 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("yk").cast("int").alias("y_min"),
         F.max("yk").cast("int").alias("y_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (round-4): the DESCRIBE-EXTENDED / dbt-profiler analog
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = (
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+)
+
+
+def _profile_duck() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(MIN({c}) AS VARCHAR)"
+            mx = f"CAST(MAX({c}) AS VARCHAR)"
+        else:
+            mn, mx = f"MIN({c})", f"MAX({c})"
+        parts.append(f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               {mn} AS min_value,
+               {mx} AS max_value
+        FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_lineitem_columns",
+    doc="per-column profile: rows, nulls, exact distinct, min/max (as strings)",
+    oracle=_profile_duck(),
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling as a first-class operator (what DESCRIBE EXTENDED
+    column stats / dbt-profiler produce): one output row per column with
+    row/null/exact-distinct counts and min/max stringified for a uniform
+    schema. Spark computes ALL columns in a single pass — one aggregate
+    with per-column countDistinct/min/max — then unpivots driver-side
+    expressions into rows; the oracle takes the naive per-column UNION
+    (8 scans) and must agree, which also pins that the single-pass
+    rewrite is semantics-preserving. At 100 TB exact distincts become
+    approx_count_distinct (same shape, documented error). Min/max
+    stringify with plain casts — both engines print doubles in
+    shortest-repr form, which the comparator already relies on.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__dist").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
