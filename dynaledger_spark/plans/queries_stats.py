@@ -1017,3 +1017,263 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# OLAP / BI staples (round-4, batch 2)
+# ---------------------------------------------------------------------------
+@register(
+    "time_rollup_revenue",
+    doc="ROLLUP over the time hierarchy (year → quarter → month), exact sums",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(quarter(o_orderdate) AS INT) AS qtr,
+               CAST(month(o_orderdate) AS INT) AS mon,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {osum('o_totalprice', 'revenue')}
+        FROM orders
+        GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
+    """,
+)
+def time_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OLAP drill-down cube along the calendar hierarchy: one ROLLUP
+    pass emits month, quarter, year, and grand-total rows together —
+    Spark's Expand operator replicates each row once per grouping set
+    BEFORE the single hash aggregate, so subtotals cost one shuffle,
+    not four scans (the same property pinned for sales_rollup). Exact
+    decimal sums keep every subtotal bit-identical to the oracle.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+            "o_totalprice",
+        )
+        .rollup("yr", "qtr", "mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+@register(
+    "sliding_7d_active_users",
+    doc="7-day sliding distinct active users per day (explode-to-window, no window-distinct)",
+    oracle="""
+        WITH user_days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        contrib AS (
+            SELECT user_id, d + CAST(u.i AS INTEGER) AS target_day
+            FROM user_days, unnest(range(0, 7)) AS u(i)
+        ),
+        bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events)
+        SELECT CAST(target_day AS VARCHAR) AS day,
+               COUNT(DISTINCT user_id) AS active_users_7d
+        FROM contrib, bounds
+        WHERE target_day BETWEEN lo AND hi
+        GROUP BY target_day
+    """,
+)
+def sliding_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7-day-active-users metric without COUNT(DISTINCT) OVER (which
+    no engine supports in a window): each (user, day) contributes to the
+    7 target days it falls inside, then one distinct-count per day. The
+    explode is map-side ×7 on the already-deduped user-day table; the
+    groupBy is the only shuffle. Clamped to observed days so leading
+    edge days match the oracle exactly. Day emitted as string
+    (serialization-stable DATE form).
+    """
+    ev = _t(spark, sf_dir, "events")
+    user_days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)), lambda i: F.date_add(F.col("d"), i)
+            )
+        ).alias("target_day"),
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    clamped = contrib.crossJoin(F.broadcast(bounds)).filter(
+        F.col("target_day").between(F.col("lo"), F.col("hi"))
+    )
+    return clamped.groupBy(
+        F.col("target_day").cast("string").alias("day")
+    ).agg(F.countDistinct("user_id").alias("active_users_7d"))
+
+
+@register(
+    "event_transition_matrix",
+    doc="Markov transition counts/probabilities between consecutive event types per user",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type,
+                   CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)) // 1000000
+                        - epoch_us(ts) // 1000000 AS BIGINT) AS gap_s
+            FROM events
+        ),
+        pairs AS (
+            SELECT event_type, next_type, gap_s FROM ordered
+            WHERE next_type IS NOT NULL
+        ),
+        agg AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   COUNT(*) AS n_transitions,
+                   CAST(SUM(CAST(gap_s AS DECIMAL(27,0))) AS BIGINT) AS sum_gap_s
+            FROM pairs GROUP BY from_type, next_type
+        )
+        SELECT from_type, to_type, n_transitions, sum_gap_s,
+               round(n_transitions / CAST(SUM(n_transitions)
+                     OVER (PARTITION BY from_type) AS DOUBLE), 12) AS p_transition
+        FROM agg
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral modeling: the first-order Markov transition matrix over
+    each user's event sequence (lead over the per-user ordering with the
+    event_id tiebreak), with exact dwell-time sums between steps.
+    Transition probabilities normalize per source state via a window
+    over the aggregated |types|² rows — free after the corpus-sized
+    lead window + groupBy, which share the user_id clustering.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.expr("unix_micros(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) div 1000000")
+            - F.expr("unix_micros(ts) div 1000000")
+        ).alias("gap_s"),
+    )
+    agg = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(F.col("gap_s").cast("decimal(27,0)")).cast("bigint").alias("sum_gap_s"),
+        )
+    )
+    return agg.withColumn(
+        "p_transition",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(W.partitionBy("from_type")).cast("double"),
+            12,
+        ),
+    )
+
+
+@register(
+    "revenue_share_by_nation",
+    doc="percent-of-total contribution per nation (exact sums, bounded window)",
+    oracle=f"""
+        WITH per_nation AS (
+            SELECT n_name, {osum('o_totalprice', 'revenue')},
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, revenue, n_orders,
+               round(revenue / SUM(revenue) OVER (), 12) AS revenue_share
+        FROM per_nation
+    """,
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each nation's share of total revenue. The
+    share window runs over the ALREADY-AGGREGATED |nations| rows (25),
+    so the single-partition window is bounded by the dimension, never
+    the fact table; both the numerator and the windowed denominator are
+    the same exact decimal sums, making the division bit-deterministic.
+    Dimensions broadcast into the fact join.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return per_nation.withColumn(
+        "revenue_share",
+        F.round(F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 12),
+    )
+
+
+@register(
+    "pareto_abc_parts",
+    doc="ABC (Pareto) classification of parts by cumulative revenue share",
+    oracle=f"""
+        WITH per_part AS (
+            SELECT l_partkey, {osum('l_extendedprice * (1 - l_discount)', 'revenue')}
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, revenue,
+                   CAST(SUM(CAST(revenue AS DECIMAL(27,6)))
+                        OVER (ORDER BY revenue DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
+                   CAST(SUM(CAST(revenue AS DECIMAL(27,6))) OVER () AS DOUBLE)
+                       AS total_rev
+            FROM per_part
+        )
+        SELECT l_partkey, revenue,
+               round(cum_rev / total_rev, 12) AS cum_share,
+               CASE WHEN round(cum_rev / total_rev, 12) <= 0.8 THEN 'A'
+                    WHEN round(cum_rev / total_rev, 12) <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    """,
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification: parts ranked by revenue, the
+    running share classifies A (top 80% of revenue), B (next 15%), C.
+    The running sum orders by (revenue DESC, partkey) — a deterministic
+    total order — over the AGGREGATED per-part rows (|parts|, bounded by
+    the dimension, not the fact table); cum shares are exact-decimal
+    sums (the running sum accumulates in DECIMAL — window sums of
+    doubles are engine-internal-order-dependent, DuckDB's uses a
+    segment tree) divided once and rounded BEFORE the class thresholds
+    so boundary parts classify identically in both engines. The classic
+    answer to 'which SKUs deserve exact tracking'.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(dsum(net, "revenue"))
+    w_cum = (
+        W.orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rev_dec = F.col("revenue").cast("decimal(27,6)")
+    ranked = per_part.select(
+        "l_partkey",
+        "revenue",
+        F.sum(rev_dec).over(w_cum).cast("double").alias("cum_rev"),
+        F.sum(rev_dec).over(W.partitionBy()).cast("double").alias("total_rev"),
+    )
+    share = F.round(F.col("cum_rev") / F.col("total_rev"), 12)
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )

@@ -56,6 +56,7 @@ def test_no_cartesian_products(plans):
             "knn_join_topk",  # deliberate broadcast fan-out of the query batch
             "target_encode_priority",  # 1-row broadcast of the global prior
             "quantile_binning_migration",  # 1-row broadcast of decile bounds
+            "sliding_7d_active_users",  # 1-row broadcast of the date bounds
         ), f"{name} nested-loop joins"
 
 
