@@ -1277,3 +1277,68 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("cum_share"),
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full regression family per group (round-4): slope, intercept, R²
+# ---------------------------------------------------------------------------
+@register(
+    "regression_price_by_qty",
+    doc="per-returnflag OLS of extendedprice on quantity: slope, intercept, R²",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 9)
+                   AS intercept,
+               round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS r_squared
+        FROM m
+    """,
+)
+def regression_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete OLS family (slope + intercept + R²) as one hash
+    aggregate over the same five exact co-moments as corr_qty_price —
+    no MLlib, no iteration, skew-immune. The intercept expression
+    re-derives the slope inline so both engines evaluate the IDENTICAL
+    double expression tree (naming a subexpression can change rounding);
+    9dp rounding for the ~10³-magnitude slope/intercept, 12dp for the
+    O(1) R². regr_slope/regr_intercept built-ins stream doubles in
+    partition order and are avoided for the oracle-exact path.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(6,0)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    slope = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.expr(slope), 9).alias("slope"),
+        F.round(F.expr(f"(sy - {slope} * sx) / n"), 9).alias("intercept"),
+        F.round(
+            F.expr(
+                "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+                " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            ),
+            12,
+        ).alias("r_squared"),
+    )

@@ -897,3 +897,68 @@ def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("token_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric near-dup) scoring (round-4)
+# ---------------------------------------------------------------------------
+@register(
+    "containment_scores",
+    doc="asymmetric shingle containment |A∩B|/|A| over candidate pairs",
+    oracle="""
+        WITH shingled AS (
+            SELECT doc_id, source,
+                   list_distinct([text[i:i+18]
+                                  FOR i IN range(1, greatest(length(text) - 18, 1) + 1)])
+                       AS shingles
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(a.shingles) AS BIGINT) AS n_shingles_a,
+               CAST(len(b.shingles) AS BIGINT) AS n_shingles_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(a.shingles), 12) AS containment_a_in_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(b.shingles), 12) AS containment_b_in_a
+        FROM shingled a JOIN shingled b
+          ON a.source = b.source AND b.doc_id - a.doc_id BETWEEN 1 AND 5
+        WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    """,
+)
+def containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment — |A∩B|/|A| — is the ASYMMETRIC near-dup metric:
+    Jaccard misses a short document wholly embedded in a long one (small
+    union ratio, full containment), which is exactly the quote/
+    boilerplate-inclusion case curation pipelines must catch. Same
+    candidate-pair machinery as ngram_jaccard (windowed here for oracle
+    exactness; MinHash-LSH banding in production), both directions
+    scored from one intersection.
+    """
+    docs = _docs(spark, sf_dir)
+    shingles = F.expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 18, 1)),"
+        " s -> substring(text, s, 19)))"
+    )
+    shingled = docs.select("doc_id", "source", shingles.alias("shingles"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("b.doc_id") - F.col("a.doc_id")).between(1, 5),
+        )
+        .filter(inter > 0)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size("a.shingles").cast("bigint").alias("n_shingles_a"),
+            F.size("b.shingles").cast("bigint").alias("n_shingles_b"),
+            F.round(
+                inter.cast("double") / F.size("a.shingles"), 12
+            ).alias("containment_a_in_b"),
+            F.round(
+                inter.cast("double") / F.size("b.shingles"), 12
+            ).alias("containment_b_in_a"),
+        )
+    )
