@@ -168,3 +168,48 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(
         (F.col("n_train") > 0) & ((F.col("n_val") + F.col("n_test")) > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (round-4): deterministic A-ES
+# ---------------------------------------------------------------------------
+_AES_K = 50
+
+
+@register(
+    "weighted_sample_aes",
+    doc=f"deterministic A-ES weighted sample without replacement (k={_AES_K}, weight=n_chars)",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   round(-ln(((doc_id * {_H2} + 99991) % {_M32} + 1)
+                             / CAST({_M32} + 1 AS DOUBLE)) / n_chars, 18) AS aes_key
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, aes_key
+        FROM keyed
+        QUALIFY row_number() OVER (ORDER BY aes_key, doc_id) <= {_AES_K}
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the exponential-race
+    construction (Efraimidis-Spirakis A-ES): each row draws
+    key = −ln(u)/w and the k SMALLEST keys win — inclusion probability
+    proportional to weight, in ONE pass, mergeable as a top-k (the
+    shape that samples 100 TB without a shuffle: per-partition top-k,
+    driver merge). u is hash-uniform from the doc_id (no RNG — the
+    same multiplicative-hash determinism as every sampler here), so
+    membership is reproducible across runs, engines, and appends.
+    ln() is ~1-ulp across libms: the key rounds to 18dp (keys are
+    ~1e-5-scale; rounding collisions fall to the doc_id tiebreak, which
+    both engines share).
+    """
+    docs = _docs(spark, sf_dir)
+    u = (_mhash(F.col("doc_id"), _H2, 99991) + 1) / float(_M32 + 1)
+    key = F.round(-F.log(u) / F.col("n_chars"), 18)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        key.alias("aes_key"),
+    )
+    return keyed.orderBy("aes_key", "doc_id").limit(_AES_K)

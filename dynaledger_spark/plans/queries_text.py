@@ -962,3 +962,85 @@ def containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_b_in_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best canonical selection (round-4): dedup that keeps the LONGEST doc
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_keep_best",
+    doc="near-dup clusters keep the longest member (quality-argmax canonical)",
+    oracle="""
+        WITH shingled AS (
+            SELECT doc_id, source,
+                   list_distinct([text[i:i+18]
+                                  FOR i IN range(1, greatest(length(text) - 18, 1) + 1)])
+                       AS shingles
+            FROM documents
+        ),
+        edges AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM shingled a JOIN shingled b
+              ON a.source = b.source AND b.doc_id - a.doc_id BETWEEN 1 AND 5
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        ),
+        bidir AS (
+            SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        reach AS (
+            WITH RECURSIVE r(src, dst) AS (
+                SELECT src, dst FROM bidir
+                UNION
+                SELECT r.src, b.dst FROM r JOIN bidir b ON r.dst = b.src
+            ) SELECT * FROM r
+        ),
+        membered AS (
+            SELECT d.doc_id,
+                   len(string_split_regex(d.text, '\\s+')) AS n_tokens,
+                   LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+            GROUP BY d.doc_id, d.text
+        )
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(max_by(doc_id, n_tokens * 10000000000 - doc_id) AS BIGINT)
+                   AS kept_doc_id,
+               CAST(MAX(n_tokens) AS BIGINT) AS kept_tokens
+        FROM membered GROUP BY cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical-selection policy real curation uses: within each
+    near-dup cluster keep the LONGEST member (most content preserved),
+    tie-broken by lowest doc_id — not the arbitrary min-id that
+    dedup_clusters labels with. Spark picks via max_by over a
+    single arithmetic key n_tokens·10¹⁰ − doc_id (an exact BIGINT
+    lexicographic encoding; struct-key max_by is not portable to DuckDB)
+    — two engines, one deterministic policy. Cluster labels still come from connected components, so the
+    output is one row per cluster with its membership count and the
+    survivor.
+    """
+    from dynaledger_spark.operators.graph import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    clusters = dedup_clusters(docs, pairs, pair_a="doc_a", pair_b="doc_b")
+    membered = clusters.select("doc_id", "cluster_id").join(
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+        ),
+        "doc_id",
+    )
+    return membered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(
+            "doc_id",
+            F.col("n_tokens").cast("bigint") * 10_000_000_000 - F.col("doc_id"),
+        )
+        .cast("bigint")
+        .alias("kept_doc_id"),
+        F.max("n_tokens").cast("bigint").alias("kept_tokens"),
+    )
