@@ -488,3 +488,90 @@ def test_bloom_filter_guarantees(spark, sf):
     if absent >= 100:  # enough probes for the rate to concentrate
         fpr = r["n_false_positive"] / absent
         assert abs(fpr - theory) < max(0.1, 3 * math.sqrt(theory / absent))
+
+
+def test_islands_match_bruteforce(spark, sf):
+    """Gaps-and-islands via rank-difference must equal a plain-python
+    consecutive-run scan over the same distinct (user, day) sets."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from dynaledger_spark.catalog import read_table
+
+    ev = read_table(spark, sf, "events").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["ts"].date())
+    want = set()
+    for u, ds in days.items():
+        run = []
+        for d in sorted(ds):
+            if run and (d - run[-1]) != timedelta(days=1):
+                want.add((u, str(run[0]), str(run[-1]), len(run)))
+                run = []
+            run.append(d)
+        want.add((u, str(run[0]), str(run[-1]), len(run)))
+    got = {
+        (r["user_id"], r["island_start"], r["island_end"], r["n_days"])
+        for r in REGISTRY["islands_user_activity"].build(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_sliding_actives_match_bruteforce(spark, sf):
+    """7-day sliding distinct actives must equal the brute-force count
+    over every observed day."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from dynaledger_spark.catalog import read_table
+
+    ev = read_table(spark, sf, "events").collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r["ts"].date()].add(r["user_id"])
+    lo, hi = min(by_day), max(by_day)
+    want = {}
+    d = lo
+    while d <= hi:
+        users = set()
+        for k in range(7):
+            users |= by_day.get(d - timedelta(days=k), set())
+        want[str(d)] = len(users)
+        d += timedelta(days=1)
+    got = {
+        r["day"]: r["active_users_7d"]
+        for r in REGISTRY["sliding_7d_active_users"].build(spark, sf).collect()
+    }
+    assert got == want
+
+
+def test_checksum_is_order_and_partitioning_invariant(spark, sf):
+    """The md5-polynomial checksum must be identical under arbitrary
+    repartitioning and row order — the property that lets two engines
+    (or two layouts of one table) compare without sorting."""
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.plans.queries_stats import table_checksum_orders
+
+    base = {
+        (r["o_orderstatus"]): (r["n_rows"], r["checksum"])
+        for r in REGISTRY["table_checksum_orders"].build(spark, sf).collect()
+    }
+    # recompute over a shuffled, differently-partitioned copy of orders
+    import tempfile, shutil, os
+
+    orders = read_table(spark, sf, "orders")
+    d = tempfile.mkdtemp(prefix="cksum_")
+    try:
+        (orders.orderBy(F.rand(seed=7)).repartition(13)
+               .write.mode("overwrite").parquet(os.path.join(d, "orders.parquet")))
+        # the other tables aren't read by this query; symlink orders only
+        got = {
+            (r["o_orderstatus"]): (r["n_rows"], r["checksum"])
+            for r in table_checksum_orders(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == base
