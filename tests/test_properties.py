@@ -634,3 +634,52 @@ def test_session_window_gap_boundary(spark, offsets):
         .collect()
     )
     assert got == sorted(_sessions_reference(offsets))
+
+
+# ---------------------------------------------------------------------------
+# Morton interleave and Bloom bit positions vs pure-python references
+# ---------------------------------------------------------------------------
+@PROP
+@given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                min_size=1, max_size=50, unique=True))
+def test_morton_code_matches_python(spark, pairs):
+    """The generated Spark Morton expression must equal the classic
+    bit-interleave for arbitrary 8-bit key pairs, and be monotone in
+    the bucket property (same high nibbles → same bucket)."""
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.plans.queries_stats import _MORTON_SPARK
+
+    def morton_py(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "xk int, yk int")
+    got = {(r["xk"], r["yk"]): r["z"]
+           for r in df.withColumn("z", F.expr(_MORTON_SPARK)).collect()}
+    for x, y in pairs:
+        assert got[(x, y)] == morton_py(x, y)
+        assert got[(x, y)] >> 8 == morton_py(x >> 4 << 4, y >> 4 << 4) >> 8
+
+
+@PROP
+@given(st.lists(st.integers(0, 2**31), min_size=1, max_size=40, unique=True))
+def test_bloom_positions_match_python(spark, keys):
+    """The three Bloom hash positions must match the python mirror for
+    arbitrary keys (exact modular arithmetic, no overflow drift)."""
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.plans.queries_approx import _BLOOM_HASHES, _BLOOM_M
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    cols = [
+        ((F.col("k") * a + b) % 4294967296 % _BLOOM_M).cast("bigint").alias(f"b{i}")
+        for i, (a, b) in enumerate(_BLOOM_HASHES)
+    ]
+    got = {r["k"]: (r["b0"], r["b1"], r["b2"]) for r in df.select("k", *cols).collect()}
+    for k in keys:
+        want = tuple((k * a + b) % 4294967296 % _BLOOM_M for a, b in _BLOOM_HASHES)
+        assert got[k] == want
