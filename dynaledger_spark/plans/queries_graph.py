@@ -224,3 +224,66 @@ def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85) -> DataFra
     return ranks.select(
         F.col("src").alias("v"), F.round(F.col("rank"), 9).alias("rank")
     )
+
+
+@register(
+    "kcore_copurchase",
+    doc="2-core of the co-purchase graph (iterative peeling to fixpoint)",
+    oracle=None,  # iterative fixpoint — verified against a transparent
+    # python peeling reference in tests/test_graph.py
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core — the maximal subgraph where every vertex keeps degree
+    ≥ k — is the standard dense-region extractor (spam rings, bot
+    clusters, community seeds). Computed by iterative peeling: drop
+    vertices under degree k, drop their edges, repeat until stable.
+    k=2 (prune all tree appendages, keep the cyclic backbone) stays
+    non-empty across scale factors — the sparser sf0.1 graph has an
+    empty 3-core; the operator takes any k.
+    """
+    return kcore(_edges(spark, sf_dir), k=2)
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
+    """Vertices of the k-core with their in-core degree.
+
+    Each round the next edge set is EAGERLY localCheckpoint-ed: persist
+    alone is not enough for iterative Spark — cached data short-circuits
+    execution but the LOGICAL plan still nests (deg references cur twice
+    plus the two semi-joins ⇒ ~3× plan growth per round), and analysis/
+    optimization time explodes after a handful of rounds (measured:
+    round 4 took 340 s at sf0.01 under persist-only; sub-second with the
+    checkpoint, which replaces the plan root outright — the same pattern
+    as connected components in operators/graph.py). The checkpoint
+    doubles as the per-round materialization; convergence = an unchanged
+    edge count, which implies unchanged degrees and hence the fixpoint.
+    """
+    cur = edges.localCheckpoint(eager=True)
+    prev_edges = cur.count()
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("pa").alias("v"))
+            .unionAll(cur.select(F.col("pb").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        nxt = (
+            cur.join(keep.withColumnRenamed("v", "pa"), "pa", "left_semi")
+            .join(keep.withColumnRenamed("v", "pb"), "pb", "left_semi")
+            .select("pa", "pb")
+            .localCheckpoint(eager=True)
+        )
+        n_edges = nxt.count()
+        done = n_edges == prev_edges
+        cur = nxt
+        prev_edges = n_edges
+        if done:
+            break
+    deg = (
+        cur.select(F.col("pa").alias("v"))
+        .unionAll(cur.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return deg.filter(F.col("core_degree") >= k)

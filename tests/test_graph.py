@@ -145,3 +145,42 @@ def test_hot_basket_cap_engages(spark):
     # no pair references a part the cap dropped (parts ≥ MAX_BASKET)
     assert all(not (pa < 1000 and pa >= MAX_BASKET) for pa, _ in got)
     assert MIN_SUPPORT == 2
+
+
+def _kcore_py(edge_list, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_kcore_matches_reference(spark, sf_dir):
+    """The iterative peel must match a transparent python peeling on a
+    crafted graph (K4 survives the 3-core, the tail peels) and, at both
+    k=2 and k=3, on the real co-purchase edge set."""
+    from dynaledger_spark.plans.queries_graph import _edges, kcore
+
+    crafted = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(crafted, "pa long, pb long")
+    got = {r.v: r.core_degree for r in kcore(edges, k=3).collect()}
+    assert got == _kcore_py(crafted, 3)  # K4 survives, the 3-4-5 tail peels
+
+    real = [(r.pa, r.pb) for r in _edges(spark, sf_dir).collect()]
+    for k in (2, 3):
+        got = {
+            r.v: r.core_degree
+            for r in kcore(_edges(spark, sf_dir), k=k).collect()
+        }
+        assert got == _kcore_py(real, k)
