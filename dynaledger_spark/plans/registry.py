@@ -189,6 +189,7 @@ def load_all() -> dict[str, QuerySpec]:
     from dynaledger_spark.plans import (  # noqa: F401
         queries_approx,
         queries_core,
+        queries_feature,
         queries_graph,
         queries_multimodal,
         queries_pipeline,

@@ -414,3 +414,31 @@ def test_zorder_single_exchange(plans):
     """Morton coding is scan-side; the per-bucket stats are one hash
     aggregate."""
     assert _nodes(plans["zorder_bucket_stats"], "Exchange") == 1
+
+
+def test_twap_single_exchange(plans):
+    """twap_user_value: the lead() window and the per-user aggregate share
+    the hash(user_id) clustering — ONE exchange end to end."""
+    assert _nodes(plans["twap_user_value"], "Exchange") == 1
+
+
+def test_minmax_scale_broadcasts_ranges(plans):
+    """minmax_scale_events: the per-type range table must broadcast back
+    onto the fact scan (a window formulation would shuffle the whole
+    table on the low-cardinality, skew-prone event_type)."""
+    assert "BroadcastHashJoin" in plans["minmax_scale_events"]
+
+
+def test_event_trigram_take_ordered(plans):
+    """event_trigram_top's top-25 must be TakeOrderedAndProject, never a
+    global sort of all trigram counts."""
+    assert "TakeOrderedAndProject" in plans["event_trigram_top"]
+
+
+def test_dup_span_no_cartesian(plans):
+    """dup_span_marking joins positioned grams to global frequencies on
+    the gram — an equi-join (AQE may pick broadcast when the frequency
+    table is small), never a cartesian / nested-loop verify."""
+    p = plans["dup_span_marking"]
+    assert any(j in p for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
