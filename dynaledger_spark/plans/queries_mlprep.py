@@ -1,0 +1,466 @@
+"""ML-prep, privacy, and graph-inference operators (round-4, batch 2).
+
+Six more oracle-exact training-pipeline staples on top of queries_feature:
+k-anonymity privacy auditing, exact embedding covariance (the PCA prep
+step), Zipf-law fit of the corpus vocabulary, linear multi-touch
+attribution, hashing-trick feature vectorization, and common-neighbor
+link prediction over the co-purchase graph.
+
+Registered AFTER every other module (last in registry.load_all) so they
+rank behind the already-windowed round-4 queries in the driver's 50-slot
+verify order — they are parity-proven locally at two SFs this round and
+enter the driver window in round 5.
+
+Float discipline: products of FLOAT-widened doubles are EXACT (24-bit
+mantissas → 48-bit product ≤ 52), sums of doubles use the sorted-fold
+chain (both engines run the identical IEEE addition sequence — the
+label_centroids precedent; a DECIMAL accumulator is NOT portable for
+full-precision doubles), ln()-derived terms round at 12 dp before
+summation (the lang_entropy precedent), and integer arithmetic (hashes,
+counts, weights) is exact everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import register
+from dynaledger_spark.plans.queries_graph import _EDGES_DUCK, _edges
+from dynaledger_spark.plans.queries_stats import _duck_hex_poly
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+_FOLD = "list_reduce(list_prepend(0.0, list_sort(list({x}))), (a, b) -> a + b)"
+
+
+def _fold(col: str):
+    """Sorted-fold exact double sum (Spark side of the DuckDB _FOLD)."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity privacy audit
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    doc="quasi-identifier groups below k=5 on (nation, segment, balance band)",
+    oracle="""
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               COUNT(*) AS group_n
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 1000.0)
+        HAVING COUNT(*) < 5
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for releasable datasets: every quasi-identifier
+    combination (nation, market segment, $1000 account-balance band)
+    whose population is below k=5 — the groups where a released row could
+    be re-identified. The standard pre-release gate for training corpora
+    derived from user data; rows in these groups get suppressed or
+    generalized (coarser bands) before export.
+
+    One hash aggregate with map-side combine + HAVING — the same shape
+    at any scale; the band floor is exact integer arithmetic in both
+    engines (negative balances floor toward -inf in both).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .filter(F.col("group_n") < 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact embedding covariance (PCA prep)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_covariance",
+    doc="exact upper-triangle covariance matrix of the embedding dimensions",
+    oracle=f"""
+        WITH prods AS (
+            SELECT u.i AS dim_i, v.j AS dim_j,
+                   CAST(embedding[u.i] AS DOUBLE)
+                       * CAST(embedding[v.j] AS DOUBLE) AS xy
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS u(i),
+                 unnest(range(u.i, len(embedding) + 1)) AS v(j)
+        ),
+        pair_agg AS (
+            SELECT dim_i, dim_j, COUNT(*) AS n_vectors,
+                   {_FOLD.format(x='xy')} AS sxy
+            FROM prods GROUP BY dim_i, dim_j
+        ),
+        dims AS (
+            SELECT t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        means AS (
+            SELECT dim, {_FOLD.format(x='x')} AS s FROM dims GROUP BY dim
+        )
+        SELECT CAST(p.dim_i AS BIGINT) AS dim_i,
+               CAST(p.dim_j AS BIGINT) AS dim_j,
+               p.n_vectors,
+               round((p.sxy - mi.s * mj.s / p.n_vectors) / p.n_vectors, 12)
+                   AS cov
+        FROM pair_agg p
+        JOIN means mi ON mi.dim = p.dim_i
+        JOIN means mj ON mj.dim = p.dim_j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA/whitening prep step: the exact d(d+1)/2 upper-triangle
+    covariance of the embedding dimensions. Cross-products of
+    FLOAT-widened doubles are EXACT (48-bit product mantissa fits a
+    double), so only the summation order matters — pinned with the
+    sorted-fold chain per (i,j) cell and per-dim mean. The population
+    covariance closed form is one fixed IEEE expression rounded at 12 dp.
+
+    Plan: the outer product is generated MAP-SIDE per row (nested
+    array transform — no self-join of the vector table on vec_id), then
+    ONE hash aggregate over d²/2 cells; the d per-dim sums broadcast
+    back onto the cell table. Shuffle volume is O(n·d²) pairs — the
+    inherent covariance cost — with map-side partial lists; at 100 TB
+    you'd swap the fold for plain SUM (last-ulp nondeterminism) and keep
+    the identical plan shape.
+    """
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    arr = F.col("embedding")
+    n_dim = F.size(arr)
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n_dim),
+            lambda i: F.transform(
+                F.sequence(i, n_dim),
+                lambda j: F.struct(
+                    i.cast("bigint").alias("dim_i"),
+                    j.cast("bigint").alias("dim_j"),
+                    (
+                        F.element_at(arr, i).cast("double")
+                        * F.element_at(arr, j).cast("double")
+                    ).alias("xy"),
+                ),
+            ),
+        )
+    )
+    prods = emb.select(F.explode(pair_structs).alias("p")).select("p.*")
+    pair_agg = prods.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).alias("n_vectors"), _fold("xy").alias("sxy")
+    )
+    dims = emb.select(
+        F.posexplode(F.transform(arr, lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        )
+    ).select((F.col("pos") + 1).cast("bigint").alias("dim"), "x")
+    means = dims.groupBy("dim").agg(_fold("x").alias("s"))
+    mi = means.select(F.col("dim").alias("dim_i"), F.col("s").alias("si"))
+    mj = means.select(F.col("dim").alias("dim_j"), F.col("s").alias("sj"))
+    return (
+        pair_agg.join(F.broadcast(mi), "dim_i")
+        .join(F.broadcast(mj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            "n_vectors",
+            F.round(
+                (
+                    F.col("sxy")
+                    - F.col("si") * F.col("sj") / F.col("n_vectors")
+                )
+                / F.col("n_vectors"),
+                12,
+            ).alias("cov"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the corpus vocabulary
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_fit_vocab",
+    doc="log-log OLS fit of word frequency vs rank over the top-500 vocabulary",
+    oracle=f"""
+        WITH freq AS (
+            SELECT u.w AS word, COUNT(*) AS n
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+            GROUP BY u.w
+        ),
+        ranked AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS rnk
+            FROM freq
+        ),
+        pts AS (
+            SELECT round(ln(CAST(rnk AS DOUBLE)), 12) AS x,
+                   round(ln(CAST(n AS DOUBLE)), 12) AS y
+            FROM ranked WHERE rnk <= 500
+        ),
+        sums AS (
+            SELECT COUNT(*) AS m,
+                   {_FOLD.format(x='x')} AS sx,
+                   {_FOLD.format(x='y')} AS sy,
+                   {_FOLD.format(x='x * y')} AS sxy,
+                   {_FOLD.format(x='x * x')} AS sxx
+            FROM pts
+        )
+        SELECT m AS n_ranks,
+               round((m * sxy - sx * sy) / (m * sxx - sx * sx), 9) AS zipf_slope,
+               round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 9)
+                   AS zipf_intercept
+        FROM sums
+    """,
+)
+def zipf_fit_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health check: natural text follows Zipf's law (log-freq ≈
+    intercept − slope·log-rank with slope ≈ 1); template/boilerplate or
+    synthetic corpora bend the curve. OLS over the top-500
+    (rank, frequency) points in log-log space. ln() is ~1-ulp across
+    libm implementations, so each term rounds at 12 dp before the
+    sorted-fold sums (the lang_entropy precedent); slope and intercept
+    are single closed-form expressions rounded at 9.
+
+    The rank row_number is a window over the VOCABULARY (zipf-bounded —
+    millions of rows at 100 TB, not corpus-sized) after the word count's
+    map-side-combined aggregate; the 500-point OLS reduce is a scalar.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("word").asc())),
+    ).filter(F.col("rnk") <= 500)
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 12).alias("y"),
+    )
+    sums = pts.select(
+        "x", "y", (F.col("x") * F.col("y")).alias("xy"),
+        (F.col("x") * F.col("x")).alias("xx"),
+    ).agg(
+        F.count(F.lit(1)).alias("m"),
+        _fold("x").alias("sx"),
+        _fold("y").alias("sy"),
+        _fold("xy").alias("sxy"),
+        _fold("xx").alias("sxx"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("m").alias("n_ranks"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 9).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_linear",
+    doc="purchase value split equally across the user's views in the prior 7 days",
+    oracle="""
+        WITH touches AS (
+            SELECT p.event_id AS purchase_id, p.value,
+                   CAST(json_extract_string(v.props, '$.k') AS INT) % 4
+                       AS campaign
+            FROM events p JOIN events v
+              ON v.user_id = p.user_id
+             AND v.ts < p.ts
+             AND v.ts >= p.ts - INTERVAL 7 DAY
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        ),
+        credits AS (
+            SELECT campaign,
+                   round(value / COUNT(*) OVER (PARTITION BY purchase_id), 9)
+                       AS credit
+            FROM touches
+        )
+        SELECT campaign, COUNT(*) AS n_touches,
+               round(list_reduce(list_prepend(0.0, list_sort(list(credit))),
+                                 (a, b) -> a + b), 6) AS total_credit
+        FROM credits GROUP BY campaign
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution — the complement of
+    asof_purchase_attribution's last-touch model: each purchase's value
+    is split equally across ALL the user's 'view' touchpoints in the
+    preceding 7 days, then rolled up per campaign (views carry their
+    campaign as props.k mod 4). Purchases with no qualifying touchpoint
+    stay unattributed (inner join) in both engines.
+
+    Per-touch credit is ONE fixed IEEE division rounded at 9; campaign
+    totals use the sorted-fold chain. The range join shuffles both
+    streams on user_id once; the per-purchase touch count is a window
+    over the same clustering. Skew: a bot user's views×purchases blow up
+    the range join — at scale, pre-cap touches per (user, week) the way
+    the co-purchase basket cap does.
+    """
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        (
+            F.get_json_object("props", "$.k").cast("int") % 4
+        ).alias("campaign"),
+    )
+    touches = p.join(
+        v,
+        (p["user_id"] == v["user_id"])
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    ).select("purchase_id", "value", "campaign")
+    n_per_purchase = F.count(F.lit(1)).over(W.partitionBy("purchase_id"))
+    credits = touches.select(
+        "campaign",
+        F.round(F.col("value") / n_per_purchase, 9).alias("credit"),
+    )
+    return credits.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(_fold("credit"), 6).alias("total_credit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick feature vectorization
+# ---------------------------------------------------------------------------
+_HASH_WORD_SPARK = "CAST(conv(substring(md5(word), 1, 10), 16, 10) AS BIGINT)"
+
+
+@register(
+    "feature_hash_vectorize",
+    doc="signed hashing-trick bag-of-words: 64-bucket feature weights per doc",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, u.w AS word
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   {_duck_hex_poly("md5(word)", 10)} % 64 AS bucket,
+                   CASE WHEN ({_duck_hex_poly("md5(word)", 10)} // 64) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM words
+        )
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(sgn) AS BIGINT) AS weight
+        FROM hashed GROUP BY doc_id, bucket
+    """,
+)
+def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): project an unbounded
+    vocabulary into a fixed 64-bucket feature space with a signed hash —
+    no vocabulary table, no fit step, stream-friendly. The hash is the
+    repo's portable md5-prefix integer (exact 40-bit value in both
+    engines via the strpos polynomial on the DuckDB side); bucket =
+    h mod 64, sign = bit 6. Weights are exact integer sums.
+
+    Plan: explode → ONE hash aggregate on (doc_id, bucket) with map-side
+    combine; output is at most 64 rows per doc regardless of vocabulary
+    size. This is the scale story of feature hashing itself: memory is
+    O(buckets), not O(vocab).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    h = F.expr(_HASH_WORD_SPARK)
+    return (
+        words.select(
+            "doc_id",
+            (h % 64).cast("bigint").alias("bucket"),
+            F.when((h.bitwiseAND(64)) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction on the co-purchase graph
+# ---------------------------------------------------------------------------
+@register(
+    "link_prediction_common_neighbors",
+    doc="top-30 unlinked part pairs by common co-purchase neighbors",
+    oracle=f"""
+        WITH {_EDGES_DUCK},
+        arcs AS (
+            SELECT pa AS s, pb AS d FROM edges
+            UNION ALL SELECT pb, pa FROM edges
+        ),
+        cand AS (
+            SELECT a.d AS pa, b.d AS pb, COUNT(*) AS common_neighbors
+            FROM arcs a JOIN arcs b ON a.s = b.s AND a.d < b.d
+            GROUP BY a.d, b.d
+        )
+        SELECT pa, pb, common_neighbors
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.pa = c.pa AND e.pb = c.pb
+        )
+        ORDER BY common_neighbors DESC, pa ASC, pb ASC LIMIT 30
+    """,
+)
+def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (recommendation candidates): part pairs that are
+    NOT co-purchased today but share the most co-purchase neighbors —
+    the classic common-neighbors score, the strongest cheap baseline in
+    the link-prediction literature. Reuses the capped, support-
+    thresholded edge cache from the graph family (hot-basket guard
+    included), so the two-hop join is over the pruned edge set.
+
+    Plan: wedge generation is one self-equi-join of the arc list on the
+    middle vertex (cost Σ deg² — bounded by the support threshold and
+    basket cap; at web scale also cap per-vertex degree like the LSH
+    buckets), one hash aggregate, a left-anti join against existing
+    edges, and TakeOrderedAndProject for the top-30.
+    """
+    edges = _edges(spark, sf_dir)
+    arcs = edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("d")
+    ).unionAll(edges.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
+    a, b = arcs.alias("a"), arcs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")))
+        .groupBy(F.col("a.d").alias("pa"), F.col("b.d").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    return (
+        cand.join(edges, ["pa", "pb"], "left_anti")
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("pa").asc(), F.col("pb").asc()
+        )
+        .limit(30)
+    )

@@ -200,6 +200,10 @@ def load_all() -> dict[str, QuerySpec]:
         queries_text,
         queries_timeseries,
         queries_vector,
+        queries_mlprep,  # intentionally last: round-4 batch-2 additions
+        # rank behind the already-windowed tier-1 queries (driver window
+        # is full at 50; these are parity-proven locally and enter the
+        # window in round 5)
     )
 
     return {name: QUERY_REGISTRY[name] for name in driver_order(QUERY_REGISTRY)}

@@ -442,3 +442,34 @@ def test_dup_span_no_cartesian(plans):
     p = plans["dup_span_marking"]
     assert any(j in p for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_k_anonymity_single_exchange(plans):
+    """k_anonymity_audit is one map-side-combined hash aggregate."""
+    assert _nodes(plans["k_anonymity_audit"], "Exchange") == 1
+
+
+def test_feature_hash_single_exchange(plans):
+    """feature_hash_vectorize: explode + ONE (doc_id, bucket) hash
+    aggregate — memory O(buckets), never O(vocab)."""
+    assert _nodes(plans["feature_hash_vectorize"], "Exchange") == 1
+
+
+def test_link_prediction_no_cartesian(plans):
+    """Common-neighbor wedges come from an equi-join on the middle
+    vertex + TakeOrdered top-30 — never a cartesian or a global sort."""
+    p = plans["link_prediction_common_neighbors"]
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_attribution_no_nested_loop(plans):
+    """The 7-day range join keys on user_id (equi) with the time bounds
+    as join conditions — never a nested-loop over all purchases×views."""
+    p = plans["attribution_linear"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_covariance_broadcasts_means(plans):
+    """The d per-dim mean sums broadcast back onto the d² cell table."""
+    assert plans["embedding_covariance"].count("BroadcastExchange") >= 2
