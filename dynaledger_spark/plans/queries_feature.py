@@ -316,10 +316,18 @@ def dup_span_marking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    grams_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, 8), " "),
-    )
+    # when() guard, not greatest(): sequence(1, 0) yields a DESCENDING
+    # [1, 0] (not empty), and slice(toks, 0, 8) then throws 'array
+    # indices start at 1' — the ngram_top_bigrams latent-crash class
+    # (round-3 advice). A <8-token doc must emit no grams, matching the
+    # oracle's empty range(1, 1).
+    grams_arr = F.when(
+        F.size(toks) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 7),
+            lambda i: F.array_join(F.slice(toks, i, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     grams = docs.select(
         "doc_id", F.explode(grams_arr).alias("g")
     )

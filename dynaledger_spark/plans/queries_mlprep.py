@@ -142,6 +142,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # guard the degenerate empty vector: sequence(1, 0) is a DESCENDING
+    # [1, 0] in Spark (not empty) and element_at(arr, 0) throws — the
+    # oracle's range(1, 1) is empty, so filter to match it.
+    emb = emb.filter(F.size("embedding") >= 1)
     arr = F.col("embedding")
     n_dim = F.size(arr)
     pair_structs = F.flatten(

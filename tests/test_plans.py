@@ -57,6 +57,7 @@ def test_no_cartesian_products(plans):
             "target_encode_priority",  # 1-row broadcast of the global prior
             "quantile_binning_migration",  # 1-row broadcast of decile bounds
             "sliding_7d_active_users",  # 1-row broadcast of the date bounds
+            "rfm_segmentation",  # 1-row broadcast of the recency anchor date
         ), f"{name} nested-loop joins"
 
 
