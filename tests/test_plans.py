@@ -436,13 +436,14 @@ def test_event_trigram_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["event_trigram_top"]
 
 
-def test_dup_span_no_cartesian(plans):
-    """dup_span_marking joins positioned grams to global frequencies on
-    the gram — an equi-join (AQE may pick broadcast when the frequency
-    table is small), never a cartesian / nested-loop verify."""
+def test_dup_span_two_exchanges_no_join(plans):
+    """dup_span_marking: ONE gram-hash exchange serves both the
+    (gram, doc) pre-aggregate and the global-frequency window (subset
+    rule), and the per-doc rollup is the only other shuffle — the
+    join-back formulation (3 exchanges + join) must not come back."""
     p = plans["dup_span_marking"]
-    assert any(j in p for j in ("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin"))
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert _nodes(p, "Exchange") == 2
+    assert "Join" not in p
 
 
 def test_k_anonymity_single_exchange(plans):
