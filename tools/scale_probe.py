@@ -46,6 +46,12 @@ QUERIES = [
     "tokenize_to_ids",            # broadcast-vocab probe + doc reassembly
     "mad_outlier_summary",        # exact medians over 10x groups (the documented sketch-at-scale caveat)
     "near_dup_purge_e2e",         # CC with a 3000-node dup cluster (diameter ~600 via the +-5 window)
+    # late round-4 families (queries_feature / queries_mlprep)
+    "dup_span_marking",           # gram-clustered window; 3000 identical docs -> one gram key with 3000x cnt rows
+    "twap_user_value",            # hot user: 100k-event timeline through the lead() window (no per-key arrays)
+    "attribution_linear",         # 10x both sides of the 7-day range join (hot user is purchase-only -> unattributed by design)
+    "feature_hash_vectorize",     # 10x word explode into the O(buckets) aggregate
+    "event_trigram_top",          # hot user's 100k-row window partition, two leads per row
 ]
 
 
@@ -178,6 +184,24 @@ def main() -> None:
         )
         hot_segs = seg_counts.filter("count >= 3000").count()
         print(f"hot segment keys (>=3000 occurrences, AQE skew-join territory): {hot_segs}")
+
+        # dup-span guard evidence: the 3000-dup boilerplate doc turns each
+        # of its 8-grams into a hot window partition — report the largest
+        # (gram, doc) partition the spillable window sorter absorbs
+        toks = F.split(F.col("text"), " ")
+        grams_arr = F.when(
+            F.size(toks) >= 8,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 7),
+                lambda i: F.array_join(F.slice(toks, i, 8), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        hot_gram = (
+            spark.read.parquet(os.path.join(dest, "documents.parquet"))
+            .select(F.explode(grams_arr).alias("g"), F.lit(1).alias("one"))
+            .groupBy("g").count().agg(F.max("count")).collect()[0][0]
+        )
+        print(f"dup-span hottest gram partition (rows through the window sorter): {hot_gram}")
     finally:
         shutil.rmtree(dest, ignore_errors=True)
         spark.stop()
