@@ -932,7 +932,12 @@ def containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-inclusion case curation pipelines must catch. Same
     candidate-pair machinery as ngram_jaccard (windowed here for oracle
     exactness; MinHash-LSH banding in production), both directions
-    scored from one intersection.
+    scored from one intersection. As in ngram_jaccard, the ±5 window
+    predicate DRIVES the join via the exploded candidate ids (pure
+    equi-join on (source, doc_id), 5·N candidate pairs) — the
+    source-only equi-join with the band as a post-filter evaluated the
+    O(len) intersection on every same-source pair (O(N²/sources)):
+    measured 37 s cold / 4.8 s warm at sf0.1 before this fix, ~1 s after.
     """
     docs = _docs(spark, sf_dir)
     shingles = F.expr(
@@ -940,13 +945,16 @@ def containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         " s -> substring(text, s, 19)))"
     )
     shingled = docs.select("doc_id", "source", shingles.alias("shingles"))
-    a, b = shingled.alias("a"), shingled.alias("b")
+    a = shingled.withColumn(
+        "cand_id", F.explode(F.expr("sequence(doc_id + 1, doc_id + 5)"))
+    ).alias("a")
+    b = shingled.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("b.doc_id") - F.col("a.doc_id")).between(1, 5),
+            & (F.col("a.cand_id") == F.col("b.doc_id")),
         )
         .filter(inter > 0)
         .select(
