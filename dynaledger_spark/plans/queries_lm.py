@@ -1,0 +1,281 @@
+"""Language-model-flavored corpus operators (round-4, batch 3).
+
+The CCNet/Gopher pipeline pieces still missing after queries_feature and
+queries_mlprep: unigram-LM quality scoring (the perplexity-filter
+proxy), a composed per-source corpus report card, and deterministic
+token-dropout augmentation.
+
+Registered after queries_mlprep (last in registry.load_all), so these
+rank behind the already-windowed round-4 tier-1 queries and enter the
+driver window in round 5; locally they are parity-proven at both SFs.
+
+Float discipline: ln()-derived terms round at 12 dp before the
+sorted-fold sum (lang_entropy precedent); count ratios are one
+int→double division rounded at 9; hashes are the portable md5-prefix
+integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import register
+from dynaledger_spark.plans.queries_mlprep import _FOLD, _fold
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality score (the perplexity-filter proxy)
+# ---------------------------------------------------------------------------
+@register(
+    "unigram_logprob_quality",
+    doc="per-doc mean unigram log-probability under the corpus LM (CCNet-style quality)",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, u.w AS word
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        ),
+        tf AS (
+            SELECT doc_id, word, COUNT(*) AS cnt FROM words
+            GROUP BY doc_id, word
+        ),
+        vocab AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+        total AS (SELECT COUNT(*) AS t FROM words),
+        terms AS (
+            SELECT tf.doc_id,
+                   tf.cnt,
+                   tf.cnt * round(ln(CAST(v.n AS DOUBLE) / t.t), 12) AS term
+            FROM tf JOIN vocab v USING (word) CROSS JOIN total t
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               round({_FOLD.format(x='term')}
+                     / SUM(cnt), 9) AS avg_logprob
+        FROM terms GROUP BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity quality filter in its SQL-expressible form (CCNet
+    scores docs with a KenLM 5-gram; the unigram LM is the exact-oracle
+    proxy with the same plumbing): every token's corpus log-probability
+    ln(count/total), averaged per document. Template/boilerplate docs
+    score HIGH (common words), gibberish scores LOW — both tails get cut
+    in curation. ln() rounds at 12 dp per distinct word, each (doc,word)
+    term is cnt·logp (exact int × pinned double), and the per-doc fold
+    is sorted — bitwise identical across engines; the final division
+    rounds at 9.
+
+    Plan: ONE doc_id-clustered exchange drives tf AND the per-doc
+    rollup; the zipf-bounded vocabulary (with its 1-row total) joins in
+    via broadcast — the corpus never re-shuffles for the lookup. At
+    100 TB the vocab may exceed broadcast size: cut it at a frequency
+    floor (rare words clamp to the floor probability, standard LM
+    smoothing) and it broadcasts again.
+    """
+    from dynaledger_spark.plans.queries_pipeline import _docs_by_id
+
+    docs = _docs_by_id(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = words.agg(F.count(F.lit(1)).alias("t"))
+    terms = (
+        tf.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * F.round(F.log(F.col("n").cast("double") / F.col("t")), 12)
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.round(_fold("term") / F.sum("cnt"), 9).alias("avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus report card (composed audit)
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_report_by_source",
+    doc="per-source report card: volume, exact-dup rate, mean length, mean flesch proxy",
+    oracle=r"""
+        WITH per_doc AS (
+            SELECT doc_id, source, md5(text) AS h,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syll,
+                   (len(string_split(text, ' ')) + 19) // 20 AS n_psent
+            FROM documents
+        ),
+        dupes AS (
+            SELECT source, h, COUNT(*) AS n FROM per_doc GROUP BY source, h
+        ),
+        dup_stats AS (
+            SELECT source,
+                   SUM(n) AS n_docs,
+                   SUM(n) - COUNT(*) AS n_dup_docs
+            FROM dupes GROUP BY source
+        ),
+        flesch AS (
+            SELECT source,
+                   SUM(n_words) AS sum_words,
+                   round(
+                       list_reduce(list_prepend(0.0, list_sort(list(
+                           round(206.835
+                                 - 1.015 * (CAST(n_words AS DOUBLE) / n_psent)
+                                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words),
+                                 9)))),
+                           (a, b) -> a + b)
+                       / COUNT(*), 9) AS mean_flesch
+            FROM per_doc WHERE n_words > 0 GROUP BY source
+        )
+        SELECT d.source,
+               CAST(d.n_docs AS BIGINT) AS n_docs,
+               CAST(d.n_dup_docs AS BIGINT) AS n_exact_dup_docs,
+               round(CAST(d.n_dup_docs AS DOUBLE) / d.n_docs, 9) AS dup_rate,
+               round(CAST(f.sum_words AS DOUBLE) / d.n_docs, 9) AS mean_words,
+               f.mean_flesch
+        FROM dup_stats d JOIN flesch f USING (source)
+    """,
+)
+def corpus_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit table a curation run opens with: per source, volume,
+    exact-duplicate rate (md5 groups beyond their first member), mean
+    document length, and mean readability (the readability_proxy flesch,
+    folded sorted so the mean is engine-exact). One composed plan: the
+    per-doc feature projection is map-side; the dup accounting and the
+    flesch fold both aggregate per source. Everything downstream of the
+    md5 groupBy is proportional to |sources| — report-card cost does not
+    grow with corpus width at any scale.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[aeiouyAEIOUY]+"), F.lit(0))
+        ).cast("long").alias("n_syll"),
+        F.floor((F.size(toks) + F.lit(19)).cast("long") / F.lit(20))
+        .cast("long")
+        .alias("n_psent"),
+    )
+    dupes = per_doc.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n"))
+    dup_stats = dupes.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_exact_dup_docs"),
+    )
+    flesch_term = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_psent"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words")),
+        9,
+    )
+    flesch = (
+        per_doc.filter(F.col("n_words") > 0)
+        .select("source", F.col("n_words"), flesch_term.alias("fl"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").alias("sum_words"),
+            F.round(_fold("fl") / F.count(F.lit(1)), 9).alias("mean_flesch"),
+        )
+    )
+    return dup_stats.join(flesch, "source").select(
+        "source",
+        "n_docs",
+        "n_exact_dup_docs",
+        F.round(
+            F.col("n_exact_dup_docs").cast("double") / F.col("n_docs"), 9
+        ).alias("dup_rate"),
+        F.round(F.col("sum_words").cast("double") / F.col("n_docs"), 9).alias(
+            "mean_words"
+        ),
+        "mean_flesch",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic token-dropout augmentation
+# ---------------------------------------------------------------------------
+_DROP_MOD = 10  # drop every token whose (doc, pos, token) hash lands on 0 mod 10
+
+
+@register(
+    "token_dropout_augment",
+    doc="deterministic ~10% token dropout per doc; counts + augmented-text digest",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        kept AS (
+            SELECT doc_id,
+                   len(t) AS n_orig,
+                   [t[i] FOR i IN range(1, len(t) + 1)
+                    IF ({{h}}) % {_DROP_MOD} <> 0] AS kept_toks
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(n_orig AS BIGINT) AS n_orig,
+               CAST(len(kept_toks) AS BIGINT) AS n_kept,
+               md5(array_to_string(kept_toks, ' ')) AS aug_md5
+        FROM kept
+    """.format(
+        h="(strpos('0123456789abcdef', substr(md5(doc_id || ':' || i || ':' || t[i]), 1, 1)) - 1)"
+    ),
+)
+def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data augmentation with a reproducibility contract: drop ~10% of
+    tokens per document, chosen by a PORTABLE hash of
+    (doc_id, position, token) — no RNG, so re-running the pipeline (or
+    re-deriving an example for debugging) reproduces the identical
+    augmented text byte-for-byte; the md5 digest in the output is the
+    cross-engine witness. The hash is the first md5 hex nibble (uniform
+    over 16, drop on ≡0 mod 10 → 6/16 nibbles never drop, exact 10%% is
+    not the point — determinism is).
+
+    Pure per-row array expressions (filter with the index lambda) — no
+    shuffle, scales with corpus bytes like the chunking operators.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(
+        toks,
+        lambda t, i: (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            (i + 1).cast("string"),
+                            t,
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % _DROP_MOD
+            != 0
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_orig"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("aug_md5"),
+    )

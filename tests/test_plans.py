@@ -475,3 +475,16 @@ def test_attribution_no_nested_loop(plans):
 def test_embedding_covariance_broadcasts_means(plans):
     """The d per-dim mean sums broadcast back onto the d² cell table."""
     assert plans["embedding_covariance"].count("BroadcastExchange") >= 2
+
+
+def test_token_dropout_shuffle_free(plans):
+    """token_dropout_augment is pure per-row array work — zero exchanges,
+    scales with corpus bytes like the chunking operators."""
+    assert "Exchange" not in plans["token_dropout_augment"]
+
+
+def test_unigram_logprob_broadcasts_vocab(plans):
+    """The vocabulary (and its 1-row total) must broadcast onto the
+    doc_id-clustered corpus — the corpus never re-shuffles for the LM
+    lookup."""
+    assert plans["unigram_logprob_quality"].count("BroadcastExchange") >= 2
