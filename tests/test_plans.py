@@ -58,6 +58,7 @@ def test_no_cartesian_products(plans):
             "quantile_binning_migration",  # 1-row broadcast of decile bounds
             "sliding_7d_active_users",  # 1-row broadcast of the date bounds
             "rfm_segmentation",  # 1-row broadcast of the recency anchor date
+            "unigram_logprob_quality",  # 1-row broadcast of the corpus token total
         ), f"{name} nested-loop joins"
 
 
