@@ -417,3 +417,48 @@ def test_token_dropout_matches_python(spark, tmp_path_factory):
             len(kept),
             hashlib.md5(" ".join(kept).encode()).hexdigest(),
         ), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter join ≡ brute-force Jaccard (full-recall theorem check)
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=6,
+            max_size=14,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_prefix_filter_join_matches_bruteforce(spark, tmp_path_factory, docs):
+    d = _write_docs(
+        spark, tmp_path_factory, [_doc(i, t) for i, t in enumerate(docs)]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["jaccard_prefix_filter_join"].build(spark, d).collect()
+    }
+
+    def shingles(t):
+        toks = t.split(" ")
+        k = 5
+        n = max(len(toks) - k, 0)
+        return {" ".join(toks[i : i + k]) for i in range(n + 1)}
+
+    want = {}
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 5 * inter >= 4 * union:
+                want[(a, b)] = round(inter / union, 12)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
