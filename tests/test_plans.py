@@ -59,6 +59,10 @@ def test_no_cartesian_products(plans):
             "sliding_7d_active_users",  # 1-row broadcast of the date bounds
             "rfm_segmentation",  # 1-row broadcast of the recency anchor date
             "unigram_logprob_quality",  # 1-row broadcast of the corpus token total
+            "acf_daily_revenue",  # 1-row stats/denominator + 7-row lag broadcast
+            "basket_association_rules",  # 1-row broadcast of the basket total
+            "cms_heavy_hitters",  # 4-row broadcast of the sketch seeds
+            "mad_outlier_days",  # 1-row broadcasts of median and MAD
         ), f"{name} nested-loop joins"
 
 
