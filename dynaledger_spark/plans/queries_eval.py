@@ -1,0 +1,375 @@
+"""Corpus- and model-evaluation statistics (round-4, batch 6).
+
+Three evaluation staples a data/ML platform runs after the pipeline
+families already in the registry:
+
+* PMI collocations — the corpus-linguistics ranking of word pairs that
+  co-occur beyond chance (the step after raw bigram counts,
+  ngram_top_bigrams);
+* clustering agreement vs gold labels — purity, Rand index and
+  ADJUSTED Rand index of the fixed-centroid assignment
+  (centroid_assign_fixed) against the embeddings' gold labels, in
+  pure pair-counting integer combinatorics;
+* per-dimension mutual information — MI(sign of dim d; label) for every
+  embedding dimension, the filter-method feature-selection score.
+
+Float discipline: counts and pair-combinatorics stay exact integers
+(DECIMAL(38,0) / HUGEINT products); ln() of exact-integer ratios rounds
+at 12 (lang_entropy precedent); per-group folds are sorted; final
+ratios round at 9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import register
+from dynaledger_spark.plans.queries_mlprep import _FOLD, _fold
+from dynaledger_spark.plans.queries_vector import (
+    _CENT_N,
+    _centroids,
+    _duck_sqdist,
+    _emb,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+@register(
+    "pmi_collocations",
+    doc="top-30 word pairs by pointwise mutual information (positional unigram margins)",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bi AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM toks, unnest(range(1, len(t))) AS u(i)
+        ),
+        joint AS (
+            SELECT w1, w2, COUNT(*) AS n12 FROM bi GROUP BY 1, 2
+        ),
+        firsts AS (SELECT w1 AS w, COUNT(*) AS nf FROM bi GROUP BY 1),
+        seconds AS (SELECT w2 AS w, COUNT(*) AS ns FROM bi GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS t FROM bi)
+        SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+               round(ln(CAST(n12 * t AS DOUBLE) / (CAST(nf AS DOUBLE) * ns)),
+                     12) AS pmi
+        FROM joint
+        JOIN firsts f ON f.w = joint.w1
+        JOIN seconds s ON s.w = joint.w2
+        CROSS JOIN tot
+        WHERE n12 >= 5
+        ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 30
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI = ln(p(w1,w2)/(p1(w1)·p2(w2))) with
+    POSITIONAL margins (count as first word / count as second word over
+    the same bigram total), so every probability shares one denominator
+    and the ratio reduces to exact integers — n12·T / (nf·ns) — before
+    the single ln, rounded at 12. Support floor n12 ≥ 5 cuts the
+    low-count PMI pathology (hapax pairs scoring highest).
+
+    Plan: one explode → bigram stream; the joint groupBy is the only
+    heavy exchange; both positional margin tables and the 1-row total
+    broadcast back onto it. Top-30 is TakeOrdered — no global sort
+    materialization. At 100 TB the margins are vocabulary-sized —
+    broadcastable exactly when the vocab is (frequency-floor them
+    first, as with the unigram LM).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = docs.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
+    joint = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    firsts = bi.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("nf"))
+    seconds = bi.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("ns"))
+    tot = bi.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        joint.filter(F.col("n12") >= 5)
+        .join(F.broadcast(firsts), joint["w1"] == firsts["w"])
+        .drop("w")
+        .join(F.broadcast(seconds), joint["w2"] == seconds["w"])
+        .drop("w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            F.round(
+                F.log(
+                    (F.col("n12") * F.col("t")).cast("double")
+                    / (F.col("nf").cast("double") * F.col("ns"))
+                ),
+                12,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clustering agreement vs gold labels: purity, Rand index, adjusted Rand
+# ---------------------------------------------------------------------------
+def _assign_cte() -> str:
+    """The centroid_assign_fixed assignment as a reusable CTE body."""
+    cents = _centroids()
+    d_exprs = ",\n                   ".join(
+        f"{_duck_sqdist('embedding', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(_CENT_N)) + ")"
+    chain = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(_CENT_N))
+        + " END"
+    )
+    return f"""
+        scored AS (
+            SELECT vec_id, label,
+                   {d_exprs}
+            FROM embeddings
+        ),
+        assigned AS (
+            SELECT vec_id, label, {chain} AS cell
+            FROM (SELECT *, {least} AS m FROM scored)
+        )"""
+
+
+@register(
+    "clustering_eval_ari",
+    doc="purity, Rand index and adjusted Rand index of the fixed-centroid clustering vs gold labels",
+    oracle=None,  # assembled below (needs the centroid literals)
+)
+def clustering_eval_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation (Hubert & Arabie 1985): how well
+    do the 8 fixed-centroid cells (centroid_assign_fixed's assignment)
+    recover the 10 gold labels? Purity, Rand index and ADJUSTED Rand
+    index from the contingency table — every quantity is pair-counting
+    integer combinatorics (C(n,2) products as DECIMAL(38,0) here /
+    HUGEINT in the oracle; ARI cleared of fractions by cross-
+    multiplying with C(N,2)), so the only floats are three final
+    divisions rounded at 9.
+
+    Plan: one map-side distance/argmin expression tree (no join — the
+    centroids are literals), ONE hash aggregate to the ≤ 8×10
+    contingency table, and everything after is driver-scale arithmetic
+    on broadcast scalars. The shape survives any corpus size: the
+    contingency table is |cells|×|labels| regardless of N.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = _centroids()
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                e,
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(cents)
+    ]
+    scored = emb.select("label", *dists)
+    least = F.least(*[F.col(f"d{i}") for i in range(_CENT_N)])
+    assign = F.lit(None).cast("int")
+    for i in reversed(range(_CENT_N)):
+        assign = F.when(F.col(f"d{i}") == least, F.lit(i)).otherwise(assign)
+    cont = (
+        scored.select(assign.alias("cell"), "label")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    comb2 = lambda c: (big(c) * (big(c) - 1)) / 2  # noqa: E731
+    cells = cont.groupBy("cell").agg(
+        F.sum("n").alias("a"), F.max("n").alias("maj")
+    )
+    labels = cont.groupBy("label").agg(F.sum("n").alias("b"))
+    stats = (
+        cont.agg(
+            F.sum("n").alias("n_total"),
+            F.sum(comb2("n")).alias("sum_comb"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cells.agg(
+                    F.sum(comb2("a")).alias("sum_a"),
+                    F.sum("maj").alias("sum_maj"),
+                    F.count(F.lit(1)).alias("n_cells"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(labels.agg(F.sum(comb2("b")).alias("sum_b"))))
+    )
+    comb_n = (big("n_total") * (big("n_total") - 1)) / 2
+    ri_num = comb_n + 2 * F.col("sum_comb") - F.col("sum_a") - F.col("sum_b")
+    ari_num = 2 * (comb_n * F.col("sum_comb") - F.col("sum_a") * F.col("sum_b"))
+    ari_den = comb_n * (F.col("sum_a") + F.col("sum_b")) - 2 * F.col(
+        "sum_a"
+    ) * F.col("sum_b")
+    return stats.select(
+        F.col("n_total").cast("bigint").alias("n_vectors"),
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        F.round(F.col("sum_maj").cast("double") / F.col("n_total"), 9).alias(
+            "purity"
+        ),
+        F.round(ri_num.cast("double") / comb_n.cast("double"), 9).alias(
+            "rand_index"
+        ),
+        F.round(ari_num.cast("double") / ari_den.cast("double"), 9).alias("ari"),
+    )
+
+
+def _clustering_eval_oracle() -> str:
+    return f"""
+        WITH {_assign_cte()},
+        cont AS (
+            SELECT cell, label, COUNT(*) AS n FROM assigned GROUP BY 1, 2
+        ),
+        cells AS (
+            SELECT cell, SUM(n) AS a, MAX(n) AS maj FROM cont GROUP BY 1
+        ),
+        labels AS (
+            SELECT label, SUM(n) AS b FROM cont GROUP BY 1
+        ),
+        s AS (
+            SELECT (SELECT SUM(n) FROM cont) AS n_total,
+                   (SELECT SUM(CAST(n AS HUGEINT) * (n - 1) / 2) FROM cont)
+                       AS sum_comb,
+                   (SELECT SUM(CAST(a AS HUGEINT) * (a - 1) / 2) FROM cells)
+                       AS sum_a,
+                   (SELECT SUM(maj) FROM cells) AS sum_maj,
+                   (SELECT COUNT(*) FROM cells) AS n_cells,
+                   (SELECT SUM(CAST(b AS HUGEINT) * (b - 1) / 2) FROM labels)
+                       AS sum_b
+        )
+        SELECT CAST(n_total AS BIGINT) AS n_vectors,
+               CAST(n_cells AS BIGINT) AS n_cells,
+               round(CAST(sum_maj AS DOUBLE) / n_total, 9) AS purity,
+               round(CAST(comb_n + 2 * sum_comb - sum_a - sum_b AS DOUBLE)
+                     / CAST(comb_n AS DOUBLE), 9) AS rand_index,
+               round(CAST(2 * (comb_n * sum_comb - sum_a * sum_b) AS DOUBLE)
+                     / CAST(comb_n * (sum_a + sum_b) - 2 * sum_a * sum_b
+                            AS DOUBLE), 9) AS ari
+        FROM (
+            SELECT *, CAST(n_total AS HUGEINT) * (n_total - 1) / 2 AS comb_n
+            FROM s
+        )
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension mutual information: MI(sign of dim; label)
+# ---------------------------------------------------------------------------
+@register(
+    "feature_mi_by_dim",
+    doc="mutual information between each embedding dimension's sign and the gold label",
+    oracle=f"""
+        WITH obs AS (
+            SELECT CAST(u.i AS INT) AS dim,
+                   CAST(embedding[u.i + 1] AS DOUBLE) >= 0 AS pos,
+                   label
+            FROM embeddings, unnest(range(0, 64)) AS u(i)
+        ),
+        joint AS (
+            SELECT dim, pos, label, COUNT(*) AS n_sl FROM obs GROUP BY 1, 2, 3
+        ),
+        margins_s AS (
+            SELECT dim, pos, SUM(n_sl) AS n_s FROM joint GROUP BY 1, 2
+        ),
+        margins_l AS (
+            SELECT label, COUNT(*) AS n_l FROM embeddings GROUP BY 1
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM embeddings),
+        terms AS (
+            SELECT j.dim,
+                   j.n_sl * round(ln(CAST(j.n_sl * t.n AS DOUBLE)
+                                     / (CAST(ms.n_s AS DOUBLE) * ml.n_l)), 12)
+                       AS term
+            FROM joint j
+            JOIN margins_s ms ON ms.dim = j.dim AND ms.pos = j.pos
+            JOIN margins_l ml ON ml.label = j.label
+            CROSS JOIN tot t
+        )
+        SELECT dim,
+               round({_FOLD.format(x='term')}
+                     / (SELECT n FROM tot), 9) AS mi
+        FROM terms GROUP BY dim
+    """,
+)
+def feature_mi_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-method feature selection: MI(sign(x_d); label) scores how
+    much each embedding dimension's sign tells you about the gold
+    label — the screening step before training a probe on a subset of
+    dimensions. MI = (1/N)·Σ n_sl·ln(N·n_sl/(n_s·n_l)): the ln argument
+    is an exact integer ratio (one double division), rounded at 12;
+    each term is exact-int × pinned-double; the per-dim fold is sorted;
+    the final /N rounds at 9. Zero-count (s,l) combinations contribute
+    nothing and are naturally absent from the joint table.
+
+    Plan: one ×64 dimension explode (map-side, no shuffle) into ONE
+    hash aggregate on (dim, sign, label) — at most 64·2·|labels| rows
+    regardless of corpus size; margins and the scalar total broadcast
+    back. The explode is the cost: 64× rows through a partial
+    aggregate that collapses immediately. At 100 TB you'd fuse the
+    sign extraction into the scan projection (it already is — only
+    `embedding` and `label` are read).
+    """
+    emb = _emb(spark, sf_dir)
+    obs = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select("label", "dim", (F.col("x").cast("double") >= 0).alias("pos"))
+    joint = obs.groupBy("dim", "pos", "label").agg(F.count(F.lit(1)).alias("n_sl"))
+    margins_s = joint.groupBy("dim", "pos").agg(F.sum("n_sl").alias("n_s"))
+    margins_l = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = emb.agg(F.count(F.lit(1)).alias("n"))
+    terms = (
+        joint.join(F.broadcast(margins_s), ["dim", "pos"])
+        .join(F.broadcast(margins_l), "label")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            (
+                F.col("n_sl")
+                * F.round(
+                    F.log(
+                        (F.col("n_sl") * F.col("n")).cast("double")
+                        / (F.col("n_s").cast("double") * F.col("n_l"))
+                    ),
+                    12,
+                )
+            ).alias("term"),
+            "n",
+        )
+    )
+    return terms.groupBy("dim").agg(
+        F.round(_fold("term") / F.first("n"), 9).alias("mi")
+    )
+
+
+# attach the assembled oracle (kept out of the decorator so the literal
+# block stays readable)
+from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QR  # noqa: E402
+
+_QR["clustering_eval_ari"].oracle = _clustering_eval_oracle()

@@ -203,6 +203,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_mlprep,  # intentionally last: round-4 batch-2 additions
         queries_lm,  # round-4 batch-3, same rationale
         queries_featurestore,  # round-4 batch-5, same rationale
+        queries_eval,  # round-4 batch-6, same rationale
         # rank behind the already-windowed tier-1 queries (driver window
         # is full at 50; these are parity-proven locally and enter the
         # window in round 5)

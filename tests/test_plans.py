@@ -63,6 +63,9 @@ def test_no_cartesian_products(plans):
             "basket_association_rules",  # 1-row broadcast of the basket total
             "cms_heavy_hitters",  # 4-row broadcast of the sketch seeds
             "mad_outlier_days",  # 1-row broadcasts of median and MAD
+            "pmi_collocations",  # 1-row broadcast of the bigram total
+            "clustering_eval_ari",  # 1-row scalar-metric combines
+            "feature_mi_by_dim",  # 1-row broadcast of the vector total
         ), f"{name} nested-loop joins"
 
 
