@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from dynaledger_spark.plans.registry import register
 from dynaledger_spark.plans.queries_mlprep import _FOLD, _fold
@@ -365,6 +366,85 @@ def feature_mi_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("dim").agg(
         F.round(_fold("term") / F.first("n"), 9).alias("mi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov behavioral anomaly score: per-user mean transition log-likelihood
+# ---------------------------------------------------------------------------
+@register(
+    "markov_sequence_score",
+    doc="per-user mean log-likelihood of the event-type sequence under the corpus transition MLE",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type AS cur,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        pairs AS (
+            SELECT user_id, prev, cur FROM seq WHERE prev IS NOT NULL
+        ),
+        trans AS (
+            SELECT prev, cur, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT prev, SUM(n_ab) AS n_a FROM trans GROUP BY 1
+        ),
+        scored AS (
+            SELECT p.user_id,
+                   round(ln(CAST(t.n_ab AS DOUBLE) / m.n_a), 12) AS ll
+            FROM pairs p
+            JOIN trans t ON t.prev = p.prev AND t.cur = p.cur
+            JOIN margins m ON m.prev = p.prev
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               round({_FOLD.format(x='ll')}
+                     / COUNT(*), 9) AS avg_loglik
+        FROM scored GROUP BY user_id
+    """,
+)
+def markov_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral anomaly scoring: each user's event-type sequence is
+    scored by the corpus first-order Markov MLE — mean ln P(cur|prev)
+    over their transitions. Users whose flows are improbable under the
+    crowd's transition matrix (bots, broken clients) score low; the
+    complement of event_transition_matrix, which reports the matrix
+    itself. ln() takes an exact integer ratio (n_ab/n_a) rounded at
+    12; per-user folds are sorted; the final mean rounds at 9.
+
+    Plan: the pair stream pays its user_id window exchange ONCE and is
+    persisted for its three consumers (matrix, margins, scoring); the
+    transition matrix (|types|² rows) and its margins come back as
+    broadcasts, so the corpus-sized stream never joins by shuffle. At
+    100 TB a hot user costs one sorted run in the window (per-row lag
+    state, no arrays), and the cache is the pair projection — three
+    narrow columns, not the event log.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = F.lag("cur").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("cur"))
+        .withColumn("prev", w)
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", "prev", "cur")
+    ).persist()  # three consumers (matrix, margins, scoring) — one window pass
+    trans = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_ab"))
+    margins = trans.groupBy("prev").agg(F.sum("n_ab").alias("n_a"))
+    scored = (
+        pairs.join(F.broadcast(trans), ["prev", "cur"])
+        .join(F.broadcast(margins), "prev")
+        .select(
+            "user_id",
+            F.round(
+                F.log(F.col("n_ab").cast("double") / F.col("n_a")), 12
+            ).alias("ll"),
+        )
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(_fold("ll") / F.count(F.lit(1)), 9).alias("avg_loglik"),
     )
 
 

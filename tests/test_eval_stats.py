@@ -153,3 +153,44 @@ def test_feature_mi_matches_python(spark, sf_dir):
         assert got[dim] == round(acc / n, 9), dim
     # MI >= 0 mathematically; rounding at 12 can only wiggle ~1e-9
     assert all(v >= -1e-8 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Markov sequence score ≡ python mirror
+# ---------------------------------------------------------------------------
+def test_markov_score_matches_python(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    got = {
+        r["user_id"]: (r["n_transitions"], r["avg_loglik"])
+        for r in REGISTRY["markov_sequence_score"].build(spark, sf_dir).collect()
+    }
+
+    rows = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    pairs = []
+    for u, evs in by_user.items():
+        evs.sort()
+        pairs += [(u, a[2], b[2]) for a, b in zip(evs, evs[1:])]
+    trans = Counter((p, c) for _, p, c in pairs)
+    margins = Counter(p for _, p, _ in pairs)
+    want = {}
+    for u in by_user:
+        terms = sorted(
+            round(math.log(trans[(p, c)] / margins[p]), 12)
+            for uu, p, c in pairs
+            if uu == u
+        )
+        if not terms:
+            continue  # single-event users have no transitions
+        acc = 0.0
+        for t in terms:
+            acc += t
+        want[u] = (len(terms), round(acc / len(terms), 9))
+    assert got == want
