@@ -383,25 +383,26 @@ def feature_mi_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         pairs AS (
-            SELECT user_id, prev, cur FROM seq WHERE prev IS NOT NULL
+            SELECT user_id, prev, cur, COUNT(*) AS n
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2, 3
         ),
         trans AS (
-            SELECT prev, cur, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2
+            SELECT prev, cur, SUM(n) AS n_ab FROM pairs GROUP BY 1, 2
         ),
         margins AS (
             SELECT prev, SUM(n_ab) AS n_a FROM trans GROUP BY 1
         ),
         scored AS (
-            SELECT p.user_id,
-                   round(ln(CAST(t.n_ab AS DOUBLE) / m.n_a), 12) AS ll
+            SELECT p.user_id, p.n,
+                   p.n * round(ln(CAST(t.n_ab AS DOUBLE) / m.n_a), 12) AS term
             FROM pairs p
             JOIN trans t ON t.prev = p.prev AND t.cur = p.cur
             JOIN margins m ON m.prev = p.prev
         )
         SELECT user_id,
-               CAST(COUNT(*) AS BIGINT) AS n_transitions,
-               round({_FOLD.format(x='ll')}
-                     / COUNT(*), 9) AS avg_loglik
+               CAST(SUM(n) AS BIGINT) AS n_transitions,
+               round({_FOLD.format(x='term')}
+                     / SUM(n), 9) AS avg_loglik
         FROM scored GROUP BY user_id
     """,
 )
@@ -412,15 +413,18 @@ def markov_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     crowd's transition matrix (bots, broken clients) score low; the
     complement of event_transition_matrix, which reports the matrix
     itself. ln() takes an exact integer ratio (n_ab/n_a) rounded at
-    12; per-user folds are sorted; the final mean rounds at 9.
+    12; each per-user term is count × pinned-double (exact); per-user
+    folds are sorted; the final mean rounds at 9.
 
-    Plan: the pair stream pays its user_id window exchange ONCE and is
-    persisted for its three consumers (matrix, margins, scoring); the
-    transition matrix (|types|² rows) and its margins come back as
-    broadcasts, so the corpus-sized stream never joins by shuffle. At
-    100 TB a hot user costs one sorted run in the window (per-row lag
-    state, no arrays), and the cache is the pair projection — three
-    narrow columns, not the event log.
+    Plan: the per-(user, prev, cur) COUNT collapses the corpus before
+    any scoring — a user contributes at most |types|² rows downstream,
+    so the per-user fold is bounded at 25 terms no matter how hot the
+    key (the segmented-EWMA lesson applied at design time, not
+    retrofitted). The pair stream pays its user_id window exchange
+    once and is persisted for its two aggregate consumers; the
+    transition matrix and margins come back as broadcasts, so the
+    corpus-sized stream never joins by shuffle. A hot user costs one
+    sorted run in the lag window — per-row state, no arrays anywhere.
     """
     ev = _t(spark, sf_dir, "events")
     w = F.lag("cur").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
@@ -428,23 +432,28 @@ def markov_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "ts", "event_id", F.col("event_type").alias("cur"))
         .withColumn("prev", w)
         .filter(F.col("prev").isNotNull())
-        .select("user_id", "prev", "cur")
-    ).persist()  # three consumers (matrix, margins, scoring) — one window pass
-    trans = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n_ab"))
+        .groupBy("user_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).persist()  # two consumers (matrix via sum, scoring) — one window pass
+    trans = pairs.groupBy("prev", "cur").agg(F.sum("n").alias("n_ab"))
     margins = trans.groupBy("prev").agg(F.sum("n_ab").alias("n_a"))
     scored = (
         pairs.join(F.broadcast(trans), ["prev", "cur"])
         .join(F.broadcast(margins), "prev")
         .select(
             "user_id",
-            F.round(
-                F.log(F.col("n_ab").cast("double") / F.col("n_a")), 12
-            ).alias("ll"),
+            "n",
+            (
+                F.col("n")
+                * F.round(
+                    F.log(F.col("n_ab").cast("double") / F.col("n_a")), 12
+                )
+            ).alias("term"),
         )
     )
     return scored.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_transitions"),
-        F.round(_fold("ll") / F.count(F.lit(1)), 9).alias("avg_loglik"),
+        F.sum("n").cast("bigint").alias("n_transitions"),
+        F.round(_fold("term") / F.sum("n"), 9).alias("avg_loglik"),
     )
 
 

@@ -180,17 +180,18 @@ def test_markov_score_matches_python(spark, sf_dir):
         pairs += [(u, a[2], b[2]) for a, b in zip(evs, evs[1:])]
     trans = Counter((p, c) for _, p, c in pairs)
     margins = Counter(p for _, p, _ in pairs)
+    per_user = Counter((u, p, c) for u, p, c in pairs)
     want = {}
-    for u in by_user:
+    users = {u for u, _, _ in pairs}
+    for u in users:
         terms = sorted(
-            round(math.log(trans[(p, c)] / margins[p]), 12)
-            for uu, p, c in pairs
+            n * round(math.log(trans[(p, c)] / margins[p]), 12)
+            for (uu, p, c), n in per_user.items()
             if uu == u
         )
-        if not terms:
-            continue  # single-event users have no transitions
+        total = sum(n for (uu, _, _), n in per_user.items() if uu == u)
         acc = 0.0
         for t in terms:
             acc += t
-        want[u] = (len(terms), round(acc / len(terms), 9))
+        want[u] = (total, round(acc / total, 9))
     assert got == want
