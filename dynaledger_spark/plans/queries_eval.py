@@ -58,9 +58,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         joint AS (
             SELECT w1, w2, COUNT(*) AS n12 FROM bi GROUP BY 1, 2
         ),
-        firsts AS (SELECT w1 AS w, COUNT(*) AS nf FROM bi GROUP BY 1),
-        seconds AS (SELECT w2 AS w, COUNT(*) AS ns FROM bi GROUP BY 1),
-        tot AS (SELECT COUNT(*) AS t FROM bi)
+        firsts AS (SELECT w1 AS w, SUM(n12) AS nf FROM joint GROUP BY 1),
+        seconds AS (SELECT w2 AS w, SUM(n12) AS ns FROM joint GROUP BY 1),
+        tot AS (SELECT SUM(n12) AS t FROM joint)
         SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
                round(ln(CAST(n12 * t AS DOUBLE) / (CAST(nf AS DOUBLE) * ns)),
                      12) AS pmi
@@ -80,12 +80,13 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single ln, rounded at 12. Support floor n12 ≥ 5 cuts the
     low-count PMI pathology (hapax pairs scoring highest).
 
-    Plan: one explode → bigram stream; the joint groupBy is the only
-    heavy exchange; both positional margin tables and the 1-row total
-    broadcast back onto it. Top-30 is TakeOrdered — no global sort
-    materialization. At 100 TB the margins are vocabulary-sized —
-    broadcastable exactly when the vocab is (frequency-floor them
-    first, as with the unigram LM).
+    Plan: one explode → bigram stream → ONE heavy groupBy; the
+    positional margins and the total are rollups of the persisted
+    joint table (identical counts by algebra), so the corpus stream is
+    aggregated exactly once. Margins broadcast back; top-30 is
+    TakeOrdered — no global sort materialization. At 100 TB the
+    margins are vocabulary-sized — broadcastable exactly when the
+    vocab is (frequency-floor them first, as with the unigram LM).
     """
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -100,10 +101,12 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     bi = docs.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
-    joint = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    firsts = bi.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("nf"))
-    seconds = bi.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("ns"))
-    tot = bi.agg(F.count(F.lit(1)).alias("t"))
+    # the corpus-sized bigram stream is aggregated ONCE; margins and the
+    # total are rollups of the joint table (identical counts by algebra)
+    joint = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12")).persist()
+    firsts = joint.groupBy(F.col("w1").alias("w")).agg(F.sum("n12").alias("nf"))
+    seconds = joint.groupBy(F.col("w2").alias("w")).agg(F.sum("n12").alias("ns"))
+    tot = joint.agg(F.sum("n12").alias("t"))
     return (
         joint.filter(F.col("n12") >= 5)
         .join(F.broadcast(firsts), joint["w1"] == firsts["w"])

@@ -157,36 +157,99 @@ _US_30D = 30 * 86_400 * 1_000_000
 def rolling_purchase_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window features AS OF each observation — the
     "transactions in the last 7/30 days" columns of every churn/fraud
-    model, computed without leakage: each row's frame is
-    [ts − horizon, ts], microsecond-exact via RANGE frames on epoch
-    micros (equal-timestamp peers are in-frame in both engines by RANGE
-    semantics). Money stays exact integer cents, so the sliding-frame
-    aggregation order can never change a result.
+    model, computed without leakage: each row's window is
+    [ts − horizon, ts], microsecond-exact, inclusive both ends. Money
+    stays exact integer cents, so no aggregation order can change a
+    result — which is also what lets this query use a DIFFERENT
+    algorithm from its oracle and still match bitwise.
 
-    Plan: ONE user_id exchange serves all four frame aggregates (two
-    same-sort WindowExecs, no re-shuffle); no self-join, no explode.
-    At 100 TB the per-user state a frame retains is bounded by the
-    30-day horizon's row count, not the full history, and a hot user is
-    one sorted run, not a cross product.
+    Plan — prefix differences, NOT sliding RANGE frames: Spark
+    re-aggregates a sliding frame's full buffer for every output row
+    (no retractable aggregates), so a hot key with its whole history
+    inside one horizon is O(rows²) — the skew probe measured 586× wall
+    at 10×+hot-user for the naive frame version. Instead:
+    trailing(ts) = cum(≤ ts) − cum(< ts−h). The running totals are an
+    incremental UNBOUNDED PRECEDING range frame (O(1)/row, peers
+    share the cum by RANGE semantics); cum(< ts−h) comes from a
+    strict as-of carry — union each row's two frame-start query points
+    with the data rows, sort by (t, side) with query points FIRST at
+    equal t (strict <), one ignoreNulls last() per user. Everything is
+    linear in rows per user; a hot user is two sorted runs. The DuckDB
+    oracle keeps the declarative RANGE-frame formulation, so parity
+    cross-checks two independent algorithms.
     """
     ev = _t(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.unix_micros("ts").alias("tus"),
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.unix_micros("ts").alias("tus"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
     )
-    w7 = W.partitionBy("user_id").orderBy("tus").rangeBetween(-_US_7D, 0)
-    w30 = W.partitionBy("user_id").orderBy("tus").rangeBetween(-_US_30D, 0)
-    return p.select(
+    wcum = (
+        W.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = p.select(
         "event_id",
         "user_id",
         "ts",
-        F.count(F.lit(1)).over(w7).alias("n_7d"),
-        F.sum("cents").over(w7).alias("cents_7d"),
-        F.count(F.lit(1)).over(w30).alias("n_30d"),
-        F.sum("cents").over(w30).alias("cents_30d"),
+        "tus",
+        F.count(F.lit(1)).over(wcum).alias("cum_n"),
+        F.sum("cents").over(wcum).alias("cum_c"),
+    ).persist()  # feeds the data side, both query-point sides, and the final join
+    cumv = F.struct(F.col("cum_n").alias("n"), F.col("cum_c").alias("c"))
+    null_cumv = F.lit(None).cast("struct<n:bigint,c:bigint>")
+    data = cum.select(
+        "user_id",
+        F.col("tus").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("qid"),
+        F.lit(0).alias("h"),
+        cumv.alias("cumv"),
+    )
+    qpts = [
+        cum.select(
+            "user_id",
+            (F.col("tus") - F.lit(us)).alias("t"),
+            F.lit(0).alias("side"),
+            F.col("event_id").alias("qid"),
+            F.lit(h).alias("h"),
+            null_cumv.alias("cumv"),
+        )
+        for h, us in ((7, _US_7D), (30, _US_30D))
+    ]
+    u = data.unionByName(qpts[0]).unionByName(qpts[1])
+    # query points (side 0) sort BEFORE data rows at equal t -> the carried
+    # cum excludes rows at exactly ts-h... which belong IN the frame: strict <
+    wseq = (
+        W.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.withColumn("prev", F.last("cumv", ignorenulls=True).over(wseq))
+    excl = (
+        carried.filter(F.col("side") == 0)
+        .groupBy("qid")
+        .agg(
+            F.max(F.when(F.col("h") == 7, F.col("prev.n"))).alias("x7n"),
+            F.max(F.when(F.col("h") == 7, F.col("prev.c"))).alias("x7c"),
+            F.max(F.when(F.col("h") == 30, F.col("prev.n"))).alias("x30n"),
+            F.max(F.when(F.col("h") == 30, F.col("prev.c"))).alias("x30c"),
+        )
+    )
+    return cum.join(excl, cum["event_id"] == excl["qid"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("cum_n") - F.coalesce(F.col("x7n"), F.lit(0))).alias("n_7d"),
+        (F.col("cum_c") - F.coalesce(F.col("x7c"), F.lit(0))).alias("cents_7d"),
+        (F.col("cum_n") - F.coalesce(F.col("x30n"), F.lit(0))).alias("n_30d"),
+        (F.col("cum_c") - F.coalesce(F.col("x30c"), F.lit(0))).alias("cents_30d"),
     )
 
 

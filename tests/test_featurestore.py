@@ -218,13 +218,20 @@ def test_association_rule_identities(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Plan shapes: the scale claims in the docstrings, pinned
 # ---------------------------------------------------------------------------
-def test_rolling_features_single_exchange(spark, sf_dir):
-    from tests.test_plans import plan_of, _nodes
+def test_rolling_features_no_sliding_frame(spark, sf_dir):
+    """The prefix-difference rewrite must never reintroduce a bounded
+    sliding RANGE frame: Spark re-aggregates a sliding frame's buffer
+    per row (no retraction), which the skew probe measured as a 586x
+    cliff on a hot user. Running (unbounded-preceding) frames are the
+    only window frames allowed in this plan."""
+    from tests.test_plans import plan_of
 
     plan = plan_of(REGISTRY["rolling_purchase_features"].build(spark, sf_dir))
-    # one user_id hash exchange serves both RANGE frames; no join at all
-    assert _nodes(plan, "Exchange") == 1, plan
-    assert "Join" not in plan
+    low = plan.lower()
+    assert str(-7 * 86_400 * 1_000_000) not in plan  # no bounded 7d frame
+    assert str(-30 * 86_400 * 1_000_000) not in plan  # no bounded 30d frame
+    assert "unboundedpreceding" in low
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_association_rules_broadcasts_dims(spark, sf_dir):
