@@ -320,6 +320,7 @@ def portable_minhash_pairs(
     n_bands: int = 4,
     threshold: float = 0.5,
     seed: int = 7,
+    new_cutoff: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH where every hash is engine-portable arithmetic.
 
@@ -331,6 +332,13 @@ def portable_minhash_pairs(
     than a murmur of it. Production dedup stays on near_duplicates
     (native hashes are ~20× cheaper); this variant exists to PROVE the
     banding/min-hash mechanics against an independent implementation.
+
+    `new_cutoff` (1-row DataFrame with column `_cutoff`) switches to
+    INCREMENTAL mode — the daily-crawl shape: only pairs whose HIGHER
+    id is >= the cutoff are generated (new-vs-corpus and new-vs-new;
+    the already-deduped old corpus never re-pairs with itself). The
+    bucket join's b side shrinks to the new batch's banded rows, so
+    incremental cost scales with |batch|·bucket-width, not |corpus|².
     """
     params = _perm_params(n_hashes, seed)
     rows_per_band = n_hashes // n_bands
@@ -381,7 +389,14 @@ def portable_minhash_pairs(
             )
         ).alias("band", "band_key"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    b_side = banded
+    if new_cutoff is not None:
+        b_side = (
+            banded.crossJoin(F.broadcast(new_cutoff))
+            .filter(F.col("id") >= F.col("_cutoff"))
+            .drop("_cutoff")
+        )
+    a, b = banded.alias("a"), b_side.alias("b")
     pairs = (
         a.join(
             b,

@@ -329,7 +329,9 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Engine-portable MinHash miniature — proves the LSH mechanics with an
 # exact oracle (the xxhash64 production path above stays rows-only).
 # ---------------------------------------------------------------------------
-def _portable_minhash_oracle(n_hashes: int = 16, n_bands: int = 4, seed: int = 7) -> str:
+def _portable_minhash_oracle(
+    n_hashes: int = 16, n_bands: int = 4, seed: int = 7, incremental: bool = False
+) -> str:
     from dynaledger_spark.operators.dedup import _P, _perm_params
 
     params = _perm_params(n_hashes, seed)
@@ -378,6 +380,7 @@ def _portable_minhash_oracle(n_hashes: int = 16, n_bands: int = 4, seed: int = 7
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+             {"AND b.doc_id >= (SELECT max(doc_id) * 4 // 5 FROM documents)" if incremental else ""}
         )
         SELECT id_a, id_b, {jac} AS jaccard
         FROM pairs
@@ -401,6 +404,32 @@ def minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.dedup import portable_minhash_pairs
 
     return portable_minhash_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "minhash_portable_incremental",
+    doc="incremental MinHash-LSH: the newest 20% of docs near-dup-checked against the corpus",
+    oracle=_portable_minhash_oracle(incremental=True),
+)
+def minhash_portable_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl shape of near-dup dedup: today's batch (docs
+    with id >= 80% of max — the synthetic stand-in for an ingest
+    watermark) is LSH-checked against the whole corpus AND itself,
+    while the already-deduped corpus never re-pairs internally — the
+    MinHash counterpart of dedup_incremental_anti's exact-hash
+    version. The bucket join's probe side shrinks to the batch's
+    banded rows, so the incremental cost scales with |batch|·bucket
+    width, not |corpus|²; signatures for the old corpus would be read
+    from the persisted signature table at scale (the
+    minhash_lsh_pairs persistence note) rather than recomputed.
+    Portable hashes, so DuckDB re-derives the whole incremental run
+    bit-for-bit.
+    """
+    from dynaledger_spark.operators.dedup import portable_minhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    cutoff = docs.agg(F.expr("max(doc_id) * 4 div 5").alias("_cutoff"))
+    return portable_minhash_pairs(docs, new_cutoff=cutoff)
 
 
 def _portable_simhash_oracle() -> str:
