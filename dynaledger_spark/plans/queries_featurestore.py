@@ -542,6 +542,74 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantile normalization: value -> empirical-CDF percent rank per type
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_normalize_by_type",
+    doc="per-type quantile normalization of event values (empirical-CDF percent rank)",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id, event_type, cents,
+               round(percent_rank() OVER (PARTITION BY event_type
+                                          ORDER BY cents), 9) AS pct
+        FROM p
+    """,
+)
+def quantile_normalize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature normalization (the rank half of RankGauss):
+    each value maps to its within-type percent rank, robust to any
+    monotone distortion of the raw scale. percent_rank =
+    rows-strictly-below / (n − 1) exactly — ties share the rank — so
+    the whole computation is exact integers until one division,
+    rounded at 9.
+
+    Plan — empirical CDF, NOT a corpus-sized rank window: a window
+    over (type ORDER BY value) puts each type's ENTIRE event stream
+    through one sort partition (the skewed-type-key shape
+    minmax_scale_events deliberately avoids). Instead aggregate to
+    DISTINCT (type, cents) counts — bounded by the value domain, not
+    the corpus — run the cumulative/total window on that small table,
+    and broadcast the CDF back onto the events. The oracle keeps
+    DuckDB's native percent_rank(), so parity cross-checks two
+    independent algorithms. n = 1 partitions define pct = 0 (both
+    engines' percent_rank convention).
+    """
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    counts = p.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_below = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_all = W.partitionBy("event_type")
+    cdf = counts.select(
+        "event_type",
+        "cents",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("below"),
+        F.sum("cnt").over(w_all).alias("ntot"),
+    )
+    return p.join(F.broadcast(cdf), ["event_type", "cents"]).select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.when(F.col("ntot") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("below").cast("double") / (F.col("ntot") - 1), 9)
+        )
+        .alias("pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MAD outlier days on the daily revenue series
 # ---------------------------------------------------------------------------
 @register(

@@ -140,6 +140,34 @@ def test_rolling_features_match_bruteforce(spark, tmp_path_factory, rows):
 
 
 # ---------------------------------------------------------------------------
+# Quantile normalization ≡ python percent_rank (tie semantics pinned)
+# ---------------------------------------------------------------------------
+@PROP
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=5), min_size=1, max_size=16
+    )
+)
+def test_quantile_normalize_matches_python(spark, tmp_path_factory, vals):
+    d = _write_events(
+        spark,
+        tmp_path_factory,
+        [(i, 1, "purchase", v) for i, v in enumerate(vals)],
+    )
+    got = {
+        r["event_id"]: r["pct"]
+        for r in REGISTRY["quantile_normalize_by_type"].build(spark, d).collect()
+    }
+    n = len(vals)
+    cents = [v * 100 for v in vals]
+    want = {
+        i: (0.0 if n == 1 else round(sum(1 for o in cents if o < c) / (n - 1), 9))
+        for i, c in enumerate(cents)
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # CMS guarantees on real testdata: est >= exact, and min-row is tight
 # ---------------------------------------------------------------------------
 def test_cms_never_undercounts(spark, sf_dir):
