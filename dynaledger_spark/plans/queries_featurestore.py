@@ -542,6 +542,128 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kaplan-Meier churn curve over user lifetimes
+# ---------------------------------------------------------------------------
+_US_HOUR = 3_600_000_000
+
+
+@register(
+    "km_churn_curve",
+    doc="Kaplan-Meier survival curve of user lifetime (hours), right-censored at the corpus edge",
+    oracle=f"""
+        WITH span AS (
+            SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+        ),
+        mx AS (SELECT max(l) AS m FROM span),
+        life AS (
+            SELECT user_id,
+                   (epoch_us(l) - epoch_us(f)) // {_US_HOUR} AS t,
+                   l >= (SELECT m FROM mx) - INTERVAL 1 DAY AS censored
+            FROM span
+        ),
+        deaths AS (
+            SELECT t, COUNT(*) AS d FROM life WHERE NOT censored GROUP BY 1
+        ),
+        lc AS (SELECT t, COUNT(*) AS c FROM life GROUP BY 1),
+        risk AS (
+            SELECT t, SUM(c) OVER (ORDER BY t DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS n
+            FROM lc
+        ),
+        curve AS (
+            SELECT d.t, d.d, r.n,
+                   CASE WHEN d.d = r.n THEN NULL
+                        ELSE round(ln(CAST(r.n - d.d AS DOUBLE) / r.n), 12)
+                   END AS term
+            FROM deaths d JOIN risk r ON r.t = d.t
+        ),
+        walked AS (
+            SELECT t, d, CAST(n AS BIGINT) AS n_at_risk,
+                   SUM(term) OVER w AS cum,
+                   MAX(CASE WHEN term IS NULL THEN 1 ELSE 0 END) OVER w AS dead
+            FROM curve
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT t, d, n_at_risk,
+               CASE WHEN dead = 1 THEN NULL ELSE round(cum, 9) END
+                   AS log_survival,
+               CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 9) END
+                   AS survival
+        FROM walked ORDER BY t
+    """,
+)
+def km_churn_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis on the event log: the Kaplan-Meier estimator
+    of user lifetime (hours between first and last event), with users
+    still active in the corpus's final day right-CENSORED — they
+    inform the risk sets but never count as churn, the property that
+    makes KM the honest churn curve where a naive lifetime histogram
+    is biased low. Risk sets and death counts are exact integers (the
+    descending cumulative over the lifetime distribution gives
+    n_at_risk without a per-t subquery); each step factor enters as
+    round(ln((n−d)/n), 12); the survival product is a RUNNING sum of
+    those pinned terms over the total t-order (both engines fold the
+    same IEEE sequence row-by-row), exponentiated and rounded at 9.
+    A step where every at-risk user dies drops the curve to exactly 0
+    (NULL log) and the running dead-flag pins it there.
+
+    Plan: one user_id groupBy builds the spans; everything after is
+    arithmetic on the aggregated lifetime distribution — |distinct
+    lifetimes| rows, broadcast-scale regardless of corpus size. The
+    global curve windows sort hundreds of rows, not events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    mx = span.agg(F.max("l").alias("m"))
+    life = span.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(f"(unix_micros(l) - unix_micros(f)) div {_US_HOUR}").alias("t"),
+        (F.col("l") >= F.col("m") - F.expr("INTERVAL 1 DAY")).alias("censored"),
+    )
+    deaths = (
+        life.filter(~F.col("censored")).groupBy("t").agg(F.count(F.lit(1)).alias("d"))
+    )
+    lc = life.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w_desc = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = lc.select("t", F.sum("c").over(w_desc).alias("n"))
+    curve = deaths.join(risk, "t").select(
+        "t",
+        "d",
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.when(F.col("d") == F.col("n"), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.log((F.col("n") - F.col("d")).cast("double") / F.col("n")), 12
+            )
+        )
+        .alias("term"),
+    )
+    w_run = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    walked = curve.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.sum("term").over(w_run).alias("cum"),
+        F.max(F.when(F.col("term").isNull(), 1).otherwise(0)).over(w_run).alias(
+            "dead"
+        ),
+    )
+    return walked.select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.when(F.col("dead") == 1, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("cum"), 9))
+        .alias("log_survival"),
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("cum"), 9))
+        .alias("survival"),
+    ).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
 # Quantile normalization: value -> empirical-CDF percent rank per type
 # ---------------------------------------------------------------------------
 @register(

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+from collections import Counter
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -241,6 +242,56 @@ def test_association_rule_identities(spark, sf_dir):
         n_b = r["support"] / r["conf_ba"]
         assert math.isclose(n_a, round(n_a), rel_tol=1e-6) and round(n_a) >= r["support"]
         assert math.isclose(n_b, round(n_b), rel_tol=1e-6) and round(n_b) >= r["support"]
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier ≡ python mirror + estimator invariants
+# ---------------------------------------------------------------------------
+def test_km_churn_matches_python(spark, sf_dir):
+    rows = REGISTRY["km_churn_curve"].build(spark, sf_dir).collect()
+    assert rows
+
+    from dynaledger_spark.catalog import read_table
+
+    spans = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+        .collect()
+    )
+    m = max(r["l"] for r in spans)
+    horizon = m - dt.timedelta(days=1)
+    life = [
+        (
+            int((r["l"] - r["f"]).total_seconds() * 1_000_000) // 3_600_000_000,
+            r["l"] >= horizon,
+        )
+        for r in spans
+    ]
+    deaths = Counter(t for t, cen in life if not cen)
+    cum, dead = 0.0, False
+    want = []
+    for t in sorted(deaths):
+        d = deaths[t]
+        n = sum(1 for lt, _ in life if lt >= t)
+        if d == n:
+            dead = True
+        if not dead:
+            cum += round(math.log((n - d) / n), 12)
+        want.append(
+            (t, d, n, None if dead else round(cum, 9),
+             0.0 if dead else round(math.exp(cum), 9))
+        )
+    got = [
+        (r["t"], r["d"], r["n_at_risk"], r["log_survival"], r["survival"])
+        for r in rows
+    ]
+    assert got == want
+    # estimator invariants
+    surv = [r["survival"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # non-increasing
+    ns = [r["n_at_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))  # risk sets shrink
 
 
 # ---------------------------------------------------------------------------
