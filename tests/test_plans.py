@@ -66,6 +66,8 @@ def test_no_cartesian_products(plans):
             "pmi_collocations",  # 1-row broadcast of the bigram total
             "clustering_eval_ari",  # 1-row scalar-metric combines
             "feature_mi_by_dim",  # 1-row broadcast of the vector total
+            "minhash_portable_incremental",  # 1-row broadcast of the id cutoff
+            "km_churn_curve",  # 1-row broadcast of the censoring horizon
         ), f"{name} nested-loop joins"
 
 
