@@ -321,6 +321,7 @@ def portable_minhash_pairs(
     threshold: float = 0.5,
     seed: int = 7,
     new_cutoff: DataFrame | None = None,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """MinHash-LSH where every hash is engine-portable arithmetic.
 
@@ -339,6 +340,13 @@ def portable_minhash_pairs(
     the already-deduped old corpus never re-pairs with itself). The
     bucket join's b side shrinks to the new batch's banded rows, so
     incremental cost scales with |batch|·bucket-width, not |corpus|².
+
+    `max_bucket_size` is the same degenerate-bucket guard as the
+    xxhash64 production path (lsh_candidate_pairs): a band bucket
+    holding thousands of identical docs otherwise pairs quadratically
+    (the 10×+skew probe measured 24.7× from one 3,000-dup cluster).
+    The ORACLE applies the identical cap, so the query stays exact
+    even when the guard engages — the hot-basket precedent.
     """
     params = _perm_params(n_hashes, seed)
     rows_per_band = n_hashes // n_bands
@@ -389,6 +397,14 @@ def portable_minhash_pairs(
             )
         ).alias("band", "band_key"),
     )
+    from pyspark.sql.window import Window as _W
+
+    bucket_n = F.count(F.lit(1)).over(
+        _W.partitionBy("band", "band_key")
+    )
+    banded = banded.withColumn("_bn", bucket_n).filter(
+        F.col("_bn") <= max_bucket_size
+    ).drop("_bn")
     b_side = banded
     if new_cutoff is not None:
         b_side = (

@@ -330,7 +330,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact oracle (the xxhash64 production path above stays rows-only).
 # ---------------------------------------------------------------------------
 def _portable_minhash_oracle(
-    n_hashes: int = 16, n_bands: int = 4, seed: int = 7, incremental: bool = False
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    seed: int = 7,
+    incremental: bool = False,
+    max_bucket_size: int = 200,
 ) -> str:
     from dynaledger_spark.operators.dedup import _P, _perm_params
 
@@ -373,6 +377,8 @@ def _portable_minhash_oracle(
                    array_to_string(sig[band * {rows} + 1 : band * {rows} + {rows}], ',')
                      AS band_key
             FROM sig, (SELECT unnest(range(0, {n_bands})) AS band)
+            QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                    <= {max_bucket_size}
         ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
