@@ -259,13 +259,13 @@ def _clustering_eval_oracle() -> str:
         ),
         s AS (
             SELECT (SELECT SUM(n) FROM cont) AS n_total,
-                   (SELECT SUM(CAST(n AS HUGEINT) * (n - 1) / 2) FROM cont)
+                   (SELECT SUM(CAST(n AS HUGEINT) * (n - 1) // 2) FROM cont)
                        AS sum_comb,
-                   (SELECT SUM(CAST(a AS HUGEINT) * (a - 1) / 2) FROM cells)
+                   (SELECT SUM(CAST(a AS HUGEINT) * (a - 1) // 2) FROM cells)
                        AS sum_a,
                    (SELECT SUM(maj) FROM cells) AS sum_maj,
                    (SELECT COUNT(*) FROM cells) AS n_cells,
-                   (SELECT SUM(CAST(b AS HUGEINT) * (b - 1) / 2) FROM labels)
+                   (SELECT SUM(CAST(b AS HUGEINT) * (b - 1) // 2) FROM labels)
                        AS sum_b
         )
         SELECT CAST(n_total AS BIGINT) AS n_vectors,
@@ -277,7 +277,7 @@ def _clustering_eval_oracle() -> str:
                      / CAST(comb_n * (sum_a + sum_b) - 2 * sum_a * sum_b
                             AS DOUBLE), 9) AS ari
         FROM (
-            SELECT *, CAST(n_total AS HUGEINT) * (n_total - 1) / 2 AS comb_n
+            SELECT *, CAST(n_total AS HUGEINT) * (n_total - 1) // 2 AS comb_n
             FROM s
         )
     """
@@ -294,7 +294,7 @@ def _clustering_eval_oracle() -> str:
             SELECT CAST(u.i AS INT) AS dim,
                    CAST(embedding[u.i + 1] AS DOUBLE) >= 0 AS pos,
                    label
-            FROM embeddings, unnest(range(0, 64)) AS u(i)
+            FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
         ),
         joint AS (
             SELECT dim, pos, label, COUNT(*) AS n_sl FROM obs GROUP BY 1, 2, 3

@@ -121,6 +121,31 @@ _ROUND3_DRIVER_GREEN = (
     "lttb_downsample", "stream_time_bucket_ohlc", "stream_session_windows",
 )
 
+# CORRECTNESS_r04.json: the round-4 window, 50/50 green (key order
+# preserved — becomes the re-verification priority among green rows).
+_ROUND4_DRIVER_GREEN = (
+    "fact_build", "minhash_portable_pairs", "simhash_portable_fingerprints",
+    "bloom_filter_probe", "rfm_segmentation", "twap_user_value",
+    "readability_proxy", "dup_span_marking", "event_trigram_top",
+    "minmax_scale_events", "copurchase_degree_hist", "copurchase_triangles",
+    "minhash_portable_incremental", "segment_dedup_boilerplate",
+    "boilerplate_strip_stats", "type_token_ratio", "vocab_build_topn",
+    "near_dup_purge_e2e", "tokenize_to_ids", "containment_scores",
+    "dedup_keep_best", "split_leakage_check", "weighted_sample_aes",
+    "corr_qty_price", "skew_kurtosis_quantity", "lang_entropy_by_source",
+    "mode_priority_by_segment", "weighted_avg_discount",
+    "percentile_cont_priceband", "table_checksum_orders",
+    "event_type_bitmask", "full_outer_reconcile_halves",
+    "islands_user_activity", "chi_square_segment_priority",
+    "cohort_retention_matrix", "target_encode_priority",
+    "entity_resolution_blocked", "quantile_binning_migration",
+    "zorder_bucket_stats", "profile_lineitem_columns", "time_rollup_revenue",
+    "sliding_7d_active_users", "event_transition_matrix",
+    "revenue_share_by_nation", "pareto_abc_parts", "regression_price_by_qty",
+    "vwap_weekly_priceband", "mad_outlier_summary", "time_to_convert_stats",
+    "knn_join_topk",
+)
+
 # Flagships that must NEVER age out of the 50-entry window, whatever
 # lands in a new round: the entry() query and the portable dedup
 # miniatures that stand in for the engine-specific MinHash/SimHash.
@@ -157,7 +182,8 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
     """
     r2_rank = {n: i for i, n in enumerate(_ROUND2_DRIVER_GREEN)}
     r3_rank = {n: i for i, n in enumerate(_ROUND3_DRIVER_GREEN)}
-    green = set(r2_rank) | set(r3_rank) | _ROUND1_DRIVER_GREEN
+    r4_rank = {n: i for i, n in enumerate(_ROUND4_DRIVER_GREEN)}
+    green = set(r2_rank) | set(r3_rank) | set(r4_rank) | _ROUND1_DRIVER_GREEN
     names = list(registry)
 
     def key(name: str):
@@ -173,8 +199,12 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
         else:
             tier = 1  # new / never driver-verified: spend the window here
         # among green rows, re-verify the most recent round's set first
-        # (it contains this round's behavior-touched queries), then r2
-        rank = r3_rank.get(name, len(r3_rank) + r2_rank.get(name, len(r2_rank)))
+        # (it contains this round's behavior-touched queries), then r3, r2
+        rank = r4_rank.get(
+            name,
+            len(r4_rank)
+            + r3_rank.get(name, len(r3_rank) + r2_rank.get(name, len(r2_rank))),
+        )
         return (tier, rank, names.index(name))
 
     return sorted(names, key=key)

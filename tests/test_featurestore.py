@@ -319,7 +319,6 @@ def test_association_rules_broadcasts_dims(spark, sf_dir):
     plan = plan_of(REGISTRY["basket_association_rules"].build(spark, sf_dir))
     # item counts + basket total reach the pair stream as broadcasts
     assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "SortMergeJoin" not in plan.split("HAVING")[0] or True
 
 
 def test_pit_join_no_range_join(spark, sf_dir):
