@@ -1,0 +1,376 @@
+"""Behavioral / journey analytics operators (round-5 additions).
+
+The product-analytics family a reference user would reach for after
+funnels and sessionization (SURVEY.md §2 stretch): top user journey
+paths, MATCH_RECOGNIZE-style time-constrained sequence patterns
+(re-expressed as windows — neither Spark nor DuckDB ships
+MATCH_RECOGNIZE, so the re-expression IS the portable form),
+item-item collaborative-filtering similarity, and semi-additive
+period-end balance rollups.
+
+Registered after the round-4 batches (registry.load_all), so these
+rank into the round-5 driver window as never-verified tier-1 entries.
+
+Scale posture: every query is equi-hash windows + hash joins + hash
+aggregates — no range joins, no unbounded-FOLLOWING frames (Spark
+recomputes those per row; the "next matching event" carry is computed
+as a GROWING frame over a descending sort, which Spark evaluates
+incrementally), no per-key arrays beyond fixed bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dynaledger_spark.functions.agg import osum
+from dynaledger_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Top-k user journey paths (first 5 events per user)
+# ---------------------------------------------------------------------------
+@register(
+    "path_topk_sequences",
+    doc="top-20 most common 5-event journey prefixes across users",
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        p AS (
+            SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 5 GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT 20
+    """,
+)
+def path_topk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "top conversion paths" report: each user's journey prefix
+    (first 5 events in (ts, event_id) order, joined with '>'), counted
+    across users, top 20. Spark's collect_list has no intra-group
+    ordering guarantee, so the path is assembled by sorting the
+    (rn, event_type) structs — the array is bounded at 5 elements by
+    construction, so the per-user state is O(1) regardless of key heat.
+
+    Plan: one user_id window (row_number), one user_id hash aggregate
+    (the two share the exchange), one path aggregate, TakeOrdered 20.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    paths = first5.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-constrained sequence pattern: view -> click(1h) -> purchase(24h)
+# ---------------------------------------------------------------------------
+# The "next matching event" carry key: (event time, event id) packed into
+# one DECIMAL(38,0) so a single window MIN identifies the earliest later
+# event of a type. epoch micros (~1.7e15) * 1e10 + event_id stays far
+# inside DECIMAL(38); event_id < 1e10 holds beyond any plausible scale
+# (1e10 events/user-partition would be a degenerate key anyway).
+_KMULT = 10_000_000_000
+
+
+def _next_key(event_type: str):
+    key = F.unix_micros(F.col("ts")).cast("decimal(38,0)") * _KMULT + F.col(
+        "event_id"
+    )
+    wdesc = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return F.min(F.when(F.col("event_type") == event_type, key)).over(wdesc)
+
+
+def _k_mic(col: str):
+    return F.expr(
+        f"CAST(({col} - ({col} % {_KMULT})) / {_KMULT} AS BIGINT)"
+    )
+
+
+def _k_id(col: str):
+    return F.expr(f"CAST({col} % {_KMULT} AS BIGINT)")
+
+
+@register(
+    "funnel_pattern_match",
+    doc="per-user counts of view->click(<=1h)->purchase(<=24h of click) pattern completions",
+    oracle=f"""
+        WITH ann AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(epoch_us(ts) AS HUGEINT) AS mic,
+                   min(CASE WHEN event_type = 'click'
+                            THEN CAST(epoch_us(ts) AS HUGEINT) * {_KMULT} + event_id END)
+                       OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ck,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(epoch_us(ts) AS HUGEINT) * {_KMULT} + event_id END)
+                       OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pk
+            FROM events
+        ),
+        views AS (
+            SELECT user_id, mic AS view_mic,
+                   CASE WHEN ck IS NOT NULL
+                             AND ck // {_KMULT} <= mic + 3600000000
+                        THEN CAST(ck % {_KMULT} AS BIGINT) END AS click_id,
+                   CAST(ck // {_KMULT} AS BIGINT) AS click_mic
+            FROM ann WHERE event_type = 'view'
+        ),
+        clicks AS (
+            SELECT event_id AS c_id,
+                   CAST(pk // {_KMULT} AS BIGINT) AS purchase_mic
+            FROM ann WHERE event_type = 'click'
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_views,
+               CAST(COUNT(click_id) AS BIGINT) AS n_clicked,
+               CAST(COUNT(CASE WHEN purchase_mic IS NOT NULL
+                                    AND purchase_mic <= click_mic + 86400000000
+                               THEN 1 END) AS BIGINT) AS n_full
+        FROM views LEFT JOIN clicks ON views.click_id = clicks.c_id
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def funnel_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE re-expressed: for every view, the FIRST click by
+    the same user within 1 hour, then the first purchase within 24 hours
+    of THAT click (chained constraint — strictly harder than the
+    unordered funnel in funnel_view_click_purchase, which only needs
+    per-user min timestamps). Per user: views, views clicked-through,
+    fully converted chains.
+
+    The "first later event of type T" is one window MIN over a packed
+    (micros, event_id) DECIMAL key, computed over a DESCENDING sort with
+    a growing [unbounded, -1] frame — Spark evaluates growing frames
+    incrementally (O(n) per partition), where the ascending-sort
+    [1, unbounded-following] formulation re-aggregates per row (O(n²) on
+    a hot user — the exact trap the rolling-features probe measured at
+    586×). The purchase-after-click lookup rides the SAME window pass:
+    each click row already carries its own next-purchase key, so the
+    chain needs one equi-join on click event_id, not a second window.
+
+    Plan: 1 user_id window exchange (both carries share it), 1 hash
+    join on event_id, 1 user_id hash aggregate. No range join, no
+    per-key arrays; skew-immune at any user heat.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    ann = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("mic"),
+        _next_key("click").alias("ck"),
+        _next_key("purchase").alias("pk"),
+    )
+    views = ann.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("mic").alias("view_mic"),
+        F.when(
+            F.col("ck").isNotNull()
+            & (_k_mic("ck") <= F.col("mic") + 3_600_000_000),
+            _k_id("ck"),
+        ).alias("click_id"),
+        _k_mic("ck").alias("click_mic"),
+    )
+    clicks = ann.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        _k_mic("pk").alias("purchase_mic"),
+    )
+    return (
+        views.join(clicks, views["click_id"] == clicks["c_id"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_views"),
+            F.count("click_id").cast("bigint").alias("n_clicked"),
+            F.count(
+                F.when(
+                    F.col("purchase_mic").isNotNull()
+                    & (
+                        F.col("purchase_mic")
+                        <= F.col("click_mic") + 86_400_000_000
+                    ),
+                    F.lit(1),
+                )
+            )
+            .cast("bigint")
+            .alias("n_full"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative-filtering similarity (cosine over baskets)
+# ---------------------------------------------------------------------------
+_MIN_COOC = 3
+_CF_TOPK = 50
+
+
+@register(
+    "item_cf_cosine",
+    doc="top-50 item-item cosine similarities over co-purchase baskets (capped)",
+    oracle=f"""
+        WITH capped AS (
+            SELECT l_orderkey, l_partkey FROM (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ) QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                         ORDER BY l_partkey) <= 64
+        ),
+        deg AS (
+            SELECT l_partkey, COUNT(*) AS n FROM capped GROUP BY l_partkey
+        ),
+        cooc AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c
+            FROM capped a JOIN capped b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY pa, pb HAVING COUNT(*) >= {_MIN_COOC}
+        )
+        SELECT pa, pb, CAST(c AS BIGINT) AS cooc,
+               round(CAST(c AS DOUBLE)
+                     / sqrt(CAST(da.n AS DOUBLE) * db.n), 12) AS cos_sim
+        FROM cooc JOIN deg da ON da.l_partkey = pa
+                  JOIN deg db ON db.l_partkey = pb
+        ORDER BY cos_sim DESC, pa, pb
+        LIMIT {_CF_TOPK}
+    """,
+)
+def item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    items over the binary item×basket matrix — cooc(a,b)/√(n_a·n_b) with
+    n_x = baskets containing x. The recommender primitive behind
+    "customers also bought". Baskets capped at MAX_BASKET=64 distinct
+    parts (queries_graph precedent — an uncapped degenerate order is
+    quadratic) with the oracle applying the identical cap; counts are
+    exact integers, the cosine is one IEEE division rounded at 12.
+
+    Plan: orderkey window cap, one self equi-join on orderkey (pair
+    fan-out bounded by the cap), pair hash aggregate; the item-degree
+    table (|parts| rows — dimension-sized) broadcasts onto the pair
+    stream twice. TakeOrdered 50.
+    """
+    from dynaledger_spark.plans.queries_graph import MAX_BASKET
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    distinct_lines = li.distinct()
+    w = W.partitionBy("l_orderkey").orderBy("l_partkey")
+    capped = (
+        distinct_lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAX_BASKET)
+        .drop("rn")
+    ).persist()
+    deg = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _MIN_COOC)
+    )
+    da = F.broadcast(deg.select(F.col("l_partkey").alias("pa"), F.col("n").alias("na")))
+    db = F.broadcast(deg.select(F.col("l_partkey").alias("pb"), F.col("n").alias("nb")))
+    return (
+        cooc.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("c").cast("bigint").alias("cooc"),
+            F.round(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                12,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "pa", "pb")
+        .limit(_CF_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-additive period-end balance rollup
+# ---------------------------------------------------------------------------
+@register(
+    "period_end_balance",
+    doc="semi-additive rollup: sum over users of each user's month-end (last) event value",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT user_id, value,
+                   strftime(date_trunc('month', ts), '%Y-%m') AS month,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('month', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT month,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               {osum('value', 'total_balance', 2)}
+        FROM ranked WHERE rn = 1
+        GROUP BY month ORDER BY month
+    """,
+)
+def period_end_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semi-additive measure pattern (account balances, inventory
+    levels): a balance is NOT summable over time, so the month rollup
+    takes each user's LAST value in the month (ts desc, event_id desc —
+    unique tiebreak) and sums across users only. One row_number window
+    on (user_id, month) and one month hash aggregate; the month-grain
+    aggregate is calendar-bounded. Sum through the DECIMAL(27,2)
+    accumulator (values are 2dp) so combine order can't move the total.
+    """
+    ev = _t(spark, sf_dir, "events")
+    month = F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias(
+        "month"
+    )
+    w = W.partitionBy("user_id", F.date_trunc("month", F.col("ts"))).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select("user_id", "value", month, F.row_number().over(w).alias("rn"))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .orderBy("month")
+    )

@@ -234,6 +234,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_lm,  # round-4 batch-3, same rationale
         queries_featurestore,  # round-4 batch-5, same rationale
         queries_eval,  # round-4 batch-6, same rationale
+        queries_behavior,  # round-5 batch-1: journey/recommender analytics
         # rank behind the already-windowed tier-1 queries (driver window
         # is full at 50; these are parity-proven locally and enter the
         # window in round 5)
