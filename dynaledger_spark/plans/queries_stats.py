@@ -1382,3 +1382,67 @@ def regression_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (fraud/data-quality screen) — round 5
+# ---------------------------------------------------------------------------
+@register(
+    "benford_first_digit",
+    doc="first-significant-digit distribution of order totals vs Benford's law, with chi-square terms",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders
+        ),
+        cnt AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+        SELECT digit,
+               CAST(n AS BIGINT) AS n_obs,
+               round(CAST(n AS DOUBLE) / total, 12) AS obs_share,
+               round(log10(1.0 + 1.0 / digit), 12) AS benford_share,
+               round((n - total * round(log10(1.0 + 1.0 / digit), 12))
+                     * (n - total * round(log10(1.0 + 1.0 / digit), 12))
+                     / (total * round(log10(1.0 + 1.0 / digit), 12)), 6)
+                   AS chi2_term
+        FROM cnt CROSS JOIN tot
+        ORDER BY digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance screen (the classic financial-fraud /
+    synthetic-data detector): distribution of the first significant
+    digit of order totals vs log10(1 + 1/d), with per-digit chi-square
+    contributions. The first digit is taken from the STRING of the exact
+    integer cents — no log/floor on floats ever classifies a row, so
+    bucket membership is exact in both engines; the Benford share is
+    pinned at 12 dp BEFORE entering the chi-square expression so every
+    downstream float input is bit-identical. One corpus-sized hash
+    aggregate to ≤9 rows + a 1-row broadcast total.
+    """
+    from dynaledger_spark.catalog import read_table
+
+    od = read_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    cnt = od.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.agg(F.sum("n").cast("bigint").alias("total"))
+    b = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 12)
+    dev = F.col("n") - F.col("total") * b
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(F.col("n").cast("double") / F.col("total"), 12).alias(
+                "obs_share"
+            ),
+            b.alias("benford_share"),
+            F.round(dev * dev / (F.col("total") * b), 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

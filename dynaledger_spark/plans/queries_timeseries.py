@@ -9,7 +9,7 @@ at corpus scale, each oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dynaledger_spark.plans.queries_core import _t
@@ -308,4 +308,208 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delta_s, 0.25)"), 4).alias("p25_s"),
         F.round(F.expr("percentile(delta_s, 0.50)"), 4).alias("p50_s"),
         F.round(F.expr("percentile(delta_s, 0.90)"), 4).alias("p90_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonal decomposition (trend / seasonal / residual) — round 5
+# ---------------------------------------------------------------------------
+_DAILY_DUCK = """
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        )
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue in exact integer cents (shared by the decomposition
+    and changepoint queries). |days| rows — calendar-bounded, so the
+    global (single-partition) windows downstream are over hundreds of
+    rows regardless of corpus size; the only corpus-sized operation is
+    this one map-side-combined hash aggregate."""
+    od = _t(spark, sf_dir, "orders")
+    return od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+@register(
+    "seasonal_decompose_dow",
+    doc="classical decomposition of daily revenue: 7-obs centered trend, day-of-week seasonal, residual",
+    oracle=f"""
+        WITH {_DAILY_DUCK},
+        tr AS (
+            SELECT day, cents,
+                   CASE WHEN COUNT(*) OVER w7 = 7
+                        THEN round(CAST(SUM(cents) OVER w7 AS DOUBLE) / 700.0, 6)
+                   END AS trend
+            FROM daily
+            WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        dv AS (
+            SELECT *, isodow(day) - 1 AS dow,
+                   round(cents / 100.0 - trend, 6) AS dev
+            FROM tr
+        ),
+        seas AS (
+            SELECT dow,
+                   round(CAST(SUM(CAST(dev AS DECIMAL(27,6))) AS DOUBLE)
+                         / COUNT(dev), 6) AS seasonal
+            FROM dv WHERE dev IS NOT NULL GROUP BY dow
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               round(cents / 100.0, 2) AS revenue,
+               trend,
+               seas.seasonal AS seasonal,
+               round(dev - seas.seasonal, 6) AS residual
+        FROM dv LEFT JOIN seas USING (dow)
+        ORDER BY day
+    """,
+)
+def seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series:
+    trend = centered moving average over 7 consecutive observations
+    (null at the series edges where the window is short), seasonal =
+    day-of-week mean of the detrended series, residual = remainder —
+    the STL-lite every BI tool ships. Exactness: the series is integer
+    cents; trend is one division rounded at 6; detrended values are
+    6dp-pinned doubles summed through a DECIMAL accumulator so the
+    seasonal mean is combine-order-independent; each output is one
+    fixed IEEE expression. Day-of-week is Spark weekday() == DuckDB
+    isodow()-1 (both Monday=0).
+
+    Plan: corpus-sized work is ONE hash aggregate to |days| rows; the
+    windows and the 7-row seasonal join run on the calendar-bounded
+    series (precedent: acf_daily_revenue).
+    """
+    daily = _daily(spark, sf_dir)
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.round(F.sum("cents").over(w7).cast("double") / 700.0, 6),
+        ).alias("trend"),
+    )
+    dv = tr.select(
+        "day",
+        "cents",
+        "trend",
+        F.weekday("day").alias("dow"),
+        F.round(F.col("cents") / 100.0 - F.col("trend"), 6).alias("dev"),
+    )
+    seas = (
+        dv.filter(F.col("dev").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.round(
+                F.sum(F.col("dev").cast("decimal(27,6)")).cast("double")
+                / F.count("dev"),
+                6,
+            ).alias("seasonal")
+        )
+    )
+    return (
+        dv.join(F.broadcast(seas), "dow", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            "trend",
+            "seasonal",
+            F.round(F.col("dev") - F.col("seasonal"), 6).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on daily revenue — round 5
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_changepoint",
+    doc="CUSUM changepoint scan of daily revenue: fraction-free integer statistic, peak day flagged",
+    oracle=f"""
+        WITH {_DAILY_DUCK},
+        tot AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(cents) AS HUGEINT) AS tot_cents
+            FROM daily
+        ),
+        cum AS (
+            SELECT day, cents,
+                   row_number() OVER (ORDER BY day) AS t,
+                   SUM(CAST(cents AS HUGEINT))
+                       OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_cents
+            FROM daily
+        ),
+        s AS (
+            SELECT day, t,
+                   n * cum_cents - CAST(t AS HUGEINT) * tot_cents AS s_int, n
+            FROM cum CROSS JOIN tot
+        ),
+        mx AS (SELECT MAX(abs(s_int)) AS m FROM s)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               round(CAST(s_int AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4)
+                   AS cusum_dollars,
+               CAST(CASE WHEN abs(s_int) = mx.m THEN 1 ELSE 0 END AS INT)
+                   AS is_peak
+        FROM s CROSS JOIN mx
+        ORDER BY day
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan: S_t = sum_{i<=t}(x_i − μ), the classic
+    level-shift detector; the day where |S_t| peaks is the most likely
+    changepoint. Computed FRACTION-FREE: multiplying by n clears μ =
+    tot/n, so S'_t = n·cum_t − t·tot is exact integer arithmetic end to
+    end (DECIMAL(38,0) / HUGEINT) and the peak flag is an exact integer
+    comparison — no float ever decides a row. The only doubles are the
+    final display scaling, rounded at 4.
+
+    Plan: one corpus-sized hash aggregate to |days| rows, then a growing
+    (incremental) prefix-sum window and two 1-row broadcast joins on the
+    calendar-bounded series.
+    """
+    daily = _daily(spark, sf_dir).persist()
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot_cents"),
+    )
+    wrun = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        F.row_number().over(W.orderBy("day")).alias("t"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(wrun).alias("cum_cents"),
+    )
+    s = cum.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (
+            F.col("n") * F.col("cum_cents")
+            - F.col("t").cast("decimal(38,0)") * F.col("tot_cents")
+        ).alias("s_int"),
+        "n",
+    )
+    mx = s.agg(F.max(F.abs(F.col("s_int"))).alias("m"))
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(
+                F.col("s_int").cast("double")
+                / (F.col("n").cast("double") * 100.0),
+                4,
+            ).alias("cusum_dollars"),
+            F.when(F.abs(F.col("s_int")) == F.col("m"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_peak"),
+        )
+        .orderBy("day")
     )
