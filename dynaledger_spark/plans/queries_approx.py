@@ -230,3 +230,137 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("bloom_positive") == 0) & (F.col("actually_present") == 1)).cast("bigint")
         ).alias("n_false_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (oracle-exact miniature of the HLL++ scale path)
+# ---------------------------------------------------------------------------
+# 512 registers (p=9) over the repo's portable 40-bit md5-prefix hash.
+# Every step is integer-exact or provably bit-identical across engines:
+# the register harmonic sum adds 512 dyadic terms 2^-M (M <= 32), which
+# is EXACT double arithmetic in any order (41 significant bits < 53), so
+# even the floating aggregate is combine-order-independent.
+_HLL_M = 512
+
+
+@register(
+    "hll_portable_estimate",
+    doc="portable 512-register HyperLogLog distinct-user estimate beside the exact count",
+    oracle=f"""
+        WITH h AS (
+            SELECT ((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 68719476736
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 4294967296
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 268435456
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 16777216
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 1048576
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 65536
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 10, 1)) - 1)) AS h
+            FROM events
+        ),
+        obs AS (SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS w FROM h),
+        regs AS (
+            SELECT bucket,
+                   MAX(CASE WHEN w = 0 THEN 32
+                            ELSE 31 - CAST(floor(ln(w + 0.5) / ln(2.0)) AS INT)
+                       END) AS m_j
+            FROM obs GROUP BY bucket
+        ),
+        allregs AS (
+            SELECT u.b AS bucket, COALESCE(regs.m_j, 0) AS m_j
+            FROM unnest(range(0, {_HLL_M})) AS u(b)
+            LEFT JOIN regs ON regs.bucket = u.b
+        ),
+        agg AS (
+            SELECT SUM(pow(2.0, -m_j)) AS z,
+                   CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+            FROM allregs
+        ),
+        ex AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events),
+        est AS (
+            SELECT z, v, exact_distinct,
+                   (0.7213 / (1.0 + 1.079 / {_HLL_M}.0))
+                       * {_HLL_M}.0 * {_HLL_M}.0 / z AS raw_u
+            FROM agg CROSS JOIN ex
+        )
+        SELECT CAST({_HLL_M} AS INT) AS m,
+               v AS n_zero_registers,
+               round(raw_u, 4) AS est_raw,
+               round(CASE WHEN raw_u <= 2.5 * {_HLL_M} AND v > 0
+                          THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
+                          ELSE raw_u END, 4) AS est_hll,
+               CAST(exact_distinct AS BIGINT) AS exact_distinct,
+               round(abs(CASE WHEN raw_u <= 2.5 * {_HLL_M} AND v > 0
+                              THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
+                              ELSE raw_u END - exact_distinct)
+                     / exact_distinct, 6) AS rel_err
+        FROM est
+    """,
+)
+def hll_portable_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A fully PORTABLE HyperLogLog (Flajolet et al. 2007, with the
+    small-range linear-counting correction of HLL++): the oracle-exact
+    miniature that upgrades the engine-specific `approx_distinct_users`
+    sketch evidence — the same role the portable MinHash miniature plays
+    for the xxhash64 production path. 512 registers over the repo's
+    40-bit md5-prefix hash; rho via floor(ln(w+0.5)/ln 2), which equals
+    floor(log2 w) for every integer (≥2e-10 boundary slack vs ~1e-16
+    libm error); the harmonic register sum is EXACT double arithmetic
+    (512 dyadic terms, 41 significant bits), hence order-independent.
+    Estimate and exact COUNT(DISTINCT) emitted side by side with the
+    relative error.
+
+    Scale: the register table is the mergeable fixed-memory state — one
+    hash aggregate to ≤512 rows regardless of corpus size, exactly the
+    shape a 1000-executor rollup wants (map-side partial registers
+    combine by MAX). The exact-count column is the part that stops
+    scaling; the sketch column is the 100 TB answer.
+    """
+    ev = _events(spark, sf_dir)
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 10), 16, 10) AS BIGINT)"
+    )
+    obs = ev.select(h.alias("h")).select(
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.expr(f"h div {_HLL_M}").alias("w"),
+    )
+    rho = (
+        F.when(F.col("w") == 0, F.lit(32))
+        .otherwise(
+            31 - F.floor(F.log(F.col("w") + 0.5) / F.log(F.lit(2.0))).cast("int")
+        )
+        .cast("int")
+    )
+    regs = obs.groupBy("bucket").agg(F.max(rho).alias("m_j"))
+    full = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select(F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j"))
+    )
+    agg = full.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+    )
+    ex = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    raw_u = (
+        (0.7213 / (1.0 + 1.079 / float(_HLL_M))) * float(_HLL_M) * float(_HLL_M)
+    ) / F.col("z")
+    corr_u = F.when(
+        (raw_u <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        float(_HLL_M) * F.log(float(_HLL_M) / F.col("v")),
+    ).otherwise(raw_u)
+    return agg.crossJoin(F.broadcast(ex)).select(
+        F.lit(_HLL_M).cast("int").alias("m"),
+        F.col("v").alias("n_zero_registers"),
+        F.round(raw_u, 4).alias("est_raw"),
+        F.round(corr_u, 4).alias("est_hll"),
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.round(
+            F.abs(corr_u - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_err"),
+    )

@@ -419,3 +419,213 @@ def _centroid_assign_oracle() -> str:
 from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QR  # noqa: E402
 
 _QR["centroid_assign_fixed"].oracle = _centroid_assign_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection 64 -> 8 dims (round 5)
+# ---------------------------------------------------------------------------
+def _jl_sign_duck(j: int) -> str:
+    """DuckDB sign bit j from the first md5 byte of the dim index."""
+    hexv = (
+        "((strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 2, 1)) - 1))"
+    )
+    return f"CASE WHEN ({hexv} // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END"
+
+
+def _jl_y_spark(j: int) -> str:
+    """One projected output dim: exact integer fold, one final division."""
+    return (
+        "round(aggregate(transform(embedding, (x, i) ->"
+        " (CASE WHEN (shiftright(CAST(conv(substr(md5(CAST(i AS STRING)), 1, 2),"
+        f" 16, 10) AS INT), {j}) & 1) = 1 THEN 1L ELSE -1L END)"
+        " * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+        " 0L, (a, v) -> a + v) / (1000000.0 * sqrt(8.0)), 9)"
+        f" AS y{j}"
+    )
+
+
+@register(
+    "random_projection_jl",
+    doc="Johnson-Lindenstrauss +-1 random projection of embeddings to 8 dims (exact integer folds)",
+    oracle=f"""
+        WITH obs AS (
+            SELECT vec_id, u.i AS i,
+                   CAST(round(CAST(embedding[u.i + 1] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS xq
+            FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+        ),
+        signed AS (
+            SELECT vec_id, i, xq,
+                   {', '.join(f'{_jl_sign_duck(j)} AS s{j}' for j in range(8))}
+            FROM obs
+        )
+        SELECT vec_id,
+               {', '.join(f'round(CAST(SUM(s{j} * xq) AS DOUBLE) / (1000000.0 * sqrt(8.0)), 9) AS y{j}' for j in range(8))}
+        FROM signed GROUP BY vec_id
+        ORDER BY vec_id
+    """,
+)
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction by a seedless ±1 random projection
+    (Achlioptas 2003: Rademacher entries preserve distances like
+    Gaussian ones): sign s_ij = bit j of the first md5 byte of dim
+    index i — both engines derive the SAME matrix independently from
+    md5, so parity exercises the full derivation, not a shared literal.
+    Inputs quantize to exact integers (×10⁶) before the fold, making
+    every projection sum exact integer arithmetic in any order; the
+    single division by 10⁶·√8 rounds at 9.
+
+    Plan: Spark runs the whole projection as 8 map-side array folds —
+    ZERO shuffles, no explode (the oracle unnests because DuckDB lacks
+    an indexed lambda) — the embarrassingly-parallel shape that streams
+    at any corpus size. At 100 TB output dims scale by adding fold
+    expressions (or hoisting the 64×8 sign matrix to a broadcast
+    literal array to skip the per-row md5).
+    """
+    emb = _emb(spark, sf_dir)
+    return emb.selectExpr("vec_id", *[_jl_y_spark(j) for j in range(8)]).orderBy(
+        "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized cosine near-duplicate pairs (sign-bucket blocked)
+# ---------------------------------------------------------------------------
+_QC_MAX_BUCKET = 500
+_QC_THRESH = 0.9
+_QC_TOPK = 50
+
+
+@register(
+    "quantized_cosine_pairs",
+    doc="near-dup embedding pairs by int8-quantized cosine, sign-bucket blocked, top-50",
+    oracle=f"""
+        WITH obs AS (
+            SELECT vec_id, u.i AS i, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+        ),
+        scaled AS (
+            SELECT vec_id, i, x, MAX(abs(x)) OVER (PARTITION BY vec_id) AS s
+            FROM obs
+        ),
+        q AS (
+            SELECT vec_id, i, CAST(round(x / s * 127) AS INT) AS q
+            FROM scaled WHERE s > 0
+        ),
+        vecs AS (
+            SELECT o.vec_id,
+                   CAST(SUM(CASE WHEN o.i < 8 AND o.x >= 0
+                                 THEN 1 << CAST(o.i AS INT) ELSE 0 END) AS INT)
+                       AS bucket,
+                   CAST(SUM(CAST(q.q AS BIGINT) * q.q) AS BIGINT) AS q2
+            FROM obs o JOIN q ON q.vec_id = o.vec_id AND q.i = o.i
+            GROUP BY o.vec_id
+        ),
+        ok AS (
+            SELECT bucket FROM vecs GROUP BY bucket
+            HAVING COUNT(*) <= {_QC_MAX_BUCKET}
+        ),
+        pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb, a.q2 AS qa2, b.q2 AS qb2
+            FROM vecs a JOIN vecs b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN ok ON ok.bucket = a.bucket
+        ),
+        dots AS (
+            SELECT p.va, p.vb, p.qa2, p.qb2,
+                   CAST(SUM(CAST(qa.q AS BIGINT) * qb.q) AS BIGINT) AS dot
+            FROM pairs p
+            JOIN q qa ON qa.vec_id = p.va
+            JOIN q qb ON qb.vec_id = p.vb AND qb.i = qa.i
+            GROUP BY p.va, p.vb, p.qa2, p.qb2
+        )
+        SELECT va, vb,
+               round(CAST(dot AS DOUBLE) / (sqrt(CAST(qa2 AS DOUBLE)) * sqrt(CAST(qb2 AS DOUBLE))), 9) AS cos_q
+        FROM dots
+        WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(qa2 AS DOUBLE)) * sqrt(CAST(qb2 AS DOUBLE))) >= {_QC_THRESH}
+        ORDER BY cos_q DESC, va, vb
+        LIMIT {_QC_TOPK}
+    """,
+)
+def quantized_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The int8 similarity trick production vector stores use: quantize
+    each embedding to int8 by its own max-abs scale, then compute
+    cosine on EXACT INTEGER dot products — 4× less memory traffic, and
+    (unlike float dots) bit-identical across engines with no fold-order
+    discipline needed. Candidate pairs are blocked by the 8-bit sign
+    bucket of the first 8 dims (a vector's own signs, not hyperplanes —
+    the cheapest semantic block), with the LSH-style hot-bucket cap so a
+    degenerate identical-embedding cluster can't go quadratic; the
+    oracle applies the identical cap.
+
+    Plan: per-row quantization is a map-side array expression (no
+    explode); pairs come from one bucket equi-join; each pair's dot is
+    one zip_with fold on the joined arrays. At 100 TB: widen the bucket
+    to more sign bits and/or multiprobe neighboring buckets for recall
+    (ann_lsh precedent).
+    """
+    emb = _emb(spark, sf_dir)
+    vecs = (
+        emb.selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS xd",
+        )
+        .selectExpr(
+            "vec_id",
+            "xd",
+            "array_max(transform(xd, x -> abs(x))) AS s",
+        )
+        .filter("s > 0")
+        .selectExpr(
+            "vec_id",
+            "transform(xd, x -> CAST(round(x / s * 127) AS INT)) AS q",
+            "aggregate(zip_with(slice(xd, 1, 8), sequence(0, 7),"
+            " (x, i) -> CASE WHEN x >= 0 THEN shiftleft(1, i) ELSE 0 END),"
+            " 0, (a, v) -> a + v) AS bucket",
+        )
+        .selectExpr(
+            "vec_id",
+            "q",
+            "bucket",
+            "aggregate(q, 0L, (a, v) -> a + CAST(v AS BIGINT) * v) AS q2",
+        )
+        .persist()
+    )
+    ok = (
+        vecs.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= _QC_MAX_BUCKET)
+        .select("bucket")
+    )
+    blocked = vecs.join(F.broadcast(ok), "bucket")
+    a = blocked.select(
+        "bucket",
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("q2").alias("qa2"),
+    )
+    b = blocked.select(
+        "bucket",
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("q2").alias("qb2"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("va") < F.col("vb"))
+    dotted = pairs.selectExpr(
+        "va",
+        "vb",
+        "aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y),"
+        " 0L, (a, v) -> a + v) AS dot",
+        "qa2",
+        "qb2",
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("qa2").cast("double")) * F.sqrt(F.col("qb2").cast("double"))
+    )
+    return (
+        dotted.filter(cos >= _QC_THRESH)
+        .select("va", "vb", F.round(cos, 9).alias("cos_q"))
+        .orderBy(F.col("cos_q").desc(), "va", "vb")
+        .limit(_QC_TOPK)
+    )
