@@ -465,3 +465,100 @@ def markov_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QR  # noqa: E402
 
 _QR["clustering_eval_ari"].oracle = _clustering_eval_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette score — round 5
+# ---------------------------------------------------------------------------
+@register(
+    "silhouette_fixed_centroids",
+    doc="per-cell simplified silhouette of the fixed-centroid clustering",
+    oracle=None,  # assembled below (needs the centroid literals)
+)
+def silhouette_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal clustering quality to complement the external ARI: the
+    simplified silhouette (Hruschka et al.) replaces the O(N²) pairwise
+    form with centroid distances — a = distance to the assigned
+    centroid, b = distance to the nearest OTHER centroid, s = (b−a)/
+    max(a,b) — which is the only silhouette that scales (map-side
+    expression tree, no pairwise join). The 8 squared distances are the
+    same sequential zip_with folds as clustering_eval_ari (bit-identical
+    across engines); a and b are the two smallest after an array sort;
+    per-vector s rounds at 9, and the per-cell mean goes through a
+    DECIMAL(27,9) accumulator so combine order can't move it.
+
+    Plan: zero joins (centroid literals), one hash aggregate to ≤8
+    rows. Survives any corpus size unchanged.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = _centroids()
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                e,
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(cents)
+    ]
+    scored = emb.select("vec_id", *dists)
+    least = F.least(*[F.col(f"d{i}") for i in range(_CENT_N)])
+    assign = F.lit(None).cast("int")
+    for i in reversed(range(_CENT_N)):
+        assign = F.when(F.col(f"d{i}") == least, F.lit(i)).otherwise(assign)
+    arr = F.array_sort(F.array(*[F.col(f"d{i}") for i in range(_CENT_N)]))
+    a = F.sqrt(arr[0])
+    b = F.sqrt(arr[1])
+    s = F.round((b - a) / F.greatest(a, b), 9)
+    per_vec = scored.select(assign.alias("cell"), s.alias("s"))
+    return (
+        per_vec.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(27,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _silhouette_oracle() -> str:
+    cents = _centroids()
+    d_exprs = ",\n                   ".join(
+        f"{_duck_sqdist('embedding', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(_CENT_N)) + ")"
+    chain = (
+        "CASE "
+        + " ".join(f"WHEN d{i} = m THEN {i}" for i in range(_CENT_N))
+        + " END"
+    )
+    dlist = "[" + ", ".join(f"d{i}" for i in range(_CENT_N)) + "]"
+    return f"""
+        WITH scored AS (
+            SELECT vec_id,
+                   {d_exprs}
+            FROM embeddings
+        ),
+        pv AS (
+            SELECT {chain} AS cell,
+                   round((sqrt(srt[2]) - sqrt(srt[1]))
+                         / greatest(sqrt(srt[1]), sqrt(srt[2])), 9) AS s
+            FROM (SELECT *, {least} AS m, list_sort({dlist}) AS srt FROM scored)
+        )
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(s AS DECIMAL(27,9))) AS DOUBLE)
+                     / COUNT(*), 9) AS mean_silhouette
+        FROM pv GROUP BY cell ORDER BY cell
+    """
+
+
+_QR["silhouette_fixed_centroids"].oracle = _silhouette_oracle()

@@ -575,3 +575,122 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union, 12).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic contrastive triplet mining — round 5
+# ---------------------------------------------------------------------------
+@register(
+    "triplet_sample_contrastive",
+    doc="deterministic (anchor, positive, negative) triplets for contrastive training",
+    oracle="""
+        WITH members AS (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+            FROM embeddings
+        ),
+        lcnt AS (SELECT label, COUNT(*) AS cnt FROM members GROUP BY label),
+        lrank AS (
+            SELECT label, cnt,
+                   row_number() OVER (ORDER BY label) AS lr,
+                   COUNT(*) OVER () AS nl
+            FROM lcnt
+        ),
+        anchors AS (
+            SELECT m.vec_id AS anchor_id, m.label AS anchor_label,
+                   COALESCE(lead(m.vec_id) OVER (PARTITION BY m.label ORDER BY m.vec_id),
+                            MIN(m.vec_id) OVER (PARTITION BY m.label)) AS pos_id
+            FROM members m
+        ),
+        a_filtered AS (
+            SELECT * FROM anchors
+            WHERE anchor_id % 5 = 0 AND pos_id <> anchor_id
+        ),
+        picked AS (
+            SELECT a.anchor_id, a.anchor_label, a.pos_id,
+                   ((r.lr - 1 + 1 + CAST((a.anchor_id * 2654435761) % 4294967296
+                                         % (r.nl - 1) AS BIGINT)) % r.nl) + 1
+                       AS neg_lr,
+                   CAST((a.anchor_id * 1103515245) % 4294967296 AS BIGINT) AS h2
+            FROM a_filtered a JOIN lrank r ON r.label = a.anchor_label
+        )
+        SELECT p.anchor_id, p.anchor_label, p.pos_id,
+               nm.vec_id AS neg_id, nm.label AS neg_label
+        FROM picked p
+        JOIN lrank nr ON nr.lr = p.neg_lr
+        JOIN members nm ON nm.label = nr.label
+                       AND nm.rn = 1 + (p.h2 % nr.cnt)
+        ORDER BY p.anchor_id
+    """,
+)
+def triplet_sample_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive/metric learning (the training-data
+    op behind embedding fine-tuning): every 5th vector anchors a triplet
+    with a same-label positive (the next member by vec_id, wrapping) and
+    a hash-chosen different-label negative (label offset and member rank
+    both from the portable multiplicative hash, so the assignment is
+    byte-reproducible with no RNG — rerunning the pipeline yields the
+    same triplets, which is what makes training runs diffable).
+
+    Plan: one label window for ranks, the label directory (≤|labels|
+    rows) broadcasts, and the negative lookup is one hash join on
+    (label, rank). No shuffle touches the corpus more than once.
+    """
+    from dynaledger_spark.plans.queries_sampling import _H1, _H2, _M32, _mhash
+    from dynaledger_spark.plans.queries_vector import _emb
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label")
+    wlab = W.partitionBy("label").orderBy("vec_id")
+    members = emb.select(
+        "vec_id", "label", F.row_number().over(wlab).alias("rn")
+    ).persist()
+    lcnt = members.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    lrank = lcnt.select(
+        "label",
+        "cnt",
+        F.row_number().over(W.orderBy("label")).alias("lr"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nl"),
+    )
+    anchors = members.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.coalesce(
+            F.lead("vec_id").over(wlab), F.min("vec_id").over(W.partitionBy("label"))
+        ).alias("pos_id"),
+    ).filter((F.col("anchor_id") % 5 == 0) & (F.col("pos_id") != F.col("anchor_id")))
+    picked = anchors.join(
+        F.broadcast(lrank.withColumnRenamed("label", "anchor_label")),
+        "anchor_label",
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "pos_id",
+        (
+            (
+                F.col("lr")
+                - 1
+                + 1
+                + _mhash(F.col("anchor_id"), _H1) % (F.col("nl") - 1)
+            )
+            % F.col("nl")
+            + 1
+        ).alias("neg_lr"),
+        _mhash(F.col("anchor_id"), _H2).alias("h2"),
+    )
+    neg_dir = F.broadcast(
+        lrank.select(F.col("lr").alias("neg_lr"), F.col("label").alias("neg_label"), F.col("cnt").alias("neg_cnt"))
+    )
+    return (
+        picked.join(neg_dir, "neg_lr")
+        .join(
+            members.select(
+                F.col("label").alias("m_label"),
+                F.col("rn").alias("neg_rn"),
+                F.col("vec_id").alias("neg_id"),
+            ),
+            (F.col("m_label") == F.col("neg_label"))
+            & (F.col("neg_rn") == 1 + F.col("h2") % F.col("neg_cnt")),
+        )
+        .select("anchor_id", "anchor_label", "pos_id", "neg_id", "neg_label")
+        .orderBy("anchor_id")
+    )

@@ -213,3 +213,120 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         key.alias("aes_key"),
     )
     return keyed.orderBy("aes_key", "doc_id").limit(_AES_K)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source rebalancing (UniMax-style) — round 5
+# ---------------------------------------------------------------------------
+_TEMP_FRAC = 0.5  # select half the corpus, reweighted
+
+
+@register(
+    "temperature_resample_sources",
+    doc="temperature-scaled (T=2) source mixture resampling with deterministic selection",
+    oracle=f"""
+        WITH srcs AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   CAST(SUM(CAST(round(sqrt(n_docs), 6) AS DECIMAL(27,6)))
+                        AS DOUBLE) AS sum_w
+            FROM srcs
+        ),
+        tgt AS (
+            SELECT source, n_docs,
+                   CAST(floor({_TEMP_FRAC} * n_total
+                              * round(sqrt(n_docs), 6) / sum_w) AS BIGINT)
+                       AS target_n
+            FROM srcs CROSS JOIN tot
+        ),
+        ranked AS (
+            SELECT source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY (doc_id * 2654435761) % 4294967296,
+                                               doc_id) AS rn
+            FROM documents
+        ),
+        sel AS (
+            SELECT r.source, COUNT(*) AS selected_n
+            FROM ranked r JOIN tgt ON tgt.source = r.source
+            WHERE r.rn <= tgt.target_n
+            GROUP BY r.source
+        ),
+        seltot AS (SELECT CAST(SUM(selected_n) AS BIGINT) AS s FROM sel)
+        SELECT t.source,
+               CAST(t.n_docs AS BIGINT) AS n_docs,
+               t.target_n,
+               CAST(COALESCE(sel.selected_n, 0) AS BIGINT) AS selected_n,
+               round(CAST(COALESCE(sel.selected_n, 0) AS DOUBLE) / seltot.s, 9)
+                   AS new_share
+        FROM tgt t LEFT JOIN sel ON sel.source = t.source
+        CROSS JOIN seltot
+        ORDER BY t.source
+    """,
+)
+def temperature_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture rebalancing (the UniMax/mT5 recipe):
+    source sampling weights ∝ share^(1/T) with T=2 (= √n), which lifts
+    tail sources and damps head ones, then a deterministic hash-ranked
+    selection takes each source's quota — no RNG, byte-reproducible.
+    Differs from mixture_rebalance_sample (which targets FIXED shares):
+    here the target is a smooth function of the observed distribution.
+    √n rounds at 6 dp before the DECIMAL weight sum so the normalizer
+    is combine-order-independent; quotas are one floor() on identical
+    doubles.
+
+    Plan: per-source quota table is dimension-sized (broadcast); the
+    corpus pays one source-partitioned rank window and one hash
+    aggregate. A skewed source is one sorted run — linear.
+    """
+    docs = _docs(spark, sf_dir)
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = srcs.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum(F.round(F.sqrt(F.col("n_docs")), 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_w"),
+    )
+    tgt = srcs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            _TEMP_FRAC
+            * F.col("n_total")
+            * F.round(F.sqrt(F.col("n_docs")), 6)
+            / F.col("sum_w")
+        )
+        .cast("bigint")
+        .alias("target_n"),
+    )
+    wsrc = W.partitionBy("source").orderBy(_mhash(F.col("doc_id"), _H1), "doc_id")
+    ranked = docs.select(
+        "source", F.row_number().over(wsrc).alias("rn")
+    )
+    sel = (
+        ranked.join(F.broadcast(tgt.select("source", "target_n")), "source")
+        .filter(F.col("rn") <= F.col("target_n"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("selected_n"))
+    )
+    seltot = sel.agg(F.sum("selected_n").cast("bigint").alias("s"))
+    return (
+        tgt.join(sel, "source", "left")
+        .crossJoin(F.broadcast(seltot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "target_n",
+            F.coalesce(F.col("selected_n"), F.lit(0))
+            .cast("bigint")
+            .alias("selected_n"),
+            F.round(
+                F.coalesce(F.col("selected_n"), F.lit(0)).cast("double")
+                / F.col("s"),
+                9,
+            ).alias("new_share"),
+        )
+        .orderBy("source")
+    )
