@@ -17,7 +17,7 @@ integer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dynaledger_spark.plans.registry import register
@@ -278,4 +278,110 @@ def token_dropout_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_orig"),
         F.size(kept).cast("bigint").alias("n_kept"),
         F.md5(F.array_join(kept, " ")).alias("aug_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram-LM document scoring — round 5
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_interpolated_logprob",
+    doc="per-doc mean interpolated bigram log-probability (0.7 bigram MLE + 0.3 unigram)",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, u.s.p AS prev, u.s.c AS cur
+            FROM toks, unnest(list_transform(range(1, len(t)),
+                                             i -> {{'p': t[i], 'c': t[i+1]}})) AS u(s)
+        ),
+        dpc AS (
+            SELECT doc_id, prev, cur, COUNT(*) AS cnt
+            FROM pairs GROUP BY doc_id, prev, cur
+        ),
+        big AS (
+            SELECT prev, cur, SUM(cnt) AS c_big FROM dpc GROUP BY prev, cur
+        ),
+        prevc AS (SELECT prev, SUM(c_big) AS c_prev FROM big GROUP BY prev),
+        uni AS (
+            SELECT u.w AS word, COUNT(*) AS c_uni
+            FROM toks, unnest(t) AS u(w) GROUP BY u.w
+        ),
+        ntok AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS n_tok FROM uni),
+        terms AS (
+            SELECT dpc.doc_id, dpc.cnt,
+                   dpc.cnt * round(ln(0.7 * (CAST(b.c_big AS DOUBLE) / p.c_prev)
+                                      + 0.3 * (CAST(un.c_uni AS DOUBLE) / n.n_tok)),
+                                   12) AS term
+            FROM dpc
+            JOIN big b ON b.prev = dpc.prev AND b.cur = dpc.cur
+            JOIN prevc p ON p.prev = dpc.prev
+            JOIN uni un ON un.word = dpc.cur
+            CROSS JOIN ntok n
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               round({_FOLD.format(x='term')} / SUM(cnt), 9) AS avg_logprob
+        FROM terms GROUP BY doc_id
+    """,
+)
+def bigram_interpolated_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step up from unigram_logprob_quality toward the KenLM filter
+    CCNet actually runs: each transition scores ln(0.7·P(w|prev) +
+    0.3·P(w)) — Jelinek-Mercer interpolation, so unseen-in-context words
+    back off to their unigram mass instead of -inf. All probabilities
+    are ratios of exact integer counts; the interpolation is ONE fixed
+    IEEE expression rounded at 12 before the per-doc sorted fold
+    (lang_entropy discipline), and the final mean divides once at 9.
+
+    Plan: the pair stream is a lead() window on the doc_id-clustered
+    corpus (exchange shared with the per-(doc,prev,cur) aggregate and
+    the final per-doc rollup); the bigram/prev/unigram probability
+    tables are rollups of that ONE aggregate (pmi_collocations
+    precedent — the corpus is never re-paired) and broadcast back onto
+    it. At 100 TB the bigram table outgrows broadcast: frequency-floor
+    it (rare transitions clamp to the backoff term — standard LM
+    pruning) and it broadcasts again.
+    """
+    from dynaledger_spark.plans.queries_pipeline import _docs_by_id
+
+    docs = _docs_by_id(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        "doc_id",
+        F.col("word").alias("prev"),
+        F.lead("word").over(wdoc).alias("cur"),
+    ).filter(F.col("cur").isNotNull())
+    dpc = (
+        pairs.groupBy("doc_id", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    big = dpc.groupBy("prev", "cur").agg(F.sum("cnt").alias("c_big")).persist()
+    prevc = big.groupBy("prev").agg(F.sum("c_big").alias("c_prev"))
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c_uni"))
+    ntok = uni.agg(F.sum("c_uni").cast("bigint").alias("n_tok"))
+    p = 0.7 * (F.col("c_big").cast("double") / F.col("c_prev")) + 0.3 * (
+        F.col("c_uni").cast("double") / F.col("n_tok")
+    )
+    terms = (
+        dpc.join(F.broadcast(big), ["prev", "cur"])
+        .join(F.broadcast(prevc), "prev")
+        .join(
+            F.broadcast(uni.withColumnRenamed("word", "cur")), "cur"
+        )
+        .crossJoin(F.broadcast(ntok))
+        .select(
+            "doc_id",
+            "cnt",
+            (F.col("cnt") * F.round(F.log(p), 12)).alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.round(_fold("term") / F.sum("cnt"), 9).alias("avg_logprob"),
     )
