@@ -374,3 +374,155 @@ def period_end_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Telemetry debounce: keep-first within 5-minute same-key bursts
+# ---------------------------------------------------------------------------
+@register(
+    "event_debounce_keep_first",
+    doc="debounce events: keep the first of each (user,type) burst (gap >= 5 min starts a new burst)",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, event_type, event_id, ts,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                                       ORDER BY ts, event_id)
+                             >= 300000000 OR lag(ts) OVER (PARTITION BY user_id, event_type
+                                                           ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_burst
+            FROM events
+        ),
+        b AS (
+            SELECT *, SUM(new_burst) OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS burst
+            FROM g
+        ),
+        k AS (
+            SELECT user_id, event_type, burst,
+                   MIN(event_id) AS kept_event_id,
+                   COUNT(*) AS burst_n
+            FROM b GROUP BY user_id, event_type, burst
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(burst_n) - COUNT(*) AS BIGINT) AS n_dropped,
+               CAST(MAX(burst_n) AS BIGINT) AS max_burst
+        FROM k GROUP BY event_type ORDER BY event_type
+    """,
+)
+def event_debounce_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The telemetry-dedup staple: repeated (user, event_type) firings
+    within 5 minutes of the previous one are one logical action — keep
+    the burst's first event, count the dropped duplicates. Bursts are
+    gaps-and-islands over the event-time lag (islands_user_activity
+    precedent, applied to dedup): a lag >= 300 s — or no predecessor —
+    starts a new burst; the running sum of starts numbers them. Note
+    the chain semantics: a burst extends while CONSECUTIVE events stay
+    < 5 min apart, which is the debounce definition (a fixed-window
+    variant would re-admit a slow drizzle).
+
+    Plan: one (user_id, event_type) window exchange shared by the lag
+    and the running sum, then two hash aggregates. Exact integer
+    microsecond arithmetic decides every boundary.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wk = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    mic = F.unix_micros(F.col("ts"))
+    lag_mic = F.lag(mic).over(wk)
+    g = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.when(
+            lag_mic.isNull() | ((mic - lag_mic) >= 300_000_000), 1
+        )
+        .otherwise(0)
+        .alias("new_burst"),
+    )
+    b = g.withColumn(
+        "burst",
+        F.sum("new_burst").over(wk.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    k = b.groupBy("user_id", "event_type", "burst").agg(
+        F.min("event_id").alias("kept_event_id"),
+        F.count(F.lit(1)).alias("burst_n"),
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            (F.sum("burst_n") - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+            F.max("burst_n").cast("bigint").alias("max_burst"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay engagement score (feature-store staple)
+# ---------------------------------------------------------------------------
+@register(
+    "decay_weighted_engagement",
+    doc="per-user engagement score with 7-day half-life exponential time decay",
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS now_ts FROM events),
+        terms AS (
+            SELECT user_id,
+                   round(value * pow(0.5, (epoch_us(now_ts) - epoch_us(ts))
+                                          / 604800000000.0), 12) AS term
+            FROM events CROSS JOIN mx
+            WHERE event_type IN ('click', 'view', 'purchase')
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE), 6)
+                   AS decay_score
+        FROM terms GROUP BY user_id ORDER BY user_id
+    """,
+)
+def decay_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recency-weighted engagement feature every ranking model
+    consumes: each qualifying event contributes value·2^(−age/7d),
+    anchored at the corpus max timestamp so the score is deterministic
+    (no wall-clock). Age is exact integer microseconds; the decay term
+    is one fixed pow() expression rounded at 12 dp, and the per-user
+    sum runs through a DECIMAL(27,12) accumulator — combine order can
+    never move the score (the half-life weights span ~10 orders of
+    magnitude, exactly where naive float summation diverges between
+    engines).
+
+    Plan: 1-row max broadcast, map-side decay terms, one user hash
+    aggregate. Linear at any scale; a hot user is one combine chain.
+    """
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    terms = (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.round(
+                F.col("value")
+                * F.pow(
+                    F.lit(0.5),
+                    (F.unix_micros("now_ts") - F.unix_micros("ts"))
+                    / 604_800_000_000.0,
+                ),
+                12,
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(27,12)")).cast("double"), 6
+            ).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )

@@ -1446,3 +1446,81 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 pricing summary (the canonical analytics anchor) — round 5
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q1_pricing_summary",
+    doc="TPC-H Q1 pricing summary: exact decimal sums/averages by returnflag+linestatus",
+    oracle="""
+        WITH mx AS (SELECT MAX(l_shipdate) AS m FROM lineitem)
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_charge,
+               round(CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_qty,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_price,
+               round(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem CROSS JOIN mx
+        WHERE l_shipdate <= mx.m - INTERVAL 90 DAY
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 verbatim semantics (the industry's most-quoted scan-
+    aggregate benchmark), anchored at max(shipdate)−90 days so the
+    cutoff is deterministic on any dataset. Every SUM accumulates in
+    exact DECIMAL — quantity integral, price 2 dp, the discount/tax
+    products at 4/6 dp, all untruncated — so partial-aggregate combine
+    order cannot move a result; averages divide once and round at 9.
+
+    Plan: the canonical single-pass hash aggregate with map-side
+    partials over a pruned parquet scan (only the 7 referenced columns
+    read) — the shape whole-stage codegen exists for.
+    """
+    from dynaledger_spark.catalog import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_shipdate").alias("m"))
+    qty = F.col("l_quantity").cast("decimal(6,0)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.crossJoin(F.broadcast(mx))
+        .filter(F.col("l_shipdate") <= F.col("m") - F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 9).alias(
+                "avg_qty"
+            ),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 9).alias(
+                "avg_price"
+            ),
+            F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 9).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

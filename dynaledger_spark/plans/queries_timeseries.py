@@ -513,3 +513,175 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of daily revenue — round 5
+# ---------------------------------------------------------------------------
+@register(
+    "theil_sen_daily_trend",
+    doc="Theil-Sen robust trend: lower-median pairwise slope of daily revenue",
+    oracle=f"""
+        WITH {_DAILY_DUCK},
+        mn AS (SELECT MIN(day) AS d0 FROM daily),
+        pts AS (
+            SELECT date_diff('day', mn.d0, day) AS t, cents
+            FROM daily CROSS JOIN mn
+        ),
+        slopes AS (
+            SELECT a.t AS ti, b.t AS tj,
+                   CAST(b.cents - a.cents AS DOUBLE) / (b.t - a.t) AS slope
+            FROM pts a JOIN pts b ON a.t < b.t
+        ),
+        ranked AS (
+            SELECT slope,
+                   row_number() OVER (ORDER BY slope, ti, tj) AS rn,
+                   COUNT(*) OVER () AS np
+            FROM slopes
+        )
+        SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_days,
+               CAST(np AS BIGINT) AS n_pairs,
+               round(slope / 100.0, 6) AS theil_slope_dollars_per_day
+        FROM ranked WHERE rn = (np + 1) // 2
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robust trend estimator (Theil 1950/Sen 1968): the median of
+    all pairwise slopes of the daily revenue series — up to ~29% gross
+    outliers cannot move it, unlike the OLS slope (user_value_trend).
+    Slopes are exact-integer differences divided once (bit-identical
+    doubles both engines); the LOWER median is an exact row_number
+    selection with (ti, tj) tiebreaks, so no float comparison is ever
+    ambiguous.
+
+    Plan: the corpus collapses to |days| rows first (one hash
+    aggregate); the O(|days|²) pair join runs on the calendar-bounded
+    series — ~365 days/year is ~66k pairs of integers, driver-trivial
+    at ANY corpus size because days, not rows, bound it. The non-equi
+    self-join is a deliberate broadcast nested loop over that tiny
+    table (whitelisted with the other calendar-bounded plans).
+    """
+    daily = _daily(spark, sf_dir).persist()
+    mn = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff("day", "d0").alias("t"), "cents"
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = (
+        a.join(F.broadcast(b), F.col("a.t") < F.col("b.t"))
+        .select(
+            F.col("a.t").alias("ti"),
+            F.col("b.t").alias("tj"),
+            (
+                (F.col("b.cents") - F.col("a.cents")).cast("double")
+                / (F.col("b.t") - F.col("a.t"))
+            ).alias("slope"),
+        )
+    )
+    wall = W.orderBy("slope", "ti", "tj")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(wall).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == (F.col("np") + 1).cast("bigint") / 2)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days",
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.round(F.col("slope") / 100.0, 6).alias(
+                "theil_slope_dollars_per_day"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline anomaly detection by (day-of-week, hour) — round 5
+# ---------------------------------------------------------------------------
+@register(
+    "anomaly_dow_hour_baseline",
+    doc="hourly event volumes z-scored against their (day-of-week, hour) seasonal baseline",
+    oracle="""
+        WITH hb AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(hour(ts) AS INT) AS hr,
+                   COUNT(*) AS n_ev
+            FROM events GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT isodow(day) - 1 AS dow, hr,
+                   COUNT(*) AS k,
+                   CAST(SUM(n_ev) AS BIGINT) AS s1,
+                   CAST(SUM(n_ev * n_ev) AS BIGINT) AS s2
+            FROM hb GROUP BY 1, 2
+        )
+        SELECT strftime(hb.day, '%Y-%m-%d') AS day, hb.hr AS hr,
+               CAST(hb.n_ev AS BIGINT) AS n_events,
+               CASE WHEN b.k * b.s2 > b.s1 * b.s1
+                    THEN round((hb.n_ev - CAST(b.s1 AS DOUBLE) / b.k)
+                               / sqrt(CAST(b.s2 AS DOUBLE) / b.k
+                                      - (CAST(b.s1 AS DOUBLE) / b.k)
+                                        * (CAST(b.s1 AS DOUBLE) / b.k)), 6)
+               END AS z,
+               CAST(CASE WHEN b.k * b.s2 > b.s1 * b.s1
+                              AND abs((hb.n_ev - CAST(b.s1 AS DOUBLE) / b.k)
+                                      / sqrt(CAST(b.s2 AS DOUBLE) / b.k
+                                             - (CAST(b.s1 AS DOUBLE) / b.k)
+                                               * (CAST(b.s1 AS DOUBLE) / b.k)))
+                                  >= 2.5
+                         THEN 1 ELSE 0 END AS INT) AS is_anomaly
+        FROM hb JOIN base b ON b.dow = isodow(hb.day) - 1 AND b.hr = hb.hr
+        ORDER BY day, hr
+    """,
+)
+def anomaly_dow_hour_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-monitoring anomaly detection with a seasonal baseline: hourly
+    event volume compared to the mean/std of the SAME (day-of-week,
+    hour) slot — traffic at Monday 9am is judged against other Monday
+    9ams, not the global mean (which would flag every rush hour). The
+    baseline moments are exact integer sums; the z-score is one fixed
+    IEEE closed form gated by an exact-integer variance>0 test (k·s2 >
+    s1², so a degenerate slot can never divide by ~0 noise), rounded at
+    6; the ≥2.5 flag re-derives from the same pinned expression.
+
+    Plan: the corpus pays one (day, hour) hash aggregate; the 168-slot
+    baseline is a rollup of that table and broadcasts back. Calendar-
+    bounded everywhere after the first aggregate.
+    """
+    from dynaledger_spark.plans.queries_core import _t as _ct  # same helper
+
+    ev = _ct(spark, sf_dir, "events")
+    hb = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .persist()
+    )
+    base = hb.groupBy(
+        F.weekday("day").alias("dow"), F.col("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_ev").cast("bigint").alias("s1"),
+        F.sum(F.col("n_ev") * F.col("n_ev")).cast("bigint").alias("s2"),
+    )
+    joined = hb.withColumn("dow", F.weekday("day")).join(
+        F.broadcast(base), ["dow", "hr"]
+    )
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = F.col("s2").cast("double") / F.col("k") - mean * mean
+    ok = F.col("k") * F.col("s2") > F.col("s1") * F.col("s1")
+    z = (F.col("n_ev") - mean) / F.sqrt(var)
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "hr",
+        F.col("n_ev").cast("bigint").alias("n_events"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok & (F.abs(z) >= 2.5), 1).otherwise(0).cast("int").alias(
+            "is_anomaly"
+        ),
+    ).orderBy("day", "hr")

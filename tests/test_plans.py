@@ -68,6 +68,14 @@ def test_no_cartesian_products(plans):
             "feature_mi_by_dim",  # 1-row broadcast of the vector total
             "minhash_portable_incremental",  # 1-row broadcast of the id cutoff
             "km_churn_curve",  # 1-row broadcast of the censoring horizon
+            "hll_portable_estimate",  # 1-row broadcast of the exact count
+            "cusum_changepoint",  # 1-row broadcasts of totals and the peak
+            "benford_first_digit",  # 1-row broadcast of the grand total
+            "temperature_resample_sources",  # 1-row broadcasts of corpus totals
+            "decay_weighted_engagement",  # 1-row broadcast of the time anchor
+            "bigram_interpolated_logprob",  # 1-row broadcast of the token total
+            "tpch_q1_pricing_summary",  # 1-row broadcast of the shipdate anchor
+            "theil_sen_daily_trend",  # calendar-bounded |days|x|days| pair loop
         ), f"{name} nested-loop joins"
 
 
