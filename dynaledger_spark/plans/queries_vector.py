@@ -493,13 +493,13 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Int8-quantized cosine near-duplicate pairs (sign-bucket blocked)
 # ---------------------------------------------------------------------------
 _QC_MAX_BUCKET = 500
-_QC_THRESH = 0.9
+_QC_THRESH = 0.2
 _QC_TOPK = 50
 
 
 @register(
     "quantized_cosine_pairs",
-    doc="near-dup embedding pairs by int8-quantized cosine, sign-bucket blocked, top-50",
+    doc="most-similar embedding pairs by int8-quantized cosine, sign-bucket blocked, top-50",
     oracle=f"""
         WITH obs AS (
             SELECT vec_id, u.i AS i, CAST(embedding[u.i + 1] AS DOUBLE) AS x
