@@ -1,0 +1,347 @@
+"""Financial-indicator operators over the ledger's revenue series
+(round-5 batch 2).
+
+DynaLedger is a financial-statement engine (reference:
+backend/main.py 109-221 serves balance-sheet / income-statement
+queries); the natural next reports a finance user runs on top of the
+fact tables are the technical-indicator family: how far is revenue
+off its high (drawdown), is it overbought/oversold (RSI), is today
+outside the rolling volatility band (Bollinger), and how concentrated
+is revenue across customers (HHI). Everything here follows the repo's
+exact-integer discipline: the daily series is summed in integer cents
+(round(value*100)), every window/aggregate stays integer until the
+final float ratio, which is rounded at a fixed scale so Spark and the
+DuckDB oracle agree bitwise.
+
+Scale posture: the one real exchange in each query is the first
+groupBy (map-side combined to |days| or |customers| per partition).
+The per-day windows that follow run over the aggregated daily series —
+one row per day, broadcast-sized forever (36.5k rows per century at
+100 TB), so the single-partition WindowExec is the intended plan and
+is whitelisted as calendar-bounded (tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+_DAILY_SQL = """
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue in exact integer cents (the repo's shared
+    convention — see queries_featurestore.acf_daily_revenue)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drawdown: how far below the best-ever revenue day is each day?
+# ---------------------------------------------------------------------------
+@register(
+    "max_drawdown_daily_revenue",
+    doc="top-10 drawdown days: daily revenue vs its running all-time high",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        pk AS (
+            SELECT day, cents,
+                   MAX(cents) OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS peak
+            FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+               CAST(peak AS BIGINT) AS peak_cents,
+               CAST(peak - cents AS BIGINT) AS dd_cents,
+               round(CAST(peak - cents AS DOUBLE) / CAST(peak AS DOUBLE), 9)
+                   AS dd_frac
+        FROM pk WHERE peak > 0
+        ORDER BY dd_cents DESC, day LIMIT 10
+    """,
+)
+def max_drawdown_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "revenue off its high" report: running all-time-high of the
+    daily series (integer cents), drawdown = peak − today, worst 10
+    days. Integer algebra end to end; the only float op is the final
+    dd/peak ratio, rounded at 9 so both engines round the same double.
+    """
+    daily = _daily(spark, sf_dir)
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pk = daily.withColumn("peak", F.max("cents").over(w))
+    return (
+        pk.filter(F.col("peak") > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            F.col("peak").cast("bigint").alias("peak_cents"),
+            (F.col("peak") - F.col("cents")).cast("bigint").alias("dd_cents"),
+            F.round(
+                (F.col("peak") - F.col("cents")).cast("double")
+                / F.col("peak").cast("double"),
+                9,
+            ).alias("dd_frac"),
+        )
+        .orderBy(F.col("dd_cents").desc(), "day")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RSI(14) on daily revenue — SMA (Cutler) variant, integer gains/losses
+# ---------------------------------------------------------------------------
+@register(
+    "rsi_14_daily_revenue",
+    doc="14-day Cutler RSI of daily revenue: integer gain/loss sums, one float division",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        d AS (
+            SELECT day, cents,
+                   cents - lag(cents) OVER (ORDER BY day) AS diff,
+                   row_number() OVER (ORDER BY day) AS rn
+            FROM daily
+        ),
+        g AS (
+            SELECT day, rn,
+                   SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END)
+                       OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING
+                             AND CURRENT ROW) AS gain14,
+                   SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END)
+                       OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING
+                             AND CURRENT ROW) AS loss14
+            FROM d WHERE diff IS NOT NULL
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(gain14 AS BIGINT) AS gain14,
+               CAST(loss14 AS BIGINT) AS loss14,
+               CASE WHEN gain14 + loss14 = 0 THEN 50.0
+                    ELSE round(100.0 * CAST(gain14 AS DOUBLE)
+                               / CAST(gain14 + loss14 AS DOUBLE), 9)
+               END AS rsi
+        FROM g WHERE rn >= 15
+        ORDER BY day
+    """,
+)
+def rsi_14_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (simple-moving-average form — unlike Wilder's EMA it
+    is a pure 14-row window, so it needs no recurrence): gains and
+    losses are integer cent diffs summed over a ROWS 13-PRECEDING
+    frame; RSI = 100·G/(G+L) is the single float op, rounded at 9.
+    Rows before the 15th day (14 full diffs) are dropped; a flat
+    14-day window (G+L=0) pins RSI to the conventional 50.
+    """
+    daily = _daily(spark, sf_dir)
+    wo = W.orderBy("day")
+    d = daily.select(
+        "day",
+        "cents",
+        (F.col("cents") - F.lag("cents").over(wo)).alias("diff"),
+        F.row_number().over(wo).alias("rn"),
+    ).filter(F.col("diff").isNotNull())
+    w14 = W.orderBy("day").rowsBetween(-13, 0)
+    g = d.select(
+        "day",
+        "rn",
+        F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0)).over(w14).alias("gain14"),
+        F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0)).over(w14).alias("loss14"),
+    )
+    return (
+        g.filter(F.col("rn") >= 15)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("gain14").cast("bigint").alias("gain14"),
+            F.col("loss14").cast("bigint").alias("loss14"),
+            F.when(F.col("gain14") + F.col("loss14") == 0, F.lit(50.0))
+            .otherwise(
+                F.round(
+                    F.lit(100.0)
+                    * F.col("gain14").cast("double")
+                    / (F.col("gain14") + F.col("loss14")).cast("double"),
+                    9,
+                )
+            )
+            .alias("rsi"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands: 7-day rolling mean ± 2σ breakouts
+# ---------------------------------------------------------------------------
+@register(
+    "bollinger_breakout_days",
+    doc="days outside the 7-day rolling mean ± 1.25σ band (exact integer moments)",
+    oracle=f"""
+        WITH daily AS ({_DAILY_SQL}),
+        roll AS (
+            SELECT day, cents,
+                   row_number() OVER (ORDER BY day) AS rn,
+                   SUM(cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                                    AND CURRENT ROW) AS s1,
+                   SUM(CAST(cents AS HUGEINT) * cents)
+                       OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                             AND CURRENT ROW) AS s2
+            FROM daily
+        ),
+        band AS (
+            SELECT day, cents,
+                   CAST(s1 AS DOUBLE) / 7.0 AS mean,
+                   sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0)
+                        / 6.0) AS sd
+            FROM roll WHERE rn >= 7
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+               round(mean, 6) AS mean7, round(sd, 6) AS sd7,
+               CASE WHEN cents > mean + 1.25 * sd THEN 'hi' ELSE 'lo' END
+                   AS breakout
+        FROM band
+        WHERE cents > mean + 1.25 * sd OR cents < mean - 1.25 * sd
+        ORDER BY day
+    """,
+)
+def bollinger_breakout_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility-band anomaly days (1.25σ — the synthetic daily
+    series is near-homoscedastic, so the textbook 2σ band fires zero
+    days at test SFs and the query would be vacuous): rolling mean/σ
+    over a full 7-row
+    frame via exact integer (Σx, Σx²) sums — the moment trick from
+    stddev_exact_by_flag applied to a moving window. The band compare
+    runs in doubles derived from identical exact integers, so the
+    boundary decision is the same IEEE comparison in both engines.
+    Σx² accumulates in DECIMAL(38,0) (HUGEINT in the oracle): cents²
+    overflows BIGINT once a day clears ~$30B.
+    """
+    daily = _daily(spark, sf_dir)
+    wo = W.orderBy("day")
+    w7 = W.orderBy("day").rowsBetween(-6, 0)
+    sq = F.col("cents").cast("decimal(19,0)") * F.col("cents")
+    roll = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("cents").over(w7).alias("s1"),
+        F.sum(sq.cast("decimal(38,0)")).over(w7).alias("s2"),
+    ).filter(F.col("rn") >= 7)
+    mean = F.col("s1").cast("double") / F.lit(7.0)
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double") / F.lit(7.0)
+        )
+        / F.lit(6.0)
+    )
+    band = roll.select("day", "cents", mean.alias("mean"), sd.alias("sd"))
+    c = F.col("cents")
+    return (
+        band.filter(
+            (c > F.col("mean") + 1.25 * F.col("sd"))
+            | (c < F.col("mean") - 1.25 * F.col("sd"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            F.round("mean", 6).alias("mean7"),
+            F.round("sd", 6).alias("sd7"),
+            F.when(c > F.col("mean") + 1.25 * F.col("sd"), F.lit("hi"))
+            .otherwise(F.lit("lo"))
+            .alias("breakout"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: Herfindahl-Hirschman index per market segment
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_concentration_hhi",
+    doc="customer-revenue concentration per segment: HHI and top-1 share, integer-exact",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_mktsegment AS segment, o.o_custkey,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        )
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               round(CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+                     / (CAST(SUM(cents) AS DOUBLE)
+                        * CAST(SUM(cents) AS DOUBLE)), 9) AS hhi,
+               round(CAST(MAX(cents) AS DOUBLE)
+                     / CAST(SUM(cents) AS DOUBLE), 9) AS top_share
+        FROM per_cust GROUP BY segment ORDER BY segment
+    """,
+)
+def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration-risk screen a ledger analyst runs per segment:
+    HHI = Σ share_i² = Σc_i² / (Σc_i)² — numerator and denominator are
+    exact integer sums (DECIMAL(38,0) products; HUGEINT in the
+    oracle), so the n² normalization cancels symbolically and the only
+    float is the final division pair, rounded at 9.
+
+    Plan: one hash aggregate per (segment, custkey) after a broadcast
+    join of customer→orders? No — customer is the larger-side dim at
+    scale; the join shuffles on custkey (both sides pre-partitioned by
+    the same key) and the second aggregate reuses the segment key
+    exchange. No windows, no skew sensitivity beyond AQE's remit.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    big = F.col("cents").cast("decimal(19,0)")
+    return (
+        per_cust.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum((big * F.col("cents")).cast("decimal(38,0)")).alias("_sq"),
+            F.max("cents").alias("_mx"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "total_cents",
+            F.round(
+                F.col("_sq").cast("double")
+                / (
+                    F.col("total_cents").cast("double")
+                    * F.col("total_cents").cast("double")
+                ),
+                9,
+            ).alias("hhi"),
+            F.round(
+                F.col("_mx").cast("double") / F.col("total_cents").cast("double"), 9
+            ).alias("top_share"),
+        )
+        .orderBy("segment")
+    )

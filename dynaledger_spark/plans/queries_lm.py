@@ -385,3 +385,77 @@ def bigram_interpolated_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("n_bigrams"),
         F.round(_fold("term") / F.sum("cnt"), 9).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MLM masking plan (BERT-style 15% token masks)
+# ---------------------------------------------------------------------------
+@register(
+    "mlm_mask_positions",
+    doc="deterministic 15% MLM mask selection per doc: counts, rate, position checksum",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   list_filter(
+                       range(0, len(string_split(text, ' '))),
+                       p -> ((((doc_id * 1000003 + p) % 1000000007)
+                              * 2654435761) % 1000000007) % 100 < 15
+                   ) AS masked
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(len(masked) AS BIGINT) AS n_masked,
+               round(CAST(len(masked) AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE), 9) AS mask_rate,
+               CAST(COALESCE(list_aggregate(masked, 'sum'), 0) AS BIGINT)
+                   AS mask_pos_sum
+        FROM m ORDER BY doc_id
+    """,
+)
+def mlm_mask_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mask-selection half of BERT-style MLM data prep, with the
+    RNG replaced by a position hash both engines reproduce: token p of
+    document d is masked iff h(d, p) mod 100 < 15, where h is two
+    multiplicative rounds mod 1e9+7 (operands stay under 2^63 — the
+    full 2654435761 multiplier is applied AFTER the first reduction,
+    so no overflow at any corpus size). Every aggregate is an integer
+    count/sum inside a per-row array fold: the whole query is
+    scan-project with ZERO exchanges — it scales embarrassingly.
+
+    The row reports what a masking job needs to audit: token count,
+    mask count, realized rate (≈0.15), and the masked-position
+    checksum that lets a downstream re-derivation verify alignment
+    without shipping the positions.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    masked = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda p: (
+            (
+                ((F.col("doc_id") * 1000003 + p) % 1000000007)
+                * 2654435761
+            )
+            % 1000000007
+        )
+        % 100
+        < 15,
+    )
+    m = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        masked.alias("masked"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.size("masked").cast("bigint").alias("n_masked"),
+        F.round(
+            F.size("masked").cast("double") / F.col("n_tokens").cast("double"), 9
+        ).alias("mask_rate"),
+        F.aggregate(
+            "masked", F.lit(0).cast("bigint"), lambda acc, p: acc + p
+        ).alias("mask_pos_sum"),
+    ).orderBy("doc_id")

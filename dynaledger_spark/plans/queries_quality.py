@@ -1,0 +1,519 @@
+"""Data-quality / governance operators (round-5 batch 2).
+
+The audit layer a warehouse team runs over the same tables the
+analytics queries read: two-snapshot schema-drift comparison,
+per-stream freshness lag, an l-diversity privacy audit (the natural
+companion to k_anonymity_audit), a referential-integrity scorecard
+over every FK edge in the schema at once, a charset profile of the
+document corpus (mojibake / control-character screening before
+training-data export), and deterministic-seed Laplace noisy counts
+(the differential-privacy release mechanism, made oracle-exact by
+deriving the noise from a portable rolling hash instead of an RNG).
+
+Reference provenance: extends the validation family the reference
+runs via dbt tests (DynaLedger run_dbt_pipeline.sh:46-47,
+models/schema.yml) from single-table checks to cross-snapshot and
+cross-edge governance reports.
+
+Scale posture: every query is hash aggregates + broadcast-sized
+scalars; the FK scorecard's six anti-joins are independent
+shuffle-hash/broadcast joins unioned at the end (each edge keyed on
+its own FK — no shared hot key). Nothing windows over an unbounded
+per-key series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Schema-drift report: column stats compared across two stable halves
+# ---------------------------------------------------------------------------
+@register(
+    "schema_drift_report",
+    doc="column-stat drift between the two o_orderkey-parity snapshots of orders",
+    oracle="""
+        WITH h AS (
+            SELECT o_orderkey % 2 AS half,
+                   CAST(COUNT(*) AS DOUBLE) AS row_count,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS nd_status,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS nd_priority,
+                   CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS nd_custkey,
+                   CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_price
+            FROM orders GROUP BY 1
+        ),
+        w AS (
+            SELECT * FROM
+            (SELECT row_count AS a_row_count, nd_status AS a_nd_status,
+                    nd_priority AS a_nd_priority, nd_custkey AS a_nd_custkey,
+                    min_price AS a_min_price, max_price AS a_max_price,
+                    sum_price AS a_sum_price FROM h WHERE half = 0) ,
+            (SELECT row_count AS b_row_count, nd_status AS b_nd_status,
+                    nd_priority AS b_nd_priority, nd_custkey AS b_nd_custkey,
+                    min_price AS b_min_price, max_price AS b_max_price,
+                    sum_price AS b_sum_price FROM h WHERE half = 1)
+        )
+        SELECT metric, h0, h1, round(abs(h0 - h1), 6) AS abs_diff FROM (
+            SELECT 'row_count' AS metric, a_row_count AS h0, b_row_count AS h1 FROM w
+            UNION ALL SELECT 'n_distinct_status', a_nd_status, b_nd_status FROM w
+            UNION ALL SELECT 'n_distinct_priority', a_nd_priority, b_nd_priority FROM w
+            UNION ALL SELECT 'n_distinct_custkey', a_nd_custkey, b_nd_custkey FROM w
+            UNION ALL SELECT 'min_totalprice', a_min_price, b_min_price FROM w
+            UNION ALL SELECT 'max_totalprice', a_max_price, b_max_price FROM w
+            UNION ALL SELECT 'sum_totalprice', a_sum_price, b_sum_price FROM w
+        ) ORDER BY metric
+    """,
+)
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "did the new snapshot change shape?" report: the same column
+    statistics computed over two deterministic halves (orderkey
+    parity stands in for yesterday/today snapshots) and unpivoted
+    into (metric, h0, h1, abs_diff) rows. Sums go through integer
+    cents so both engines agree bitwise; distinct counts are exact
+    (this is the audit path — the sketch path is approx_distinct_*).
+
+    Plan: ONE pass over orders (grouped by parity), one broadcast-sized
+    two-row cross join, then a constant 7-row stack — the drift
+    unpivot costs nothing beyond the single scan + exchange.
+    """
+    o = _t(spark, sf_dir, "orders")
+    h = o.groupBy((F.col("o_orderkey") % 2).alias("half")).agg(
+        F.count(F.lit(1)).cast("double").alias("row_count"),
+        F.countDistinct("o_orderstatus").cast("double").alias("nd_status"),
+        F.countDistinct("o_orderpriority").cast("double").alias("nd_priority"),
+        F.countDistinct("o_custkey").cast("double").alias("nd_custkey"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double")
+            / 100.0
+        ).alias("sum_price"),
+    )
+    cols = [
+        ("row_count", "row_count"),
+        ("nd_status", "n_distinct_status"),
+        ("nd_priority", "n_distinct_priority"),
+        ("nd_custkey", "n_distinct_custkey"),
+        ("min_price", "min_totalprice"),
+        ("max_price", "max_totalprice"),
+        ("sum_price", "sum_totalprice"),
+    ]
+    a = h.filter(F.col("half") == 0).select(
+        *[F.col(c).alias(f"a_{c}") for c, _ in cols]
+    )
+    b = h.filter(F.col("half") == 1).select(
+        *[F.col(c).alias(f"b_{c}") for c, _ in cols]
+    )
+    w = a.crossJoin(F.broadcast(b))
+    stack = ", ".join(f"'{m}', a_{c}, b_{c}" for c, m in cols)
+    return (
+        w.select(
+            F.expr(f"stack({len(cols)}, {stack}) AS (metric, h0, h1)")
+        )
+        .withColumn("abs_diff", F.round(F.abs(F.col("h0") - F.col("h1")), 6))
+        .orderBy("metric")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Freshness lag per event stream
+# ---------------------------------------------------------------------------
+@register(
+    "freshness_lag_by_type",
+    doc="per event_type staleness vs the corpus watermark + trailing-7d share",
+    oracle="""
+        WITH wm AS (SELECT MAX(ts) AS corpus_max FROM events)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS latest_ts,
+               CAST((epoch_us(corpus_max) - epoch_us(MAX(ts))) // 3600000000
+                    AS BIGINT) AS lag_hours,
+               round(CAST(SUM(CASE WHEN ts >= corpus_max - INTERVAL 7 DAY
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS share_last_7d
+        FROM events CROSS JOIN wm
+        GROUP BY event_type, corpus_max
+        ORDER BY event_type
+    """,
+)
+def freshness_lag_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion-monitoring freshness panel: how stale is each
+    stream relative to the newest record anywhere (integer epoch
+    MICROseconds — ts carries sub-second precision, so second-grain
+    epoch would round differently per engine), and what share of its
+    rows arrived in the trailing 7 days. The watermark is a broadcast
+    scalar; one hash aggregate on event_type does the rest.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("corpus_max"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy("event_type", "corpus_max")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("ts").alias("latest_ts"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.col("corpus_max") - F.expr("INTERVAL 7 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("_n7"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "latest_ts",
+            F.expr(
+                "(unix_micros(corpus_max) - unix_micros(latest_ts))"
+                " div 3600000000"
+            )
+            .cast("bigint")
+            .alias("lag_hours"),
+            F.round(
+                F.col("_n7").cast("double") / F.col("n_events").cast("double"), 9
+            ).alias("share_last_7d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion to k_anonymity_audit)
+# ---------------------------------------------------------------------------
+@register(
+    "l_diversity_audit",
+    doc="distinct + entropy l-diversity of mktsegment within (nation, acctbal-band) QI groups",
+    oracle="""
+        WITH cells AS (
+            SELECT c_nationkey AS nation,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        g AS (
+            SELECT nation, bal_band,
+                   CAST(SUM(n) AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS l_distinct,
+                   list(CAST(n AS DOUBLE) ORDER BY c_mktsegment) AS ns
+            FROM cells GROUP BY 1, 2
+        )
+        SELECT nation, bal_band, k, l_distinct,
+               round(-list_reduce(
+                   list_transform(ns, x -> (x / CAST(k AS DOUBLE))
+                                           * ln(x / CAST(k AS DOUBLE))),
+                   (a, b) -> a + b), 9) + 0.0 AS entropy_l
+        FROM g WHERE k >= 2
+        ORDER BY l_distinct, k DESC, nation, bal_band
+        LIMIT 25
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy re-identification audit one level past k-anonymity: for
+    each quasi-identifier cell (nation × $1000 account-balance band),
+    how many distinct sensitive values (market segment) appear
+    (distinct-l) and how evenly (entropy-l, nats). Sensitive-value
+    counts are exact integers; the entropy sum is the one float
+    reduction — each term is derived from the same integers in both
+    engines and the per-group term count is ≤ |segments| = O(1), so
+    the fold order is the group's sort order in both. The 25 least
+    diverse groups (worst disclosure risk) surface first.
+    """
+    c = _t(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # entropy from the bounded per-group (segment, n) set: collect the ≤5
+    # cell counts, sort for a deterministic fold order, fold in one pass.
+    groups = cells.groupBy("nation", "bal_band").agg(
+        F.sum("n").cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.array_sort(F.collect_list(F.struct("c_mktsegment", "n"))).alias("_cells"),
+    )
+    p = "CAST(s.n AS DOUBLE) / CAST(k AS DOUBLE)"
+    # + 0.0 collapses IEEE -0.0 (a fully-uniform or singleton cell folds
+    # to -Σ0 = -0.0 in one engine, +0.0 in the other) to +0.0 in both.
+    groups = groups.withColumn(
+        "entropy_l",
+        F.round(
+            -F.expr(
+                f"aggregate(_cells, CAST(0.0 AS DOUBLE),"
+                f" (acc, s) -> acc + ({p}) * ln({p}))"
+            ),
+            9,
+        )
+        + 0.0,
+    )
+    return (
+        groups.filter(F.col("k") >= 2)
+        .select("nation", "bal_band", "k", "l_distinct", "entropy_l")
+        .orderBy("l_distinct", F.col("k").desc(), "nation", "bal_band")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity scorecard over every FK edge at once
+# ---------------------------------------------------------------------------
+@register(
+    "fk_orphan_scorecard",
+    doc="orphan counts and rates for all six FK edges in one report",
+    oracle="""
+        SELECT edge, child_rows, orphans,
+               round(CAST(orphans AS DOUBLE) / CAST(child_rows AS DOUBLE), 9)
+                   AS orphan_rate
+        FROM (
+            SELECT 'lineitem->orders' AS edge,
+                   (SELECT COUNT(*) FROM lineitem) AS child_rows,
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                       AS orphans
+            UNION ALL
+            SELECT 'lineitem->part',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey))
+            UNION ALL
+            SELECT 'lineitem->supplier',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                      WHERE s.s_suppkey = l.l_suppkey))
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+            UNION ALL
+            SELECT 'customer->nation',
+                   (SELECT COUNT(*) FROM customer),
+                   (SELECT COUNT(*) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey))
+            UNION ALL
+            SELECT 'supplier->nation',
+                   (SELECT COUNT(*) FROM supplier),
+                   (SELECT COUNT(*) FROM supplier s
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = s.s_nationkey))
+        )
+        ORDER BY edge
+    """,
+)
+def fk_orphan_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole-schema integrity dashboard: every FK edge's orphan
+    count (left-anti join) and rate in one result — the batch
+    generalization of the single-edge anti_join_fk / dbt
+    relationship test (reference models/schema.yml). Each edge's
+    anti-join broadcasts its parent's key column when small (nation,
+    supplier) and shuffle-hash-joins otherwise; the six edges are
+    independent plans unioned at the end, so Spark schedules their
+    stages concurrently.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        total = child.agg(F.count(F.lit(1)).alias("child_rows"))
+        psel = parent.select(pk)
+        orphans = child.join(
+            psel, child[ck] == psel[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("orphans"))
+        return (
+            total.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("edge"),
+                F.col("child_rows").cast("bigint").alias("child_rows"),
+                F.col("orphans").cast("bigint").alias("orphans"),
+                F.round(
+                    F.col("orphans").cast("double")
+                    / F.col("child_rows").cast("double"),
+                    9,
+                ).alias("orphan_rate"),
+            )
+        )
+
+    edges = [
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# Charset profile of the document corpus (mojibake / control-char screen)
+# ---------------------------------------------------------------------------
+@register(
+    "charset_profile_by_source",
+    doc="per-source charset hygiene: control chars, replacement chars, non-ASCII and space ratios",
+    oracle="""
+        WITH per_doc AS (
+            SELECT source,
+                   length(text) AS n,
+                   length(text) - length(regexp_replace(text, '[ -~]', '', 'g'))
+                       AS n_outside_printable,
+                   length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+                       AS n_space,
+                   CASE WHEN regexp_matches(text,
+                        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]') THEN 1 ELSE 0
+                       END AS has_ctrl,
+                   CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END
+                       AS has_replacement
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(has_ctrl) AS BIGINT) AS docs_with_ctrl,
+               CAST(SUM(has_replacement) AS BIGINT) AS docs_with_replacement,
+               round(CAST(SUM(n_outside_printable) AS DOUBLE) * 1000.0
+                     / CAST(SUM(n) AS DOUBLE), 6) AS permille_non_printable,
+               round(CAST(SUM(n_space) AS DOUBLE) * 1000.0
+                     / CAST(SUM(n) AS DOUBLE), 6) AS permille_space
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def charset_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-export encoding screen for a training corpus: per
+    source, how many documents carry C0 control characters or U+FFFD
+    replacement characters (both mojibake tells), plus exact
+    per-mille rates of non-printable-ASCII and space characters. All
+    counts are integer character tallies (length-difference after
+    regexp strip — Java and RE2 agree on these byte-class patterns);
+    ratios are the single rounded float.
+    """
+    d = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    per_doc = d.select(
+        "source",
+        n.alias("n"),
+        (n - F.length(F.regexp_replace("text", "[ -~]", ""))).alias(
+            "n_outside_printable"
+        ),
+        (n - F.length(F.regexp_replace("text", "[ ]", ""))).alias("n_space"),
+        F.when(
+            F.col("text").rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), 1
+        )
+        .otherwise(0)
+        .alias("has_ctrl"),
+        F.when(F.col("text").contains(F.lit("�")), 1).otherwise(0).alias(
+            "has_replacement"
+        ),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("has_ctrl").cast("bigint").alias("docs_with_ctrl"),
+            F.sum("has_replacement").cast("bigint").alias("docs_with_replacement"),
+            F.round(
+                F.sum("n_outside_printable").cast("double")
+                * 1000.0
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("permille_non_printable"),
+            F.round(
+                F.sum("n_space").cast("double") * 1000.0 / F.sum("n").cast("double"),
+                6,
+            ).alias("permille_space"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy-style noisy counts with deterministic seeded noise
+# ---------------------------------------------------------------------------
+@register(
+    "dp_noisy_counts",
+    doc="Laplace-noised event counts (ε=1) with portable hash-seeded noise",
+    oracle="""
+        WITH counts AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM events GROUP BY 1
+        ),
+        seeded AS (
+            SELECT event_type, true_count,
+                   list_reduce(
+                       list_transform(range(1, length(event_type) + 1),
+                           i -> CAST(coalesce(ascii(event_type[i:i]), 0)
+                                     AS BIGINT)),
+                       (acc, c) -> (acc * 31 + c) % 1000000007
+                   ) AS h
+            FROM counts
+        ),
+        u AS (
+            SELECT event_type, true_count,
+                   ((CAST(h % 999999 AS DOUBLE) + 0.5) / 1000000.0) - 0.5 AS uu
+            FROM seeded
+        )
+        SELECT event_type, true_count,
+               round(CASE WHEN uu >= 0 THEN -ln(1.0 - 2.0 * uu)
+                          ELSE ln(1.0 + 2.0 * uu) END, 6) AS noise,
+               round(CAST(true_count AS DOUBLE)
+                     + (CASE WHEN uu >= 0 THEN -ln(1.0 - 2.0 * uu)
+                             ELSE ln(1.0 + 2.0 * uu) END), 6) AS noisy_count
+        FROM u ORDER BY event_type
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DP release mechanism with the RNG replaced by a derivation
+    both engines can reproduce: uniform u ∈ (−½, ½) comes from the
+    portable polynomial rolling hash of the group key (mod 1e9+7, the
+    doc_fingerprint convention), and Laplace(b=1/ε, ε=1) noise is the
+    inverse-CDF transform −b·sgn(u)·ln(1−2|u|). The +0.5 offset keeps
+    u strictly inside the open interval, so ln never sees 0. A real
+    deployment would swap the hash for a CSPRNG per release — the
+    derivation is the operator under test, not the entropy source.
+
+    Plan: one hash aggregate; the noise math is per-group scalar
+    expression work on a handful of rows.
+    """
+    from dynaledger_spark.functions.text import rolling_fingerprint
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    seeded = counts.withColumn("h", rolling_fingerprint(F.col("event_type")))
+    u = seeded.withColumn(
+        "uu",
+        ((F.col("h") % 999999).cast("double") + 0.5) / 1000000.0 - 0.5,
+    )
+    noise = F.when(
+        F.col("uu") >= 0, -F.log(F.lit(1.0) - 2.0 * F.col("uu"))
+    ).otherwise(F.log(F.lit(1.0) + 2.0 * F.col("uu")))
+    return u.select(
+        "event_type",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count").cast("double") + noise, 6).alias("noisy_count"),
+    ).orderBy("event_type")

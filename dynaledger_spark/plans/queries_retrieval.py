@@ -1,0 +1,264 @@
+"""Lexical + hybrid retrieval operators (round-5 batch 2).
+
+BM25 scoring over the document corpus and reciprocal-rank-fusion of
+the lexical ranking with the dense cosine ranking (doc_id ↔ vec_id is
+the corpus's 1:1 text/embedding pairing). Together with ann_cosine_topk
+/ ann_lsh_bucketed / ann_ivf_topk this completes the retrieval stack a
+training-data pipeline uses for decontamination lookups and hard-negative
+mining: exact lexical, exact dense, approximate dense, and fused.
+
+Float determinism: every BM25 component (idf, tf saturation, length
+norm) is derived per term from exact integers (N, df, tf, dl, Σdl), and
+the per-document sum over the THREE fixed query terms is written as a
+fixed left-to-right expression — never a SUM aggregate over doubles —
+so Spark and DuckDB execute the identical IEEE sequence. RRF adds two
+such doubles in fixed order. Scores round at 9 before the top-k sort.
+
+Scale posture: the tf pass is an explode + (doc_id, term) hash
+aggregate filtered to the query terms BEFORE the shuffle (the filter
+is pushed inside the generator), so shuffle volume is O(matching
+terms), not O(corpus tokens). df/avgdl are broadcast one-row scalars.
+The fusion join is top-100 × top-100 — broadcast-sized by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.queries_vector import _SQ_FOLD_DUCK, _duck_dot
+from dynaledger_spark.plans.registry import register
+
+QUERY_TERMS = ("hash", "window", "vector")
+K1 = 1.2
+B = 0.75
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+# Shared oracle CTE body: per-doc BM25 score for the fixed query terms.
+# tf_<term> columns come from one conditional aggregation; the score is a
+# fixed-order sum of the three per-term contributions.
+def _bm25_oracle_ctes() -> str:
+    tf_cols = ",\n                   ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN tf END) AS tf_{t}"
+        for t in QUERY_TERMS
+    )
+    df_cols = ",\n                   ".join(
+        f"COUNT(CASE WHEN term = '{t}' THEN 1 END) AS df_{t}"
+        for t in QUERY_TERMS
+    )
+    contrib = "\n                   + ".join(
+        f"""(CASE WHEN tf_{t} IS NULL THEN 0.0 ELSE
+             ln((CAST(n_docs - df_{t} AS DOUBLE) + 0.5)
+                / (CAST(df_{t} AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(tf_{t} AS DOUBLE) * ({K1} + 1.0))
+             / (CAST(tf_{t} AS DOUBLE)
+                + {K1} * (1.0 - {B} + {B} * (CAST(dl AS DOUBLE)
+                                             / avgdl))) END)"""
+        for t in QUERY_TERMS
+    )
+    return f"""
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        dls AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM toks GROUP BY doc_id
+        ),
+        corpus AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+            FROM dls
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term IN ({_terms_sql()})
+            GROUP BY doc_id, term
+        ),
+        dfs AS (
+            SELECT {df_cols}
+            FROM (SELECT DISTINCT doc_id, term FROM tf)
+        ),
+        wide AS (
+            SELECT doc_id,
+                   {tf_cols}
+            FROM tf GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT w.doc_id,
+                   round({contrib}, 9) AS bm25
+            FROM wide w CROSS JOIN dfs CROSS JOIN corpus
+            JOIN dls ON dls.doc_id = w.doc_id
+        )"""
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 score (docs containing ≥1 query term), rounded at 9."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfs = tf.select("doc_id", "term").distinct().agg(
+        *[
+            F.count(F.when(F.col("term") == t, 1)).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ]
+    )
+    wide = tf.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf_{t}")
+            for t in QUERY_TERMS
+        ]
+    )
+    scored = (
+        wide.crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(corpus))
+        .join(dls, "doc_id")
+    )
+
+    def term_contrib(t: str):
+        tf_c = F.col(f"tf_{t}").cast("double")
+        df_c = F.col(f"df_{t}").cast("double")
+        idf = F.log(
+            ((F.col("n_docs").cast("double") - df_c) + 0.5) / (df_c + 0.5) + 1.0
+        )
+        norm = tf_c + K1 * (
+            1.0 - B + B * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.when(F.col(f"tf_{t}").isNull(), F.lit(0.0)).otherwise(
+            idf * (tf_c * (K1 + 1.0)) / norm
+        )
+
+    score = term_contrib(QUERY_TERMS[0])
+    for t in QUERY_TERMS[1:]:
+        score = score + term_contrib(t)
+    return scored.select("doc_id", F.round(score, 9).alias("bm25"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k
+# ---------------------------------------------------------------------------
+@register(
+    "bm25_topk_docs",
+    doc=f"BM25 (k1={K1}, b={B}) top-20 documents for the fixed 3-term query",
+    oracle=f"""
+        WITH {_bm25_oracle_ctes()}
+        SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lexical half of the retrieval stack: classic Okapi BM25 with
+    the (N − df + 0.5)/(df + 0.5) + 1 idf (Lucene's non-negative
+    form). See module docstring for the fixed-order float discipline.
+    """
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid fusion: RRF of BM25 rank and dense cosine rank
+# ---------------------------------------------------------------------------
+@register(
+    "rrf_hybrid_topk",
+    doc="reciprocal-rank fusion (c=60) of BM25 top-100 and cosine top-100",
+    oracle=f"""
+        WITH {_bm25_oracle_ctes()},
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+            FROM scored
+            ORDER BY bm25 DESC, doc_id LIMIT 100
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cos AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r_dense
+            FROM (
+                SELECT e.vec_id,
+                       {_duck_dot('e.embedding', 'q.qv')}
+                       / (sqrt({_SQ_FOLD_DUCK.replace('embedding', 'e.embedding')})
+                          * sqrt({_SQ_FOLD_DUCK.replace('embedding', 'q.qv')}))
+                           AS cos_sim
+                FROM embeddings e, q WHERE e.vec_id <> 0
+            )
+            ORDER BY cos_sim DESC, doc_id LIMIT 100
+        )
+        SELECT COALESCE(lex.doc_id, cos.doc_id) AS doc_id,
+               lex.r_lex AS r_lex, cos.r_dense AS r_dense,
+               round(COALESCE(1.0 / (60.0 + CAST(lex.r_lex AS DOUBLE)), 0.0)
+                     + COALESCE(1.0 / (60.0 + CAST(cos.r_dense AS DOUBLE)),
+                                0.0), 9) AS rrf
+        FROM lex FULL OUTER JOIN cos ON lex.doc_id = cos.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 15
+    """,
+)
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search the way RAG pipelines fuse lexical and dense
+    retrievers without score calibration: rank-only reciprocal-rank
+    fusion, rrf = Σ 1/(60 + rank). Both input rankings carry a doc_id
+    tiebreak so rank assignment is total; the fusion join is top-100 ×
+    top-100 (broadcast-sized whatever the corpus size — the scale cost
+    lives in the two upstream rankings, each already bounded).
+    """
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(100)
+        .withColumn(
+            "r_lex",
+            F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id")),
+        )
+        .select("doc_id", "r_lex")
+    )
+    from dynaledger_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cos = (
+        cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=100)
+        .withColumn(
+            "r_dense",
+            F.row_number().over(W.orderBy(F.col("cos_sim").desc(), "vec_id")),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "r_dense")
+    )
+    fused = lex.join(cos, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        1.0 / (60.0 + F.col("r_lex").cast("double")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (60.0 + F.col("r_dense").cast("double")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.col("r_lex").cast("bigint").alias("r_lex"),
+            F.col("r_dense").cast("bigint").alias("r_dense"),
+            F.round(rrf, 9).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(15)
+    )

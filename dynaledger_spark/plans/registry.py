@@ -238,6 +238,12 @@ def load_all() -> dict[str, QuerySpec]:
         # rank behind the already-windowed tier-1 queries (driver window
         # is full at 50; these are parity-proven locally and enter the
         # window in round 5)
+        queries_finance,  # round-5 batch-2: technical indicators / concentration
+        queries_quality,  # round-5 batch-2: governance, privacy, charset, DP
+        queries_retrieval,  # round-5 batch-2: BM25 + RRF hybrid search
+        # batch-2 additions rank behind batch-1 in tier 1: the round-5
+        # window is already full, so they enter the driver window in
+        # round 6; locally parity-proven at both SFs like every batch
     )
 
     return {name: QUERY_REGISTRY[name] for name in driver_order(QUERY_REGISTRY)}

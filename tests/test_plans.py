@@ -76,6 +76,11 @@ def test_no_cartesian_products(plans):
             "bigram_interpolated_logprob",  # 1-row broadcast of the token total
             "tpch_q1_pricing_summary",  # 1-row broadcast of the shipdate anchor
             "theil_sen_daily_trend",  # calendar-bounded |days|x|days| pair loop
+            "schema_drift_report",  # 1-row × 1-row half-stats combine
+            "freshness_lag_by_type",  # 1-row broadcast of the corpus watermark
+            "fk_orphan_scorecard",  # six 1-row × 1-row edge-metric combines
+            "bm25_topk_docs",  # 1-row broadcasts of df counts and avgdl
+            "rrf_hybrid_topk",  # same BM25 scalar broadcasts feed the fusion
         ), f"{name} nested-loop joins"
 
 
