@@ -562,3 +562,131 @@ def _silhouette_oracle() -> str:
 
 
 _QR["silhouette_fixed_centroids"].oracle = _silhouette_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Per-label precision/recall/F1 of the majority-mapped clustering
+# ---------------------------------------------------------------------------
+@register(
+    "cluster_majority_prf",
+    doc="per-gold-label precision/recall/F1 of the cell→majority-label classifier",
+    oracle=None,  # assembled below (needs the centroid literals)
+)
+def cluster_majority_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The confusion-matrix report card for the fixed-centroid
+    clustering turned classifier: each of the 8 cells predicts its
+    majority gold label (smallest label wins frequency ties), and
+    each of the 10 gold labels gets precision, recall and F1. F1 is
+    computed as 2·tp/(pred+actual) directly from the integer counts —
+    algebraically equal to the harmonic mean but avoids composing two
+    already-rounded floats. Labels no cell predicts (8 cells < 10
+    labels forces at least two) carry NULL precision and zero F1.
+
+    Plan: the same single-pass argmin + one contingency aggregate as
+    clustering_eval_ari; everything downstream operates on the ≤ 80-row
+    contingency table (broadcast joins).
+    """
+    emb = _emb(spark, sf_dir)
+    cents = _centroids()
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                e,
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{i}")
+        for i, c in enumerate(cents)
+    ]
+    scored = emb.select("label", *dists)
+    least = F.least(*[F.col(f"d{i}") for i in range(_CENT_N)])
+    assign = F.lit(None).cast("int")
+    for i in reversed(range(_CENT_N)):
+        assign = F.when(F.col(f"d{i}") == least, F.lit(i)).otherwise(assign)
+    cont = (
+        scored.select(assign.alias("cell"), "label")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wmaj = W.partitionBy("cell").orderBy(F.col("n").desc(), "label")
+    maj = (
+        cont.withColumn("rn", F.row_number().over(wmaj))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("pred_label"))
+    )
+    pred = (
+        cont.join(F.broadcast(maj), "cell")
+        .groupBy("pred_label")
+        .agg(
+            F.sum("n").alias("n_predicted"),
+            F.sum(
+                F.when(F.col("label") == F.col("pred_label"), F.col("n")).otherwise(0)
+            ).alias("tp"),
+        )
+    )
+    act = cont.groupBy("label").agg(F.sum("n").alias("n_actual"))
+    joined = act.join(
+        F.broadcast(pred), act.label == pred.pred_label, "left"
+    )
+    tp = F.coalesce(F.col("tp"), F.lit(0))
+    pp = F.coalesce(F.col("n_predicted"), F.lit(0))
+    return joined.select(
+        "label",
+        F.col("n_actual").cast("bigint").alias("n_actual"),
+        pp.cast("bigint").alias("n_predicted"),
+        tp.cast("bigint").alias("tp"),
+        F.when(pp == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(tp.cast("double") / pp.cast("double"), 9))
+        .alias("prec"),
+        F.round(tp.cast("double") / F.col("n_actual").cast("double"), 9).alias(
+            "recall"
+        ),
+        F.round(
+            2.0 * tp.cast("double") / (pp + F.col("n_actual")).cast("double"), 9
+        ).alias("f1"),
+    ).orderBy("label")
+
+
+def _cluster_prf_oracle() -> str:
+    return f"""
+        WITH {_assign_cte()},
+        cont AS (
+            SELECT cell, label, COUNT(*) AS n FROM assigned GROUP BY 1, 2
+        ),
+        maj AS (
+            SELECT cell, label AS pred_label FROM (
+                SELECT cell, label,
+                       row_number() OVER (PARTITION BY cell
+                                          ORDER BY n DESC, label) AS rn
+                FROM cont
+            ) WHERE rn = 1
+        ),
+        pred AS (
+            SELECT m.pred_label,
+                   SUM(c.n) AS n_predicted,
+                   SUM(CASE WHEN c.label = m.pred_label THEN c.n ELSE 0 END)
+                       AS tp
+            FROM cont c JOIN maj m ON m.cell = c.cell
+            GROUP BY 1
+        ),
+        act AS (SELECT label, SUM(n) AS n_actual FROM cont GROUP BY 1)
+        SELECT a.label,
+               CAST(a.n_actual AS BIGINT) AS n_actual,
+               CAST(COALESCE(p.n_predicted, 0) AS BIGINT) AS n_predicted,
+               CAST(COALESCE(p.tp, 0) AS BIGINT) AS tp,
+               CASE WHEN COALESCE(p.n_predicted, 0) = 0 THEN NULL
+                    ELSE round(CAST(p.tp AS DOUBLE) / p.n_predicted, 9)
+               END AS prec,
+               round(CAST(COALESCE(p.tp, 0) AS DOUBLE) / a.n_actual, 9)
+                   AS recall,
+               round(2.0 * CAST(COALESCE(p.tp, 0) AS DOUBLE)
+                     / (COALESCE(p.n_predicted, 0) + a.n_actual), 9) AS f1
+        FROM act a LEFT JOIN pred p ON p.pred_label = a.label
+        ORDER BY a.label
+    """
+
+
+_QR["cluster_majority_prf"].oracle = _cluster_prf_oracle()

@@ -517,3 +517,246 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("noise"),
         F.round(F.col("true_count").cast("double") + noise, 6).alias("noisy_count"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index feature drift (the ML-monitoring metric)
+# ---------------------------------------------------------------------------
+@register(
+    "psi_feature_drift",
+    doc="PSI of the event value distribution, first half-month vs second, per event_type",
+    oracle="""
+        WITH binned AS (
+            SELECT event_type,
+                   CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+                   CAST(least(floor(value / 40.0), 9) AS BIGINT) AS bin
+            FROM events
+        ),
+        obs AS (
+            SELECT event_type, bin,
+                   SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_ref,
+                   SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_cur
+            FROM binned GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, CAST(u.b AS BIGINT) AS bin
+            FROM (SELECT DISTINCT event_type FROM binned) t,
+                 unnest(range(0, 10)) AS u(b)
+        ),
+        cells AS (
+            SELECT g.event_type, g.bin,
+                   COALESCE(o.c_ref, 0) AS c_ref,
+                   COALESCE(o.c_cur, 0) AS c_cur
+            FROM grid g LEFT JOIN obs o
+              ON o.event_type = g.event_type AND o.bin = g.bin
+        ),
+        tot AS (
+            SELECT event_type,
+                   SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+            FROM cells GROUP BY 1
+        ),
+        terms AS (
+            SELECT c.event_type, t.n_ref, t.n_cur,
+                   round(((CAST(c_ref AS DOUBLE) + 0.5)
+                          / (CAST(n_ref AS DOUBLE) + 5.0)
+                          - (CAST(c_cur AS DOUBLE) + 0.5)
+                            / (CAST(n_cur AS DOUBLE) + 5.0))
+                         * ln(((CAST(c_ref AS DOUBLE) + 0.5)
+                               / (CAST(n_ref AS DOUBLE) + 5.0))
+                              / ((CAST(c_cur AS DOUBLE) + 0.5)
+                                 / (CAST(n_cur AS DOUBLE) + 5.0))), 12)
+                       AS term
+            FROM cells c JOIN tot t ON t.event_type = c.event_type
+        )
+        SELECT event_type,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               round(list_reduce(list_prepend(0.0, list_sort(list(term))),
+                                 (a, b) -> a + b), 9) AS psi
+        FROM terms GROUP BY event_type, n_ref, n_cur
+        ORDER BY event_type
+    """,
+)
+def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the drift score model-monitoring
+    dashboards alarm on (PSI > 0.2 = investigate): compare the event
+    value distribution between the reference window (days 1-15 of the
+    month) and the current window (rest) per event_type, over 10
+    fixed-width $40 bins. Fixed bins, not quantiles: quantile edges
+    differ between engines, integer bin ids cannot. Counts get +0.5/+5
+    Laplace smoothing so empty bins never hit ln(0). Each bin term is
+    one IEEE expression from exact integers rounded at 12; the per-type
+    sum is the repo's sorted fold (order-independent), rounded at 9.
+
+    Plan: one scan, one (event_type, bin) hash aggregate — the ref/cur
+    split is a conditional aggregation, NOT two scans — then the
+    observed cells densify onto the fixed type × 10-bin grid (a
+    10-row broadcast fan-out) and broadcast-sized rollups finish. Bin
+    count is fixed at 10, so the final fold state is O(1) per type
+    regardless of corpus size.
+    """
+    from dynaledger_spark.plans.queries_mlprep import _fold
+
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("half"),
+        F.least(F.floor(F.col("value") / 40.0), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    obs = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    # the PSI design fixes ALL 10 bins — a bin empty in both halves still
+    # contributes its (smoothed) tiny term, so densify the observed cells
+    # onto the full type × bin grid
+    grid = binned.select("event_type").distinct().crossJoin(
+        F.broadcast(
+            spark.range(0, 10).select(F.col("id").cast("bigint").alias("bin"))
+        )
+    )
+    cells = grid.join(obs, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce(F.col("c_ref"), F.lit(0)).alias("c_ref"),
+        F.coalesce(F.col("c_cur"), F.lit(0)).alias("c_cur"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p = (F.col("c_ref").cast("double") + 0.5) / (
+        F.col("n_ref").cast("double") + 5.0
+    )
+    q = (F.col("c_cur").cast("double") + 0.5) / (
+        F.col("n_cur").cast("double") + 5.0
+    )
+    terms = cells.join(tot, "event_type").select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 12).alias("term"),
+    )
+    return (
+        terms.groupBy("event_type", "n_ref", "n_cur")
+        .agg(F.round(_fold("term"), 9).alias("psi"))
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            "psi",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report — the 100 TB planning diagnostic
+# ---------------------------------------------------------------------------
+@register(
+    "join_key_skew_report",
+    doc="per join-key skew stats (max/avg frequency ratio, heaviest key) for the hot keys",
+    oracle="""
+        SELECT col, n_rows, n_keys, max_freq,
+               round(CAST(max_freq AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+                   AS skew_ratio,
+               top_key
+        FROM (
+            SELECT 'lineitem.l_orderkey' AS col,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(n) AS BIGINT) AS max_freq,
+                   CAST(MIN(k) FILTER (WHERE n = (SELECT MAX(n) FROM (
+                       SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)))
+                       AS BIGINT) AS top_key
+            FROM (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1)
+            UNION ALL
+            SELECT 'lineitem.l_partkey',
+                   CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   CAST(MAX(n) AS BIGINT),
+                   CAST(MIN(k) FILTER (WHERE n = (SELECT MAX(n) FROM (
+                       SELECT COUNT(*) AS n FROM lineitem GROUP BY l_partkey)))
+                       AS BIGINT)
+            FROM (SELECT l_partkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1)
+            UNION ALL
+            SELECT 'orders.o_custkey',
+                   CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   CAST(MAX(n) AS BIGINT),
+                   CAST(MIN(k) FILTER (WHERE n = (SELECT MAX(n) FROM (
+                       SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey)))
+                       AS BIGINT)
+            FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1)
+            UNION ALL
+            SELECT 'events.user_id',
+                   CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+                   CAST(MAX(n) AS BIGINT),
+                   CAST(MIN(k) FILTER (WHERE n = (SELECT MAX(n) FROM (
+                       SELECT COUNT(*) AS n FROM events GROUP BY user_id)))
+                       AS BIGINT)
+            FROM (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1)
+        )
+        ORDER BY col
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic a capacity planner runs before sizing a 100 TB
+    join: for each candidate join key, how many rows and distinct
+    keys, the heaviest key's frequency, and the skew ratio
+    max/avg — the number that decides between a plain shuffle join,
+    AQE skew splitting, or the salted-join path
+    (salted_join_segment_revenue). top_key is the smallest key id
+    among those at max frequency (deterministic tiebreak).
+
+    Plan: one groupBy per audited key (each map-side combined), then a
+    1-row rollup per key unioned — no windows, no collects; the
+    per-key rollup state is a handful of scalars.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+
+    def keystats(name: str, df: DataFrame, key: str):
+        per_key = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        mx = per_key.agg(F.max("n").alias("mx"))
+        top = (
+            per_key.join(F.broadcast(mx), F.col("n") == F.col("mx"))
+            .agg(F.min("k").cast("bigint").alias("top_key"))
+        )
+        stats = per_key.agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("n").cast("bigint").alias("max_freq"),
+        )
+        return (
+            stats.crossJoin(F.broadcast(top))
+            .select(
+                F.lit(name).alias("col"),
+                "n_rows",
+                "n_keys",
+                "max_freq",
+                F.round(
+                    F.col("max_freq").cast("double")
+                    / (
+                        F.col("n_rows").cast("double")
+                        / F.col("n_keys").cast("double")
+                    ),
+                    6,
+                ).alias("skew_ratio"),
+                "top_key",
+            )
+        )
+
+    parts = [
+        keystats("lineitem.l_orderkey", li, "l_orderkey"),
+        keystats("lineitem.l_partkey", li, "l_partkey"),
+        keystats("orders.o_custkey", o, "o_custkey"),
+        keystats("events.user_id", ev, "user_id"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("col")

@@ -262,3 +262,58 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# KWIC concordance: keyword-in-context windows for a fixed term
+# ---------------------------------------------------------------------------
+@register(
+    "kwic_concordance",
+    doc="keyword-in-context: ±3-token windows around every occurrence of 'join'",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos, arr
+            FROM toks, unnest(range(0, len(arr))) AS u(i)
+            WHERE arr[CAST(u.i AS INT) + 1] = 'join'
+        )
+        SELECT doc_id, pos,
+               array_to_string(
+                   arr[CAST(greatest(pos - 3, 0) + 1 AS INT)
+                       :CAST(least(pos + 3, len(arr) - 1) + 1 AS INT)],
+                   ' ') AS context
+        FROM hits ORDER BY doc_id, pos LIMIT 25
+    """,
+)
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-inspection tool linguists and data auditors run
+    before trusting a filter rule: every occurrence of the term with
+    its ±3-token context window. Positions are 0-based token offsets;
+    the window clips at document edges. First 25 hits in (doc_id,
+    pos) order — a LIMIT over a sorted explode, which Spark executes
+    as TakeOrdered without materializing the full hit list.
+
+    Plan: scan → split once per doc → posexplode filtered to the term
+    (predicate inside the generator output, before any shuffle) →
+    per-row slice+join. Zero exchanges except the final TakeOrdered.
+    """
+    d = _t(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    hits = d.select(
+        "doc_id", arr.alias("arr"), F.posexplode(arr).alias("pos", "tok")
+    ).filter(F.col("tok") == "join")
+    start = F.greatest(F.col("pos") - 3, F.lit(0))
+    end = F.least(F.col("pos") + 3, F.size("arr") - 1)
+    return (
+        hits.select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.array_join(
+                F.slice(F.col("arr"), start + 1, end - start + 1), " "
+            ).alias("context"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(25)
+    )

@@ -629,3 +629,55 @@ def quantized_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_q").desc(), "va", "vb")
         .limit(_QC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via power iteration over the exact covariance
+# ---------------------------------------------------------------------------
+@register(
+    "power_iteration_top_pc",
+    doc="top PCA component: distributed exact covariance + 30 power-iteration steps",
+    oracle=None,  # iterative algorithm — verified by the Rayleigh-residual
+    # property test (tests/test_round5b_ops.py) instead of SQL
+)
+def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of distributed PCA the way Spark MLlib structures
+    it: the O(n·d²) covariance reduction runs DISTRIBUTED (the exact
+    embedding_covariance plan — map-side outer products, one hash
+    aggregate), and the O(d²) eigen-iteration runs on the driver over
+    the collected d×d matrix — 64×64 here, bounded by schema width,
+    never by corpus size (the same bounded-collect contract as the IVF
+    k-means fit, operators/similarity.py). 200 power-iteration steps
+    from the uniform unit vector (the measured λ2/λ1 ≈ 0.88 needs
+    ~150 steps for 1e-8 residual; 200 costs <1 ms at d=64),
+    pure-Python float arithmetic —
+    deterministic, so reruns are bitwise identical. The sign is
+    canonicalized (largest-|loading| dimension positive) because an
+    eigenvector's sign is arbitrary.
+
+    Returns one row per dimension: (dim, loading, eigenvalue) with the
+    shared Rayleigh-quotient eigenvalue, both rounded at 9.
+    """
+    import math
+
+    from dynaledger_spark.plans.queries_mlprep import embedding_covariance
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    d = int(max(r.dim_j for r in cov_rows))
+    A = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        A[int(r.dim_i) - 1][int(r.dim_j) - 1] = r.cov
+        A[int(r.dim_j) - 1][int(r.dim_i) - 1] = r.cov
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(200):
+        w = [sum(A[i][k] * v[k] for k in range(d)) for i in range(d)]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [x / nrm for x in w]
+    lam = sum(v[i] * sum(A[i][k] * v[k] for k in range(d)) for i in range(d))
+    pivot = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    return spark.createDataFrame(
+        [(i + 1, round(v[i], 9), round(lam, 9)) for i in range(d)],
+        "dim INT, loading DOUBLE, eigenvalue DOUBLE",
+    )

@@ -81,6 +81,8 @@ def test_no_cartesian_products(plans):
             "fk_orphan_scorecard",  # six 1-row × 1-row edge-metric combines
             "bm25_topk_docs",  # 1-row broadcasts of df counts and avgdl
             "rrf_hybrid_topk",  # same BM25 scalar broadcasts feed the fusion
+            "psi_feature_drift",  # 10-row bin-grid broadcast fan-out
+            "join_key_skew_report",  # 1-row top-key/stats scalar combines
         ), f"{name} nested-loop joins"
 
 

@@ -241,3 +241,101 @@ def test_mlm_mask_rate_and_checksum(spark, sf_dir):
     # realized corpus-level mask rate concentrates near 15%
     rate = total_masked / total_tokens
     assert 0.10 < rate < 0.20, rate
+
+
+def test_psi_vs_brute_force(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    got = {r.event_type: r for r in rows(spark, sf_dir, "psi_feature_drift")}
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    cells = defaultdict(lambda: [[0] * 10, [0] * 10])
+    for r in ev:
+        half = 0 if r.ts.day <= 15 else 1
+        b = min(int(r.value // 40), 9)
+        cells[r.event_type][half][b] += 1
+    for et, (ref, cur) in cells.items():
+        n_ref, n_cur = sum(ref), sum(cur)
+        psi = 0.0
+        terms = []
+        for b in range(10):
+            p = (ref[b] + 0.5) / (n_ref + 5.0)
+            q = (cur[b] + 0.5) / (n_cur + 5.0)
+            terms.append(round((p - q) * math.log(p / q), 12))
+        psi = round(math.fsum(terms), 9)
+        assert got[et].n_ref == n_ref and got[et].n_cur == n_cur
+        assert got[et].psi == pytest.approx(psi, abs=1e-8)
+        assert got[et].psi >= -1e-12  # PSI is a symmetrized KL: nonnegative
+
+
+def test_join_key_skew_vs_brute_force(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    got = {r.col: r for r in rows(spark, sf_dir, "join_key_skew_report")}
+    freq = defaultdict(int)
+    for r in read_table(spark, sf_dir, "events").select("user_id").collect():
+        freq[r.user_id] += 1
+    row = got["events.user_id"]
+    assert row.n_rows == sum(freq.values())
+    assert row.n_keys == len(freq)
+    assert row.max_freq == max(freq.values())
+    top = min(k for k, v in freq.items() if v == row.max_freq)
+    assert row.top_key == top
+    assert row.skew_ratio >= 1.0  # max >= avg by definition
+
+
+def test_cluster_prf_accounting(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    got = rows(spark, sf_dir, "cluster_majority_prf")
+    n = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_actual for r in got) == n
+    assert sum(r.n_predicted for r in got) == n  # every vector predicted once
+    assert sum(r.tp for r in got) <= n
+    for r in got:
+        assert r.tp <= r.n_actual and r.tp <= r.n_predicted
+        assert 0.0 <= r.recall <= 1.0
+        if r.prec is not None:
+            assert 0.0 <= r.prec <= 1.0
+        assert 0.0 <= r.f1 <= 1.0
+    # 8 cells cannot predict all 10 labels
+    assert any(r.n_predicted == 0 for r in got)
+
+
+def test_kwic_context_matches_text(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    got = rows(spark, sf_dir, "kwic_concordance")
+    assert got
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    for r in got:
+        toks = texts[r.doc_id]
+        assert toks[r.pos] == "join"
+        lo, hi = max(0, r.pos - 3), min(len(toks) - 1, r.pos + 3)
+        assert r.context == " ".join(toks[lo : hi + 1])
+
+
+def test_power_iteration_is_an_eigenpair(spark, sf_dir):
+    a = rows(spark, sf_dir, "power_iteration_top_pc")
+    b = rows(spark, sf_dir, "power_iteration_top_pc")
+    assert a == b  # deterministic
+    v = [r.loading for r in sorted(a, key=lambda r: r.dim)]
+    lam = a[0].eigenvalue
+    assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-6)
+    # rebuild the covariance and check the Rayleigh residual
+    cov = rows(spark, sf_dir, "embedding_covariance")
+    d = len(v)
+    A = [[0.0] * d for _ in range(d)]
+    for r in cov:
+        A[r.dim_i - 1][r.dim_j - 1] = r.cov
+        A[r.dim_j - 1][r.dim_i - 1] = r.cov
+    Av = [sum(A[i][k] * v[k] for k in range(d)) for i in range(d)]
+    resid = math.sqrt(sum((Av[i] - lam * v[i]) ** 2 for i in range(d)))
+    assert lam > 0
+    assert resid / lam < 1e-6, (resid, lam)
+    # lambda_max of a symmetric matrix dominates every diagonal entry
+    assert lam >= max(A[i][i] for i in range(d)) - 1e-9
+    # sign canonicalization: the largest-|loading| dim is positive
+    assert max(v, key=abs) > 0
