@@ -681,3 +681,127 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, round(v[i], 9), round(lam, 9)) for i in range(d)],
         "dim INT, loading DOUBLE, eigenvalue DOUBLE",
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering (distributed DBSCAN-lite over embedding dims 1-2)
+# ---------------------------------------------------------------------------
+_GRID_W = 0.1  # cell width
+# density threshold scales with the corpus so the query is non-vacuous at
+# every SF: a cell is dense when it holds >= max(3, N/100) points
+# NOTE: Spark array subscripts are 0-based, DuckDB's are 1-based —
+# element_at is 1-based in BOTH, so the two sides use dims 1-2 identically.
+_GRID_CELL = "(CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) / 0.1) AS BIGINT) + 50) * 1000 + CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) / 0.1) AS BIGINT) + 50"
+
+
+@register(
+    "grid_density_clusters",
+    doc="DBSCAN-lite: dense grid cells on embedding dims 1-2, 8-neighbor merge via CC",
+    oracle="""
+        WITH pts AS (
+            SELECT (CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT)
+                    + 50) * 1000
+                   + CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.1) AS BIGINT)
+                   + 50 AS cell
+            FROM embeddings
+        ),
+        thr AS (
+            SELECT greatest(3, COUNT(*) // 100) AS minpts FROM pts
+        ),
+        dense AS (
+            SELECT cell, COUNT(*) AS n FROM pts, thr
+            GROUP BY cell, minpts HAVING COUNT(*) >= minpts
+        ),
+        edges AS (
+            SELECT a.cell AS src, b.cell AS dst
+            FROM dense a JOIN dense b
+              ON b.cell IN (a.cell + 1, a.cell - 1,
+                            a.cell + 1000, a.cell - 1000,
+                            a.cell + 1001, a.cell - 1001,
+                            a.cell + 999, a.cell - 999)
+            WHERE a.cell < b.cell
+        ),
+        bidir AS (
+            SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ),
+        reach AS (
+            WITH RECURSIVE r(src, dst) AS (
+                SELECT src, dst FROM bidir
+                UNION
+                SELECT r.src, b.dst FROM r JOIN bidir b ON r.dst = b.src
+            ) SELECT * FROM r
+        ),
+        comp AS (
+            SELECT d.cell, d.n,
+                   LEAST(d.cell, COALESCE(MIN(r.dst), d.cell)) AS cluster_id
+            FROM dense d LEFT JOIN reach r ON r.src = d.cell
+            GROUP BY d.cell, d.n
+        )
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n) AS BIGINT) AS n_points
+        FROM comp GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering the way it scales: quantize points to grid
+    cells (the O(N) pass), keep cells above a corpus-relative density
+    threshold, and merge 8-adjacent dense cells with the iterative
+    connected-components operator — GriDBSCAN's structure, where the
+    expensive neighborhood search becomes an equi-join on shifted cell
+    keys instead of a distance self-join. Cell id packs (cx+50, cy+50)
+    as cx*1000+cy (valid while |coordinate/0.1| < 50 — embeddings are
+    unit-normalized so |x| ≤ 1; a wider corpus widens the literal).
+    The oracle re-derives components with a recursive CTE
+    (dedup_clusters precedent) — two engines, identical clusters.
+
+    Plan: one hash aggregate to cells (map-side combined), a 1-row
+    threshold broadcast, an 8-key IN equi-join over the DENSE cells
+    only (bounded by the value range / cell width, not by N), then the
+    O(log diameter) CC rounds on that bounded cell graph.
+    """
+    from dynaledger_spark.operators.graph import connected_components
+
+    emb = _emb(spark, sf_dir)
+    cell = F.expr(_GRID_CELL)
+    pts = emb.select(cell.alias("cell"))
+    thr = pts.agg(
+        F.greatest(F.lit(3), (F.count(F.lit(1)) / 100).cast("bigint")).alias(
+            "minpts"
+        )
+    )
+    dense = (
+        pts.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("minpts"))
+        .select("cell", "n")
+    )
+    offsets = [1, -1, 1000, -1000, 1001, -1001, 999, -999]
+    a = dense.select(F.col("cell").alias("src"))
+    nbr = a.select(
+        "src",
+        F.explode(F.array(*[F.col("src") + F.lit(o) for o in offsets])).alias(
+            "dst"
+        ),
+    )
+    edges = nbr.join(
+        dense.select(F.col("cell").alias("dst")), "dst"
+    ).filter(F.col("src") < F.col("dst"))
+    comp = connected_components(
+        dense.select(F.col("cell").alias("id")), edges, node_col="id"
+    )
+    return (
+        comp.join(dense, F.col("node") == F.col("cell"))
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_cells",
+            "n_points",
+        )
+        .orderBy("cluster_id")
+    )

@@ -241,6 +241,7 @@ def load_all() -> dict[str, QuerySpec]:
         queries_finance,  # round-5 batch-2: technical indicators / concentration
         queries_quality,  # round-5 batch-2: governance, privacy, charset, DP
         queries_retrieval,  # round-5 batch-2: BM25 + RRF hybrid search
+        queries_incremental,  # round-5 batch-4: IVM refresh, CDC chunk dedup
         # batch-2 additions rank behind batch-1 in tier 1: the round-5
         # window is already full, so they enter the driver window in
         # round 6; locally parity-proven at both SFs like every batch

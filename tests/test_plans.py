@@ -83,6 +83,7 @@ def test_no_cartesian_products(plans):
             "rrf_hybrid_topk",  # same BM25 scalar broadcasts feed the fusion
             "psi_feature_drift",  # 10-row bin-grid broadcast fan-out
             "join_key_skew_report",  # 1-row top-key/stats scalar combines
+            "grid_density_clusters",  # 1-row density-threshold broadcast
         ), f"{name} nested-loop joins"
 
 

@@ -339,3 +339,105 @@ def test_power_iteration_is_an_eigenpair(spark, sf_dir):
     assert lam >= max(A[i][i] for i in range(d)) - 1e-9
     # sign canonicalization: the largest-|loading| dim is positive
     assert max(v, key=abs) > 0
+
+
+def test_ivm_merge_equals_recompute(spark, sf_dir):
+    """The IVM invariant, re-derived in Python: merge(base, delta) must
+    equal a from-scratch daily recompute, and `touched` must be exactly
+    the delta's day set."""
+    from dynaledger_spark.catalog import read_table
+
+    got = {r.day: r for r in rows(spark, sf_dir, "ivm_daily_revenue_refresh")}
+    full = defaultdict(lambda: [0, 0])
+    touched = set()
+    for r in read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    ).collect():
+        if r.event_type != "purchase":
+            continue
+        day = r.ts.date().isoformat()
+        full[day][0] += int(round(r.value * 100))
+        full[day][1] += 1
+        if r.event_id % 97 == 0:
+            touched.add(day)
+    assert set(got) == set(full)
+    for day, (cents, n) in full.items():
+        assert got[day].cents == cents and got[day].n_events == n
+        assert got[day].touched == (day in touched)
+    assert touched, "the late-batch filter must select something"
+    assert len(touched) < len(full) or len(full) <= 31
+
+
+def test_cdc_chunks_reassemble_and_shift_resilience(spark, sf_dir):
+    """Chunk accounting: per-source total_chars equals the corpus char
+    volume; stored <= total; and the CDC property — identical docs
+    produce identical chunk multisets (exercised corpus-wide: n_unique
+    < n_chunks iff any chunk repeats)."""
+    from dynaledger_spark.catalog import read_table
+
+    got = {r.source: r for r in rows(spark, sf_dir, "cdc_chunk_dedup")}
+    docs = read_table(spark, sf_dir, "documents").select("source", "text").collect()
+    per_source = defaultdict(int)
+    for d in docs:
+        per_source[d.source] += len(d.text)
+    for src, total in per_source.items():
+        r = got[src]
+        assert r.total_chars == total  # chunks partition every document
+        assert 0 < r.stored_chars <= r.total_chars
+        assert r.n_unique <= r.n_chunks
+        assert r.dedup_savings == pytest.approx(
+            1.0 - r.stored_chars / r.total_chars, abs=1e-8
+        )
+
+
+def test_cdc_cut_points_shift_with_content():
+    """The defining CDC property vs fixed-size blocks: prepending text
+    changes only the leading chunks — the tail chunk sequence
+    re-synchronizes. Pure-Python mirror of the query's hash rule."""
+    M, W, MASK = 1000000007, 8, 32
+
+    def chunks(text):
+        cuts = []
+        for i in range(W, len(text) + 1):
+            h = 0
+            for ch in text[i - W : i]:
+                h = (h * 31 + ord(ch)) % M
+            if h % MASK == 0:
+                cuts.append(i)
+        bs = [0] + cuts + [len(text)]
+        return [text[a:b] for a, b in zip(bs, bs[1:]) if b > a]
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    shifted = "PREFIX INSERTED " + base
+    c1, c2 = chunks(base), chunks(shifted)
+    # the chunk SEQUENCE re-synchronizes after the perturbed head: the
+    # common suffix covers all but a bounded number of leading chunks
+    # (fixed-size blocks would re-align nowhere after a 16-char shift)
+    suffix = 0
+    while (
+        suffix < min(len(c1), len(c2))
+        and c1[-1 - suffix] == c2[-1 - suffix]
+    ):
+        suffix += 1
+    assert suffix >= len(c1) - 3, (suffix, len(c1))
+
+
+def test_grid_clusters_cover_all_dense_cells(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    got = rows(spark, sf_dir, "grid_density_clusters")
+    assert got, "the density threshold must keep some cells"
+    cells = defaultdict(int)
+    for r in read_table(spark, sf_dir, "embeddings").select("embedding").collect():
+        cx = math.floor(float(r.embedding[0]) / 0.1) + 50
+        cy = math.floor(float(r.embedding[1]) / 0.1) + 50
+        cells[cx * 1000 + cy] += 1
+    n = sum(cells.values())
+    minpts = max(3, n // 100)
+    dense = {c: k for c, k in cells.items() if k >= minpts}
+    assert sum(r.n_cells for r in got) == len(dense)
+    assert sum(r.n_points for r in got) == sum(dense.values())
+    # every cluster id is a dense cell and the min of its component
+    ids = [r.cluster_id for r in got]
+    assert all(c in dense for c in ids)
+    assert len(set(ids)) == len(ids)

@@ -58,7 +58,22 @@ QUERIES = [
     "markov_sequence_score",      # hot user's fold stays bounded at |types|^2 terms by the per-(user,prev,cur) count
     "cms_heavy_hitters",          # 3000x-duplicated boilerplate words -> constant-size sketch grid regardless
     "pmi_collocations",           # 10x bigram stream through joint + margins aggregates
+    # round-5 batch 2/3 families
+    "bm25_topk_docs",             # 3000x hot doc -> term-filtered tf shuffle + scalar broadcasts
+    "rrf_hybrid_topk",            # fusion of two bounded top-100s over the 10x corpus
+    "mlm_mask_positions",         # zero-exchange scan-project at 10x+3000 dup docs
+    "psi_feature_drift",          # hot user: 100k purchases land in a few (type, bin) cells
+    "join_key_skew_report",       # must REPORT the injected hot user, not choke on it
+    "freshness_lag_by_type",      # 1-row watermark broadcast over 10x events
+    "rsi_14_daily_revenue",       # calendar-bounded daily windows over 10x events
+    "kwic_concordance",           # TakeOrdered over the exploded 10x+hot-doc hit stream
 ]
+
+# CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
+# queries (used to extend the measured table without re-running the
+# whole suite).
+if len(sys.argv) > 1:
+    QUERIES = [q for q in QUERIES if q in set(sys.argv[1:])] or sys.argv[1:]
 
 
 def build_probe(spark, dest: str, mult: int = 10) -> None:
