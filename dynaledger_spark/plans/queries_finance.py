@@ -345,3 +345,93 @@ def revenue_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast of daily revenue
+# ---------------------------------------------------------------------------
+@register(
+    "holt_linear_forecast",
+    doc="Holt double-exponential smoothing over daily revenue; 7-day-ahead forecasts",
+    oracle=f"""
+        WITH RECURSIVE daily AS ({_DAILY_SQL}),
+        idx AS (
+            SELECT row_number() OVER (ORDER BY day) AS rn,
+                   CAST(cents AS DOUBLE) AS x
+            FROM daily
+        ),
+        n AS (SELECT MAX(rn) AS m FROM idx),
+        st(rn, l, b) AS (
+            SELECT CAST(2 AS BIGINT),
+                   (SELECT x FROM idx WHERE rn = 1),
+                   (SELECT x FROM idx WHERE rn = 2)
+                   - (SELECT x FROM idx WHERE rn = 1)
+            WHERE (SELECT m FROM n) >= 2
+            UNION ALL
+            SELECT st.rn + 1,
+                   0.5 * i.x + 0.5 * (st.l + st.b),
+                   0.3 * ((0.5 * i.x + 0.5 * (st.l + st.b)) - st.l)
+                   + 0.7 * st.b
+            FROM st JOIN idx i ON i.rn = st.rn + 1
+            WHERE st.rn < (SELECT m FROM n)
+        ),
+        fin AS (SELECT l, b FROM st ORDER BY rn DESC LIMIT 1)
+        SELECT CAST(u.h AS BIGINT) AS h,
+               round(l + CAST(u.h AS DOUBLE) * b, 6) AS forecast_cents
+        FROM fin, unnest(range(1, 8)) AS u(h)
+        ORDER BY h
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double-exponential smoothing (α=0.5, β=0.3) over the
+    daily revenue series, forecasting 1-7 days past the corpus edge —
+    the level+trend recurrence every ops dashboard runs. The recurrence
+    is inherently sequential, so both engines fold the SAME day-ordered
+    array: the init state rides as the first fold element (DuckDB's
+    list_reduce has no initial-value form — the state struct is
+    prepended, and data elements carry their value in the `x` slot).
+    The updated level appears twice in the step expression; both
+    engines evaluate the identical IEEE sequence, so duplication
+    changes nothing. Only forecasts are rounded (at 6).
+
+    Plan: one corpus day-aggregate; the fold runs over the
+    calendar-bounded daily array in a single row (36.5k elements per
+    century — driver-scale forever). The h=1..7 fan-out is an explode
+    of a 7-element sequence.
+    """
+    daily = _daily(spark, sf_dir)
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s.cents.cast("double"),
+        ).alias("xs")
+    ).filter(F.size("xs") >= 2)
+    xs = F.col("xs")
+    st = arr.select(
+        F.aggregate(
+            F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0))),
+            F.struct(
+                F.element_at(xs, 1).alias("l"),
+                (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+            ),
+            lambda acc, x: F.struct(
+                (0.5 * x + 0.5 * (acc.l + acc.b)).alias("l"),
+                (
+                    0.3 * ((0.5 * x + 0.5 * (acc.l + acc.b)) - acc.l)
+                    + 0.7 * acc.b
+                ).alias("b"),
+            ),
+        ).alias("s")
+    )
+    return (
+        st.select(
+            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"), "s"
+        )
+        .select(
+            F.col("h").cast("bigint").alias("h"),
+            F.round(
+                F.col("s.l") + F.col("h").cast("double") * F.col("s.b"), 6
+            ).alias("forecast_cents"),
+        )
+        .orderBy("h")
+    )

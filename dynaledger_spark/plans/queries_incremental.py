@@ -195,24 +195,38 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _t(spark, sf_dir, "documents")
     n = F.length("text")
-    # Spark's sequence(a, b) DESCENDS when a > b (it is not empty like
-    # DuckDB's range), so guard sub-window documents explicitly.
-    cuts = F.when(
-        n >= _CDC_WIN,
-        F.filter(
-            F.sequence(F.lit(_CDC_WIN), n),
-            lambda i: F.aggregate(
-                F.sequence(i - (_CDC_WIN - 1), i),
-                F.lit(0).cast("bigint"),
-                lambda acc, j: (
-                    acc * 31 + F.ascii(F.expr("text").substr(j, F.lit(1)))
+    # Char codes as an array, BOUND AS A LAMBDA VARIABLE so it evaluates
+    # once per row: a withColumn'd array gets inlined by Catalyst's
+    # CollapseProject and re-derived at every element_at (O(len) split per
+    # access → measured 45 s at sf0.001), and substr(text, j) is an O(j)
+    # UTF-8 scan (O(len²) total → 13.5 s at sf0.1). transform(array(codes),
+    # cs -> …) is the let-binding: the element materializes, inner lambdas
+    # index it at O(1).
+    codes = F.transform(
+        F.split("text", ""), lambda ch: F.ascii(ch).cast("bigint")
+    )
+
+    def _cuts_from(cs):
+        # Spark's sequence(a, b) DESCENDS when a > b (not empty like
+        # DuckDB's range), so guard sub-window documents explicitly.
+        return F.when(
+            n >= _CDC_WIN,
+            F.filter(
+                F.sequence(F.lit(_CDC_WIN), n),
+                lambda i: F.aggregate(
+                    F.sequence(i - (_CDC_WIN - 1), i),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, j: (acc * 31 + F.element_at(cs, j))
+                    % 1000000007,
                 )
-                % 1000000007,
-            )
-            % _CDC_MASK
-            == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+                % _CDC_MASK
+                == 0,
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    cuts = F.element_at(
+        F.transform(F.array(codes), lambda cs: _cuts_from(cs)), 1
+    )
     bounds = d.select(
         "doc_id",
         "source",

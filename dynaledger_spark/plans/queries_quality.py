@@ -760,3 +760,132 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionByName(x)
     return out.orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (completes the k-anonymity / l-diversity trilogy)
+# ---------------------------------------------------------------------------
+@register(
+    "t_closeness_audit",
+    doc="total-variation distance of each QI group's segment mix vs the global mix",
+    oracle="""
+        WITH cells AS (
+            SELECT c_nationkey AS nation,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        gseg AS (
+            SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_g FROM cells
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_total FROM gseg),
+        grid AS (
+            SELECT g.nation, g.bal_band, s.c_mktsegment, s.n_g
+            FROM (SELECT DISTINCT nation, bal_band FROM cells) g, gseg s
+        ),
+        dense AS (
+            SELECT gr.nation, gr.bal_band, gr.c_mktsegment, gr.n_g,
+                   COALESCE(c.n, 0) AS n
+            FROM grid gr LEFT JOIN cells c
+              ON c.nation = gr.nation AND c.bal_band = gr.bal_band
+             AND c.c_mktsegment = gr.c_mktsegment
+        ),
+        gtot AS (
+            SELECT nation, bal_band, CAST(SUM(n) AS BIGINT) AS k
+            FROM dense GROUP BY 1, 2
+        ),
+        terms AS (
+            SELECT d.nation, d.bal_band, d.c_mktsegment,
+                   round(abs(CAST(d.n AS DOUBLE) / CAST(t.k AS DOUBLE)
+                             - CAST(d.n_g AS DOUBLE)
+                               / CAST((SELECT n_total FROM tot) AS DOUBLE)),
+                         12) AS dev
+            FROM dense d JOIN gtot t
+              ON t.nation = d.nation AND t.bal_band = d.bal_band
+        ),
+        grp AS (
+            SELECT nation, bal_band,
+                   list(dev ORDER BY c_mktsegment) AS devs
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT g.nation, g.bal_band, t.k,
+               round(0.5 * list_reduce(list_prepend(0.0, devs),
+                                       (a, b) -> a + b), 9) AS t_distance
+        FROM grp g JOIN gtot t
+          ON t.nation = g.nation AND t.bal_band = g.bal_band
+        WHERE t.k >= 2
+        ORDER BY t_distance DESC, g.nation, g.bal_band
+        LIMIT 25
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third privacy gate after k-anonymity and l-diversity: a QI
+    group leaks when its sensitive-attribute DISTRIBUTION deviates
+    from the global one, even if it is diverse. For the categorical
+    segment attribute, the earth-mover distance reduces to total
+    variation: t = ½·Σ|p_group − p_global|. Each deviation term is one
+    IEEE expression from exact integers rounded at 12; the ≤5-term
+    per-group sum folds in segment order. Groups densify onto the full
+    segment grid first — a missing segment contributes |0 − p_global|,
+    which dropping the row would silently lose (the PSI lesson). The
+    25 most skewed groups (worst disclosure) surface first.
+    """
+    c = _t(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    glob = cells.groupBy("c_mktsegment").agg(F.sum("n").cast("bigint").alias("n_g"))
+    tot = glob.agg(F.sum("n_g").cast("bigint").alias("n_total"))
+    grid = (
+        cells.select("nation", "bal_band")
+        .distinct()
+        .crossJoin(F.broadcast(glob))
+    )
+    dense = grid.join(
+        cells, ["nation", "bal_band", "c_mktsegment"], "left"
+    ).select(
+        "nation",
+        "bal_band",
+        "c_mktsegment",
+        "n_g",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    from pyspark.sql import Window as W
+
+    ksum = F.sum("n").over(W.partitionBy("nation", "bal_band"))
+    dev = F.round(
+        F.abs(
+            F.col("n").cast("double") / ksum.cast("double")
+            - F.col("n_g").cast("double") / F.col("n_total").cast("double")
+        ),
+        12,
+    )
+    terms = dense.crossJoin(F.broadcast(tot)).select(
+        "nation", "bal_band", "c_mktsegment", "n", dev.alias("dev")
+    )
+    grp = terms.groupBy("nation", "bal_band").agg(
+        F.sum("n").cast("bigint").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c_mktsegment", "dev"))),
+                lambda s: s.dev,
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("_devsum"),
+    )
+    return (
+        grp.filter(F.col("k") >= 2)
+        .select(
+            "nation",
+            "bal_band",
+            "k",
+            F.round(0.5 * F.col("_devsum"), 9).alias("t_distance"),
+        )
+        .orderBy(F.col("t_distance").desc(), "nation", "bal_band")
+        .limit(25)
+    )

@@ -1087,3 +1087,66 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_doc_id"),
         F.max("n_tokens").cast("bigint").alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (the langID classifier's report card)
+# ---------------------------------------------------------------------------
+from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QREG  # noqa: E402
+
+_LANG_PRED_SQL = _QREG["lang_id"].oracle  # full SELECT: doc_id, actual, pred
+
+
+@register(
+    "lang_id_confusion",
+    doc="confusion cells + per-actual-language share of the stopword langID classifier",
+    oracle=f"""
+        WITH pred AS ({_LANG_PRED_SQL}),
+        cells AS (
+            SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred GROUP BY 1, 2
+        ),
+        act AS (
+            SELECT actual_lang, SUM(n) AS n_actual FROM cells GROUP BY 1
+        )
+        SELECT c.actual_lang, c.pred_lang, c.n,
+               round(CAST(c.n AS DOUBLE) / CAST(a.n_actual AS DOUBLE), 9)
+                   AS share_of_actual
+        FROM cells c JOIN act a ON a.actual_lang = c.actual_lang
+        ORDER BY c.actual_lang, c.pred_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error analysis behind any langID quality gate: which gold
+    languages get mistaken for which — the per-(actual, predicted)
+    confusion cells with each cell's share of its gold language. The
+    oracle nests the full lang_id oracle, so the classifier under
+    audit is bit-identical to the registered one.
+
+    Plan: the lang_id scan-project plus ONE (actual, pred) hash
+    aggregate; the per-language margins are a rollup of those ≤ 36
+    cells.
+    """
+    from dynaledger_spark.functions.text import predict_lang
+
+    docs = _docs(spark, sf_dir)
+    pred = docs.select(
+        F.col("lang").alias("actual_lang"),
+        predict_lang(F.col("text")).alias("pred_lang"),
+    )
+    cells = pred.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    act = cells.groupBy("actual_lang").agg(F.sum("n").alias("n_actual"))
+    return (
+        cells.join(F.broadcast(act), "actual_lang")
+        .select(
+            "actual_lang",
+            "pred_lang",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_actual").cast("double"), 9
+            ).alias("share_of_actual"),
+        )
+        .orderBy("actual_lang", "pred_lang")
+    )
