@@ -459,3 +459,28 @@ def mlm_mask_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "masked", F.lit(0).cast("bigint"), lambda acc, p: acc + p
         ).alias("mask_pos_sum"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (distributed tokenizer training)
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_learn_merges",
+    doc="first 8 BPE merges learned over the corpus word-frequency table",
+    oracle=None,  # iterative (one distributed job per merge round) —
+    # verified by the exact pure-Python BPE mirror in
+    # tests/test_round5b_ops.py
+)
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training as a distributed loop (Sennrich et al. 2016,
+    re-expressed Spark-first): the corpus collapses to the distinct
+    (word, count) table once, then each merge round is ONE job —
+    explode adjacent symbol pairs weighted by count, hash-aggregate,
+    argmax with a total tiebreak (count desc, then lexicographic), and
+    a map-side array-fold merge. Driver state is the merge list;
+    per-round shuffle is O(distinct pairs). See operators/bpe.py for
+    the scale contract and the non-overlap equivalence argument.
+    """
+    from dynaledger_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)

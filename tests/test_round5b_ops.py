@@ -525,3 +525,49 @@ def test_lang_confusion_accounting(spark, sf_dir):
     assert {r.pred_lang for r in got} <= {"de", "en", "es", "fr", "zh", "und"}
     diag = sum(r.n for r in got if r.actual_lang == r.pred_lang)
     assert diag > 0
+
+
+def test_bpe_merges_match_reference_implementation(spark, sf_dir):
+    """The distributed BPE loop must reproduce the textbook trainer
+    EXACTLY: same merges, same order, same pair counts — argmax ties
+    broken by (count desc, pair lexicographic), merges applied
+    left-to-right non-overlapping."""
+    from collections import Counter
+
+    from dynaledger_spark.catalog import read_table
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in rows(spark, sf_dir, "bpe_learn_merges")
+    ]
+    words = Counter()
+    for r in read_table(spark, sf_dir, "documents").select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for rank in range(1, 9):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        expect.append((rank, a, b, a + b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    assert got == expect
