@@ -105,3 +105,36 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         "merge_rank INT, left STRING, right STRING, merged STRING,"
         " pair_count BIGINT",
     )
+
+
+def apply_bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Segment every distinct corpus word with the learned merges,
+    applied in rank order (the BPE APPLY step). Returns
+    (word, cnt, n_chars, n_subwords, segmentation) where segmentation
+    joins subwords with '·'.
+
+    The merge list is driver-side (O(n_merges) rows — the same bounded
+    contract as learning); application is n_merges chained map-side
+    array folds over the distinct-word table, zero shuffles after the
+    word count.
+    """
+    merges = [
+        (r.left, r.right)
+        for r in learn_bpe_merges(docs, n_merges).orderBy("merge_rank").collect()
+    ]
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = F.split("w", "")
+    for left, right in merges:
+        syms = _merge_pair(syms, left, right)
+    return words.select(
+        "w",
+        "cnt",
+        F.length("w").cast("bigint").alias("n_chars"),
+        F.size(syms).cast("bigint").alias("n_subwords"),
+        F.array_join(syms, "·").alias("segmentation"),
+    ).orderBy("w")

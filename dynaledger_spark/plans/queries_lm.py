@@ -484,3 +484,104 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.bpe import learn_bpe_merges
 
     return learn_bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register(
+    "bpe_segment_words",
+    doc="every distinct word segmented by the 8 learned BPE merges (apply step)",
+    oracle=None,  # merges are runtime-learned — verified by the
+    # pure-Python apply mirror in tests/test_round5b_ops.py
+)
+def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLY step paired with bpe_learn_merges: each
+    distinct corpus word segmented by the learned merges in rank
+    order — n_merges chained map-side array folds, zero shuffles
+    beyond the word count. Compression evidence (n_subwords <
+    n_chars) is asserted in tests.
+    """
+    from dynaledger_spark.operators.bpe import apply_bpe_merges
+
+    return apply_bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption plan (deterministic)
+# ---------------------------------------------------------------------------
+@register(
+    "span_corruption_plan",
+    doc="deterministic T5 span-corruption selection: 3-token spans at hash-chosen starts",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   [p FOR p IN range(0, len(string_split(text, ' ')))
+                    IF ((((doc_id * 1000003 + p) % 1000000007)
+                         * 2654435761) % 1000000007) % 20 = 0] AS starts
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens, starts,
+                   list_distinct(flatten(
+                       list_transform(starts,
+                           p -> [q FOR q IN range(p, least(p + 3, n_tokens))])
+                   )) AS covered
+            FROM m
+        )
+        SELECT doc_id, n_tokens,
+               CAST(len(starts) AS BIGINT) AS n_spans,
+               CAST(len(covered) AS BIGINT) AS n_corrupted,
+               round(CAST(len(covered) AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE), 9) AS corrupt_rate,
+               CAST(COALESCE(list_aggregate(covered, 'sum'), 0) AS BIGINT)
+                   AS covered_pos_sum
+        FROM c ORDER BY doc_id
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption with the RNG replaced by the repo's
+    two-round position hash (the mlm_mask_positions rule at rate 1/20):
+    each selected position starts a 3-token span, spans clip at the
+    document edge and overlapping spans merge (list_distinct of the
+    covered-position union). Reports span count, corrupted-token count
+    and rate (nominal 3/20 = 15%; the small test-corpus hash domain realizes ~8%), and the covered-position checksum for
+    downstream alignment audits. Zero exchanges — per-row array work.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda p: (
+            (((F.col("doc_id") * 1000003 + p) % 1000000007) * 2654435761)
+            % 1000000007
+        )
+        % 20
+        == 0,
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                starts,
+                lambda p: F.sequence(p, F.least(p + 2, n - 1)),
+            )
+        )
+    )
+    m = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        starts.alias("starts"),
+        covered.alias("covered"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.size("starts").cast("bigint").alias("n_spans"),
+        F.size("covered").cast("bigint").alias("n_corrupted"),
+        F.round(
+            F.size("covered").cast("double") / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("corrupt_rate"),
+        F.aggregate(
+            "covered", F.lit(0).cast("bigint"), lambda a, p: a + p
+        ).alias("covered_pos_sum"),
+    ).orderBy("doc_id")

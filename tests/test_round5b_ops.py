@@ -571,3 +571,67 @@ def test_bpe_merges_match_reference_implementation(spark, sf_dir):
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
     assert got == expect
+
+
+def test_bpe_apply_matches_reference_and_compresses(spark, sf_dir):
+    """Apply the learned merges with the textbook apply loop and
+    compare segmentations exactly; BPE must compress (total subwords
+    < total chars) once multi-char merges exist."""
+    from collections import Counter
+
+    from dynaledger_spark.catalog import read_table
+
+    got = {
+        r.w: (r.cnt, r.n_chars, r.n_subwords, r.segmentation)
+        for r in rows(spark, sf_dir, "bpe_segment_words")
+    }
+    merges = [
+        (r.left, r.right)
+        for r in sorted(
+            rows(spark, sf_dir, "bpe_learn_merges"), key=lambda r: r.merge_rank
+        )
+    ]
+    words = Counter()
+    for r in read_table(spark, sf_dir, "documents").select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                words[w] += 1
+    assert set(got) == set(words)
+    total_chars = total_sub = 0
+    for w, cnt in words.items():
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        r = got[w]
+        assert r[0] == cnt and r[1] == len(w)
+        assert r[2] == len(syms)
+        assert r[3] == "·".join(syms)
+        total_chars += len(w)
+        total_sub += len(syms)
+    assert total_sub < total_chars  # the merges actually compress
+
+
+def test_span_corruption_invariants(spark, sf_dir):
+    got = rows(spark, sf_dir, "span_corruption_plan")
+    assert got
+    tot_tokens = sum(r.n_tokens for r in got)
+    tot_corrupted = sum(r.n_corrupted for r in got)
+    for r in got:
+        # spans are 3 tokens, clipped and merged: coverage bounds
+        assert r.n_corrupted <= min(3 * r.n_spans, r.n_tokens)
+        assert r.n_corrupted >= r.n_spans  # each span covers >= 1 token
+        assert 0.0 <= r.corrupt_rate <= 1.0
+    # nominal rate is 3/20 = 15%, but the hash's input domain here is
+    # small (doc_id<=499, p<=~60) so the realized start rate drifts
+    # (measured ~8%) — assert a loose band plus non-degeneracy
+    rate = tot_corrupted / tot_tokens
+    assert 0.03 < rate < 0.30, rate
+    assert sum(r.n_spans for r in got) > 0
