@@ -526,3 +526,89 @@ def decay_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness of per-user inter-event times
+# ---------------------------------------------------------------------------
+@register(
+    "user_burstiness",
+    doc="top-20 bursty users: Goh-Barabási B = (σ/μ − 1)/(σ/μ + 1) of inter-event gaps",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS g
+            FROM events
+        ),
+        mom AS (
+            SELECT user_id,
+                   CAST(COUNT(g) AS BIGINT) AS n_gaps,
+                   CAST(SUM(g) AS BIGINT) AS s1,
+                   SUM(CAST(g AS HUGEINT) * g) AS s2
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY user_id HAVING COUNT(g) >= 5
+        ),
+        cvs AS (
+            SELECT user_id, n_gaps,
+                   sqrt(greatest((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                    / n_gaps) / n_gaps, 0.0))
+                   / (CAST(s1 AS DOUBLE) / n_gaps) AS cv
+            FROM mom WHERE s1 > 0
+        )
+        SELECT user_id, n_gaps,
+               round(cv, 9) AS cv,
+               round((cv - 1.0) / (cv + 1.0), 9) AS burstiness
+        FROM cvs
+        ORDER BY burstiness DESC, user_id LIMIT 20
+    """,
+)
+def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of each user's event timing: B =
+    (CV−1)/(CV+1) over inter-event gaps (exact integer µs; population
+    moments from exact (n, Σg, Σg²)). B → −1 is metronomic, 0 is
+    Poisson, → +1 is bursty — the signal that separates bots-on-a-timer
+    from humans-in-sessions. Users need ≥5 gaps; the variance is
+    clamped at 0 before sqrt (catastrophic cancellation on
+    near-constant gaps would otherwise produce a tiny negative).
+    Top-20 burstiest with a user tiebreak.
+
+    Plan: one user window (lag) + one user hash aggregate sharing the
+    exchange; TakeOrdered 20. Hot user = one sorted run, no arrays.
+    """
+    ev = _t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    mom = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("g").cast("bigint").alias("n_gaps"),
+            F.sum("g").cast("bigint").alias("s1"),
+            F.sum((F.col("g").cast("decimal(19,0)") * F.col("g")).cast("decimal(38,0)")).alias("s2"),
+        )
+        .filter((F.col("n_gaps") >= 5) & (F.col("s1") > 0))
+    )
+    nd = F.col("n_gaps").cast("double")
+    s1d = F.col("s1").cast("double")
+    cv = F.sqrt(
+        F.greatest(
+            (F.col("s2").cast("double") - s1d * s1d / nd) / nd, F.lit(0.0)
+        )
+    ) / (s1d / nd)
+    return (
+        mom.select(
+            "user_id",
+            "n_gaps",
+            F.round(cv, 9).alias("cv"),
+            F.round((cv - 1.0) / (cv + 1.0), 9).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "user_id")
+        .limit(20)
+    )

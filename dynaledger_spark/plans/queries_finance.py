@@ -435,3 +435,82 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue per segment
+# ---------------------------------------------------------------------------
+@register(
+    "gini_customer_revenue",
+    doc="per-segment Gini coefficient of customer revenue (rank-weighted exact integers)",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_mktsegment AS segment, o.o_custkey,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT segment, cents,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY cents, o_custkey) AS rk
+            FROM per_cust
+        )
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               round(CAST(2 * SUM(CAST(rk AS HUGEINT) * cents)
+                          - (COUNT(*) + 1) * SUM(CAST(cents AS HUGEINT))
+                          AS DOUBLE)
+                     / CAST(COUNT(*) * SUM(CAST(cents AS HUGEINT))
+                            AS DOUBLE), 9) AS gini
+        FROM ranked GROUP BY segment ORDER BY segment
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inequality twin of the HHI concentration screen: per-segment
+    Gini of customer revenue via the rank formula
+    G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted values
+    (custkey tiebreak makes the rank total — equal values contribute
+    the same sum whatever their relative order, so the tiebreak cannot
+    change G). Numerator and denominator are exact integer sums
+    (DECIMAL(38,0) / HUGEINT products); one rounded division.
+
+    Plan: the same custkey join + (segment, custkey) aggregate as
+    revenue_concentration_hhi, one per-segment rank window (the only
+    sort — partitioned by segment, never global), one hash aggregate.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("segment").orderBy("cents", "o_custkey")
+    )
+    ranked = per_cust.withColumn("rk", rk)
+    big = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.sum((big("rk") * F.col("cents")).cast("decimal(38,0)")).alias("_rx"),
+    )
+    n = F.col("n_customers").cast("decimal(38,0)")
+    tot = F.col("total_cents").cast("decimal(38,0)")
+    return agg.select(
+        "segment",
+        "n_customers",
+        "total_cents",
+        F.round(
+            (2 * F.col("_rx") - (n + 1) * tot).cast("double")
+            / (n * tot).cast("double"),
+            9,
+        ).alias("gini"),
+    ).orderBy("segment")

@@ -1524,3 +1524,71 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean (robust location) per order priority
+# ---------------------------------------------------------------------------
+@register(
+    "trimmed_mean_priority",
+    doc="10%-trimmed mean of order value per priority — rank-windowed exact cents",
+    oracle="""
+        WITH cents AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                   o_orderkey
+            FROM orders
+        ),
+        ranked AS (
+            SELECT priority, c,
+                   row_number() OVER (PARTITION BY priority
+                                      ORDER BY c, o_orderkey) AS rk,
+                   COUNT(*) OVER (PARTITION BY priority) AS n
+            FROM cents
+        )
+        SELECT priority,
+               CAST(MAX(n) AS BIGINT) AS n_orders,
+               CAST(MAX(n) - 2 * (MAX(n) // 10) AS BIGINT) AS n_kept,
+               round(CAST(SUM(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+                                   THEN c ELSE 0 END) AS DOUBLE)
+                     / CAST(MAX(n) - 2 * (MAX(n) // 10) AS DOUBLE) / 100.0,
+                     6) AS trimmed_mean
+        FROM ranked GROUP BY priority ORDER BY priority
+    """,
+)
+def trimmed_mean_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location the way financial reporting trims outliers: drop
+    the lowest and highest 10% of orders (by exact cents, orderkey
+    tiebreak) and average the rest. The kept-sum is an exact integer;
+    the mean divides once and rounds at 6. The window rank and count
+    share one per-priority exchange.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        "o_orderkey",
+    )
+    wp = W.partitionBy("priority")
+    ranked = cents.select(
+        "priority",
+        "c",
+        F.row_number().over(wp.orderBy("c", "o_orderkey")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo = F.floor(F.col("n") / 10)
+    kept = F.when((F.col("rk") > lo) & (F.col("rk") <= F.col("n") - lo), F.col("c")).otherwise(0)
+    agg = ranked.groupBy("priority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        (F.max("n") - 2 * F.floor(F.max("n") / 10)).cast("bigint").alias("n_kept"),
+        F.sum(kept).alias("_s"),
+    )
+    return agg.select(
+        "priority",
+        "n_orders",
+        "n_kept",
+        F.round(
+            F.col("_s").cast("double") / F.col("n_kept").cast("double") / 100.0,
+            6,
+        ).alias("trimmed_mean"),
+    ).orderBy("priority")

@@ -84,6 +84,7 @@ def test_no_cartesian_products(plans):
             "psi_feature_drift",  # 10-row bin-grid broadcast fan-out
             "join_key_skew_report",  # 1-row top-key/stats scalar combines
             "grid_density_clusters",  # 1-row density-threshold broadcast
+            "t_closeness_audit",  # 1-row global-total broadcast
         ), f"{name} nested-loop joins"
 
 

@@ -635,3 +635,78 @@ def test_span_corruption_invariants(spark, sf_dir):
     rate = tot_corrupted / tot_tokens
     assert 0.03 < rate < 0.30, rate
     assert sum(r.n_spans for r in got) > 0
+
+
+def test_gini_vs_brute_force(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    got = {r.segment: r for r in rows(spark, sf_dir, "gini_customer_revenue")}
+    cust_seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in read_table(spark, sf_dir, "customer").collect()
+    }
+    per = defaultdict(lambda: defaultdict(int))
+    for r in read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect():
+        per[cust_seg[r.o_custkey]][r.o_custkey] += int(round(r.o_totalprice * 100))
+    for seg, cust in per.items():
+        xs = sorted(cust.values())
+        n, tot = len(xs), sum(xs)
+        g = (2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * tot) / (
+            n * tot
+        )
+        r = got[seg]
+        assert r.n_customers == n and r.total_cents == tot
+        assert r.gini == pytest.approx(round(g, 9), abs=1e-8)
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_trimmed_mean_vs_brute_force(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    got = {r.priority: r for r in rows(spark, sf_dir, "trimmed_mean_priority")}
+    per = defaultdict(list)
+    for r in read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        per[r.o_orderpriority].append(int(round(r.o_totalprice * 100)))
+    for pri, xs in per.items():
+        xs.sort()
+        k = len(xs) // 10
+        kept = xs[k : len(xs) - k]
+        r = got[pri]
+        assert r.n_orders == len(xs) and r.n_kept == len(kept)
+        assert r.trimmed_mean == pytest.approx(
+            round(sum(kept) / len(kept) / 100.0, 6), abs=1e-6
+        )
+        # robust: trimmed mean sits inside the untrimmed min/max
+        assert xs[0] / 100.0 <= r.trimmed_mean <= xs[-1] / 100.0
+
+
+def test_burstiness_vs_brute_force(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    got = rows(spark, sf_dir, "user_burstiness")
+    assert got
+    for r in got:
+        assert -1.0 <= r.burstiness <= 1.0
+        assert r.n_gaps >= 5
+    bs = [r.burstiness for r in got]
+    assert bs == sorted(bs, reverse=True)
+    # recompute the top user exactly
+    top = got[0]
+    evs = sorted(
+        (
+            (r.ts, r.event_id)
+            for r in read_table(spark, sf_dir, "events")
+            .filter(f"user_id = {top.user_id}")
+            .select("ts", "event_id")
+            .collect()
+        )
+    )
+    us = [int(t.timestamp() * 1_000_000) for t, _ in evs]
+    gaps = [b - a for a, b in zip(us, us[1:])]
+    n, s1 = len(gaps), sum(gaps)
+    s2 = sum(g * g for g in gaps)
+    cv = math.sqrt(max((s2 - s1 * s1 / n) / n, 0.0)) / (s1 / n)
+    assert top.cv == pytest.approx(round(cv, 9), abs=1e-6)
+    assert top.burstiness == pytest.approx(round((cv - 1) / (cv + 1), 9), abs=1e-6)
