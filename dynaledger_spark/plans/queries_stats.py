@@ -1592,3 +1592,107 @@ def trimmed_mean_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test
+# ---------------------------------------------------------------------------
+@register(
+    "ks_two_sample_values",
+    doc="two-sample KS statistic between first/second half-month purchase values",
+    oracle="""
+        WITH s AS (
+            SELECT CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        n AS (
+            SELECT SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+                   SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+            FROM s
+        ),
+        cum AS (
+            SELECT v,
+                   SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+                   SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+            FROM s GROUP BY v
+        ),
+        cdf AS (
+            SELECT v,
+                   SUM(c0) OVER (ORDER BY v) AS f0,
+                   SUM(c1) OVER (ORDER BY v) AS f1
+            FROM cum
+        ),
+        d AS (
+            SELECT MAX(abs(CAST(f0 AS HUGEINT) * (SELECT n1 FROM n)
+                           - CAST(f1 AS HUGEINT) * (SELECT n0 FROM n)))
+                       AS dnum
+            FROM cdf
+        )
+        SELECT CAST((SELECT n0 FROM n) AS BIGINT) AS n_ref,
+               CAST((SELECT n1 FROM n) AS BIGINT) AS n_cur,
+               round(CAST(dnum AS DOUBLE)
+                     / (CAST((SELECT n0 FROM n) AS DOUBLE)
+                        * CAST((SELECT n1 FROM n) AS DOUBLE)), 9) AS ks_d,
+               round(sqrt(-0.5 * ln(1e-300 + 0.05 / 2.0))
+                     * sqrt((CAST((SELECT n0 FROM n) AS DOUBLE)
+                             + CAST((SELECT n1 FROM n) AS DOUBLE))
+                            / (CAST((SELECT n0 FROM n) AS DOUBLE)
+                               * CAST((SELECT n1 FROM n) AS DOUBLE))), 9)
+                   AS crit_05
+        FROM d
+    """,
+)
+def ks_two_sample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nonparametric drift test behind PSI's dashboards: the KS
+    statistic D = max|F₀(v) − F₁(v)| between the first- and
+    second-half-month purchase value distributions. The supremum runs
+    over exact INTEGER cross-multiplied cumulative counts
+    (|f₀·n₁ − f₁·n₀| — no float CDFs, so the argmax cannot flip on
+    rounding), and only the final D and the α=0.05 critical value
+    c(α)·√((n₀+n₁)/(n₀·n₁)) are floats, rounded at 9.
+
+    Plan: one value-grain hash aggregate (conditional counts), one
+    ordered window over the DISTINCT value axis (bounded by the value
+    domain — ~37k distinct cents here, never the event count), and a
+    1-row max. Scale-stable: the window's partition is the value
+    domain, the classic "aggregate first, then window the rollup".
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = ev.select(
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("half"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    cum = s.groupBy("v").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cdf = cum.select(
+        F.sum("c0").over(wv).alias("f0"), F.sum("c1").over(wv).alias("f1")
+    )
+    d = cdf.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(
+                F.col("f0").cast("decimal(38,0)") * F.col("n1")
+                - F.col("f1").cast("decimal(38,0)") * F.col("n0")
+            )
+        ).alias("dnum")
+    )
+    out = d.crossJoin(F.broadcast(n))
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    return out.select(
+        F.col("n0").cast("bigint").alias("n_ref"),
+        F.col("n1").cast("bigint").alias("n_cur"),
+        F.round(F.col("dnum").cast("double") / (n0d * n1d), 9).alias("ks_d"),
+        F.round(
+            F.sqrt(-0.5 * F.log(F.lit(1e-300) + 0.05 / 2.0))
+            * F.sqrt((n0d + n1d) / (n0d * n1d)),
+            9,
+        ).alias("crit_05"),
+    )

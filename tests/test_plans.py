@@ -85,6 +85,7 @@ def test_no_cartesian_products(plans):
             "join_key_skew_report",  # 1-row top-key/stats scalar combines
             "grid_density_clusters",  # 1-row density-threshold broadcast
             "t_closeness_audit",  # 1-row global-total broadcast
+            "ks_two_sample_values",  # 1-row sample-size broadcasts
         ), f"{name} nested-loop joins"
 
 

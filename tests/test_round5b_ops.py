@@ -710,3 +710,29 @@ def test_burstiness_vs_brute_force(spark, sf_dir):
     cv = math.sqrt(max((s2 - s1 * s1 / n) / n, 0.0)) / (s1 / n)
     assert top.cv == pytest.approx(round(cv, 9), abs=1e-6)
     assert top.burstiness == pytest.approx(round((cv - 1) / (cv + 1), 9), abs=1e-6)
+
+
+def test_ks_two_sample_vs_brute_force(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    [r] = rows(spark, sf_dir, "ks_two_sample_values")
+    a, b = [], []
+    for e in read_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    ).collect():
+        if e.event_type != "purchase":
+            continue
+        (a if e.ts.day <= 15 else b).append(int(round(e.value * 100)))
+    assert r.n_ref == len(a) and r.n_cur == len(b)
+    a.sort()
+    b.sort()
+    import bisect
+
+    d = 0.0
+    for v in sorted(set(a) | set(b)):
+        f0 = bisect.bisect_right(a, v) / len(a)
+        f1 = bisect.bisect_right(b, v) / len(b)
+        d = max(d, abs(f0 - f1))
+    assert r.ks_d == pytest.approx(d, abs=1e-8)
+    assert 0.0 <= r.ks_d <= 1.0
+    assert r.crit_05 > 0
