@@ -690,3 +690,104 @@ def _cluster_prf_oracle() -> str:
 
 
 _QR["cluster_majority_prf"].oracle = _cluster_prf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift report (per-dimension standardized mean shift)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_drift_report",
+    doc="worst-10 embedding dims by standardized mean shift between vec_id-parity halves",
+    oracle=f"""
+        WITH obs AS (
+            SELECT vec_id % 2 AS half, CAST(t.i AS BIGINT) AS dim,
+                   CAST(embedding[t.i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        mom AS (
+            SELECT dim, half,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {_FOLD.format(x='x')} AS s1,
+                   {_FOLD.format(x='round(x * x, 12)')} AS s2
+            FROM obs GROUP BY dim, half
+        ),
+        wide AS (
+            SELECT a.dim,
+                   a.n AS n0, a.s1 AS s10, a.s2 AS s20,
+                   b.n AS n1, b.s1 AS s11, b.s2 AS s21
+            FROM mom a JOIN mom b ON b.dim = a.dim
+            WHERE a.half = 0 AND b.half = 1
+        )
+        SELECT dim,
+               round(s10 / n0, 9) AS mean_ref,
+               round(s11 / n1, 9) AS mean_cur,
+               round(abs(s10 / n0 - s11 / n1)
+                     / sqrt(((s20 - s10 * s10 / n0)
+                             + (s21 - s11 * s11 / n1))
+                            / (n0 + n1 - 2) + 1e-12), 9) AS std_shift
+        FROM wide
+        ORDER BY std_shift DESC, dim LIMIT 10
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space monitoring between two deployment snapshots
+    (vec_id parity stands in for before/after): per-dimension
+    standardized mean shift |μ₀−μ₁|/s_pooled, worst 10 dims first —
+    the per-feature alarm that catches a retrained encoder silently
+    rotating its space. Per-(dim, half) sums use the repo's sorted
+    fold (order-independent doubles; x² pinned at 12 first); the
+    pooled-variance denominator adds 1e-12 so a constant dimension
+    reads as 0 shift instead of 0/0.
+
+    Plan: one posexplode + (dim, half) hash aggregate (map-side
+    combined to 128 cells), then a 64-row self-join — broadcast scale.
+    """
+    emb = _emb(spark, sf_dir)
+    obs = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        ),
+    ).select("half", (F.col("pos") + 1).cast("bigint").alias("dim"), "x")
+    mom = obs.groupBy("dim", "half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _fold("x").alias("s1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.round(F.col("x") * F.col("x"), 12))),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("s2"),
+    )
+    a = mom.filter(F.col("half") == 0).select(
+        "dim",
+        F.col("n").alias("n0"),
+        F.col("s1").alias("s10"),
+        F.col("s2").alias("s20"),
+    )
+    b = mom.filter(F.col("half") == 1).select(
+        "dim",
+        F.col("n").alias("n1"),
+        F.col("s1").alias("s11"),
+        F.col("s2").alias("s21"),
+    )
+    wide = a.join(b, "dim")
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    shift = F.abs(F.col("s10") / n0 - F.col("s11") / n1) / F.sqrt(
+        (
+            (F.col("s20") - F.col("s10") * F.col("s10") / n0)
+            + (F.col("s21") - F.col("s11") * F.col("s11") / n1)
+        )
+        / (n0 + n1 - 2)
+        + 1e-12
+    )
+    return (
+        wide.select(
+            "dim",
+            F.round(F.col("s10") / n0, 9).alias("mean_ref"),
+            F.round(F.col("s11") / n1, 9).alias("mean_cur"),
+            F.round(shift, 9).alias("std_shift"),
+        )
+        .orderBy(F.col("std_shift").desc(), "dim")
+        .limit(10)
+    )

@@ -317,3 +317,99 @@ def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "pos")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@10 of the lexical ranking against dense-retrieval relevance
+# ---------------------------------------------------------------------------
+@register(
+    "ndcg_lexical_vs_dense",
+    doc="nDCG@10 of the BM25 ranking with dense-cosine top-20 as binary relevance",
+    oracle=f"""
+        WITH {_bm25_oracle_ctes()},
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM scored
+            ORDER BY bm25 DESC, doc_id LIMIT 10
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        gold AS (
+            SELECT vec_id AS doc_id FROM (
+                SELECT e.vec_id,
+                       {_duck_dot('e.embedding', 'q.qv')}
+                       / (sqrt({_SQ_FOLD_DUCK.replace('embedding', 'e.embedding')})
+                          * sqrt({_SQ_FOLD_DUCK.replace('embedding', 'q.qv')}))
+                           AS cos_sim
+                FROM embeddings e, q WHERE e.vec_id <> 0
+            )
+            ORDER BY cos_sim DESC, doc_id LIMIT 20
+        ),
+        terms AS (
+            SELECT l.r,
+                   round(CASE WHEN g.doc_id IS NOT NULL
+                              THEN 1.0 / (ln(CAST(l.r AS DOUBLE) + 1.0)
+                                          / ln(2.0))
+                              ELSE 0.0 END, 12) AS dcg_term,
+                   round(1.0 / (ln(CAST(l.r AS DOUBLE) + 1.0) / ln(2.0)), 12)
+                       AS idcg_term
+            FROM lex l LEFT JOIN gold g ON g.doc_id = l.doc_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN dcg_term > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_relevant_in_k,
+               round(CAST(SUM(CAST(dcg_term AS DECIMAL(27,12))) AS DOUBLE)
+                     / CAST(SUM(CAST(idcg_term AS DECIMAL(27,12))) AS DOUBLE),
+                     9) AS ndcg_at_10
+        FROM terms
+    """,
+)
+def ndcg_lexical_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-retriever agreement metric RAG evaluations report:
+    nDCG@10 of the BM25 ranking, scoring a doc relevant iff the dense
+    retriever puts it in its top-20 (binary pseudo-relevance — the
+    standard proxy when human labels don't exist). Each 1/log₂(r+1)
+    term is rounded at 12 and summed through an exact DECIMAL
+    accumulator (order-independent); the ideal DCG here is the same
+    10 positions at relevance 1, so the ratio normalizes correctly and
+    only the final division rounds at 9.
+    """
+    from pyspark.sql import Window as W2
+
+    from dynaledger_spark.operators.similarity import cosine_topk
+
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+        .withColumn(
+            "r", F.row_number().over(W2.orderBy(F.col("bm25").desc(), "doc_id"))
+        )
+        .select("doc_id", "r")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    gold = (
+        cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=20)
+        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("rel"))
+    )
+    log2r = F.log(F.col("r").cast("double") + 1.0) / F.log(F.lit(2.0))
+    terms = lex.join(F.broadcast(gold), "doc_id", "left").select(
+        "r",
+        F.round(
+            F.when(F.col("rel").isNotNull(), 1.0 / log2r).otherwise(F.lit(0.0)),
+            12,
+        ).alias("dcg_term"),
+        F.round(1.0 / log2r, 12).alias("idcg_term"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.when(F.col("dcg_term") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_relevant_in_k"),
+        F.round(
+            F.sum(F.col("dcg_term").cast("decimal(27,12)")).cast("double")
+            / F.sum(F.col("idcg_term").cast("decimal(27,12)")).cast("double"),
+            9,
+        ).alias("ndcg_at_10"),
+    )

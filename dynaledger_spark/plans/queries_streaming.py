@@ -476,3 +476,80 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sw_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
         return run_available_now(agg, name, output_mode="complete")
+
+
+@register(
+    "stream_anomaly_zscore",
+    doc="stream scoring vs broadcast batch thresholds: purchases beyond mean ± 3σ per type",
+    oracle="""
+        WITH mom AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS s1,
+                   SUM(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                       * CAST(round(value * 100) AS BIGINT)) AS s2
+            FROM events GROUP BY 1
+        ),
+        thr AS (
+            SELECT event_type,
+                   CAST(s1 AS DOUBLE) / n AS mu,
+                   sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                        / n) AS sigma
+            FROM mom
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((CAST(round(e.value * 100) AS BIGINT) - t.mu)
+                     / t.sigma, 6) AS z
+        FROM events e JOIN thr t ON t.event_type = e.event_type
+        WHERE abs(CAST(round(e.value * 100) AS BIGINT) - t.mu)
+              > 3.0 * t.sigma
+    """,
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring-on-a-stream, the inference-serving pattern: per-type
+    (μ, σ) thresholds are fit BATCH-side from exact integer moments,
+    broadcast onto the live stream, and each microbatch flags events
+    beyond 3σ statelessly — no watermark, no state store, the
+    stream side never shuffles. The oracle is the batch formulation
+    over the same corpus, so append-mode output must equal the batch
+    answer row-for-row (σ > 0 for every type on this data, so the
+    boundary arithmetic is identical IEEE in both engines).
+    """
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.streaming import events_stream, run_available_now
+
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s1"),
+        F.sum((cents.cast("decimal(19,0)") * cents).cast("decimal(38,0)")).alias(
+            "s2"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    thr = mom.select(
+        "event_type",
+        (s1d / nd).alias("mu"),
+        F.sqrt((F.col("s2").cast("double") - s1d * s1d / nd) / nd).alias(
+            "sigma"
+        ),
+    )
+    stream = events_stream(spark, sf_dir, glob="events.parquet")
+    scored = stream.join(F.broadcast(thr), "event_type").filter(
+        F.abs(cents - F.col("mu")) > 3.0 * F.col("sigma")
+    )
+    out = scored.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round((cents - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
+    name = f"stream_zscore_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_available_now(out, name, output_mode="append")

@@ -648,8 +648,9 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collected d×d matrix — 64×64 here, bounded by schema width,
     never by corpus size (the same bounded-collect contract as the IVF
     k-means fit, operators/similarity.py). 200 power-iteration steps
-    from the uniform unit vector (the measured λ2/λ1 ≈ 0.88 needs
-    ~150 steps for 1e-8 residual; 200 costs <1 ms at d=64),
+    from the uniform unit vector (the measured λ2/λ1 is ≈0.88 at
+    sf0.001 but ≈0.98 at sf0.01 — 1000 steps drive the Rayleigh
+    residual below 1e-8 for any ratio ≤0.98 and cost ~2 ms at d=64),
     pure-Python float arithmetic —
     deterministic, so reruns are bitwise identical. The sign is
     canonicalized (largest-|loading| dimension positive) because an
@@ -669,7 +670,7 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         A[int(r.dim_i) - 1][int(r.dim_j) - 1] = r.cov
         A[int(r.dim_j) - 1][int(r.dim_i) - 1] = r.cov
     v = [1.0 / math.sqrt(d)] * d
-    for _ in range(200):
+    for _ in range(1000):
         w = [sum(A[i][k] * v[k] for k in range(d)) for i in range(d)]
         nrm = math.sqrt(sum(x * x for x in w))
         v = [x / nrm for x in w]
@@ -804,4 +805,65 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_points",
         )
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-contained ANN recall evaluation: LSH top-10 vs exact top-10
+# ---------------------------------------------------------------------------
+@register(
+    "ann_recall_eval",
+    doc="recall@10 of the sign-LSH candidate path vs the exact cosine ranking, in one plan",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT {_duck_bucket('qv')} AS b FROM q),
+        scored AS (
+            SELECT e.vec_id,
+                   {_duck_dot('e.embedding', 'q.qv')}
+                   / (sqrt({_SQ_FOLD_DUCK.replace('embedding', 'e.embedding')})
+                      * sqrt({_SQ_FOLD_DUCK.replace('embedding', 'q.qv')}))
+                     AS cos_sim,
+                   {_duck_bucket('e.embedding')} AS eb
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+        ),
+        lsh AS (
+            SELECT vec_id FROM scored, qb
+            WHERE xor(scored.eb, qb.b) IN (0, 1, 2, 4, 8, 16, 32, 64, 128)
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        ),
+        exact AS (
+            SELECT vec_id FROM scored
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        )
+        SELECT CAST(10 AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               round(CAST(COUNT(*) AS DOUBLE) / 10.0, 9) AS recall_at_10
+        FROM exact JOIN lsh USING (vec_id)
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-quality gate as a QUERY, not just a test: recall@10 of
+    the multiprobe sign-LSH path against the exact cosine ranking for
+    the standard vec_id=0 probe — the number an index-rollout pipeline
+    alarms on before switching traffic. Both rankings and their
+    intersection run in one Catalyst plan (two TakeOrdereds over the
+    same scored scan + a 10×10 join); the oracle re-derives the whole
+    pipeline including the inlined hyperplanes.
+    """
+    from dynaledger_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(corpus, list(qvec), k=10).select("vec_id")
+    lsh = lsh_topk(
+        corpus, list(qvec), k=10, n_planes=_LSH_PLANES_N, seed=_LSH_SEED
+    ).select("vec_id")
+    return exact.join(lsh, "vec_id").agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.round(F.count(F.lit(1)).cast("double") / 10.0, 9).alias(
+            "recall_at_10"
+        ),
     )
