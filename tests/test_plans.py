@@ -86,6 +86,8 @@ def test_no_cartesian_products(plans):
             "grid_density_clusters",  # 1-row density-threshold broadcast
             "t_closeness_audit",  # 1-row global-total broadcast
             "ks_two_sample_values",  # 1-row sample-size broadcasts
+            "ndcg_lexical_vs_dense",  # BM25 scalar broadcasts feed the DCG
+            "ann_recall_eval",  # two 10-row TakeOrdereds joined
         ), f"{name} nested-loop joins"
 
 
