@@ -151,6 +151,35 @@ _ROUND4_DRIVER_GREEN = (
 # miniatures that stand in for the engine-specific MinHash/SimHash.
 _PINNED = ("fact_build", "minhash_portable_pairs", "simhash_portable_fingerprints")
 
+# The round-5 verification window, fixed in the order the queries have
+# been WAITING (round-4-late batches first, then round-5 batch 1).
+# Without this pin, later-session additions to earlier modules
+# (queries_text/stats/eval/...) would displace the oldest never-verified
+# queries from the 50-slot window purely by module import order.
+_ROUND5_WINDOW = (
+    "hll_portable_estimate", "temperature_resample_sources",
+    "benford_first_digit", "tpch_q1_pricing_summary",
+    "seasonal_decompose_dow", "cusum_changepoint", "theil_sen_daily_trend",
+    "anomaly_dow_hour_baseline", "centroid_assign_fixed",
+    "random_projection_jl", "quantized_cosine_pairs", "k_anonymity_audit",
+    "embedding_covariance", "zipf_fit_vocab", "attribution_linear",
+    "feature_hash_vectorize", "link_prediction_common_neighbors",
+    "jaccard_prefix_filter_join", "triplet_sample_contrastive",
+    "unigram_logprob_quality", "corpus_report_by_source",
+    "token_dropout_augment", "bigram_interpolated_logprob",
+    "pit_join_click_tier", "rolling_purchase_features", "acf_daily_revenue",
+    "basket_association_rules", "cms_heavy_hitters", "km_churn_curve",
+    "quantile_normalize_by_type", "mad_outlier_days", "pmi_collocations",
+    "clustering_eval_ari", "feature_mi_by_dim", "markov_sequence_score",
+    "silhouette_fixed_centroids", "path_topk_sequences",
+    "funnel_pattern_match", "item_cf_cosine", "period_end_balance",
+    "event_debounce_keep_first", "decay_weighted_engagement",
+    # 5 spare slots go to the session's earliest batch-2 additions
+    "max_drawdown_daily_revenue", "rsi_14_daily_revenue",
+    "bollinger_breakout_days", "revenue_concentration_hhi",
+    "schema_drift_report",
+)
+
 # Twice-green simple relational queries: verified in both r1 and r2 (or
 # structurally equivalent to still-windowed queries) — demoted below the
 # rest of the green set so new queries fit in the 50-entry window without
@@ -183,6 +212,7 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
     r2_rank = {n: i for i, n in enumerate(_ROUND2_DRIVER_GREEN)}
     r3_rank = {n: i for i, n in enumerate(_ROUND3_DRIVER_GREEN)}
     r4_rank = {n: i for i, n in enumerate(_ROUND4_DRIVER_GREEN)}
+    r5_rank = {n: i for i, n in enumerate(_ROUND5_WINDOW)}
     green = set(r2_rank) | set(r3_rank) | set(r4_rank) | _ROUND1_DRIVER_GREEN
     names = list(registry)
 
@@ -190,14 +220,18 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
         spec = registry[name]
         if name in _PINNED:
             tier = 0
+        elif name in r5_rank:
+            tier = 1  # this round's fixed verification window
         elif spec.oracle is None:
-            tier = 4
+            tier = 5
         elif name in _DEMOTE:
-            tier = 3
+            tier = 4
         elif name in green:
-            tier = 2
+            tier = 3
         else:
-            tier = 1  # new / never driver-verified: spend the window here
+            tier = 2  # newer never-verified: next round's window
+        if tier == 1:
+            return (tier, r5_rank[name], names.index(name))
         # among green rows, re-verify the most recent round's set first
         # (it contains this round's behavior-touched queries), then r3, r2
         rank = r4_rank.get(
