@@ -1696,3 +1696,134 @@ def ks_two_sample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("crit_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion z-test with Wilson intervals
+# ---------------------------------------------------------------------------
+@register(
+    "ab_conversion_ztest",
+    doc="two-proportion z-test of buyer-propensity (purchases > views) between user-parity arms",
+    oracle="""
+        WITH arms AS (
+            SELECT user_id % 2 AS arm,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS nv,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS np
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN np > nv THEN 1 ELSE 0 END) AS BIGINT)
+                       AS x
+            FROM arms WHERE nv > 0 GROUP BY arm
+        ),
+        wide AS (
+            SELECT a.n AS n0, a.x AS x0, b.n AS n1, b.x AS x1
+            FROM agg a, agg b WHERE a.arm = 0 AND b.arm = 1
+        )
+        SELECT n0, x0, n1, x1,
+               round(CAST(x0 AS DOUBLE) / n0, 9) AS rate_a,
+               round(CAST(x1 AS DOUBLE) / n1, 9) AS rate_b,
+               CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN NULL
+                    ELSE round((CAST(x1 AS DOUBLE) / n1
+                                - CAST(x0 AS DOUBLE) / n0)
+                               / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                                      * (1.0 - CAST(x0 + x1 AS DOUBLE)
+                                         / (n0 + n1))
+                                      * (1.0 / n0 + 1.0 / n1)), 9)
+               END AS z,
+               round((CAST(x0 AS DOUBLE) / n0 + 1.9208 / n0
+                      - 1.96 * sqrt((CAST(x0 AS DOUBLE) / n0)
+                                    * (1.0 - CAST(x0 AS DOUBLE) / n0) / n0
+                                    + 0.9604 / (n0 * CAST(n0 AS DOUBLE))))
+                     / (1.0 + 3.8416 / n0), 9) AS wilson_lo_a,
+               round((CAST(x1 AS DOUBLE) / n1 + 1.9208 / n1
+                      - 1.96 * sqrt((CAST(x1 AS DOUBLE) / n1)
+                                    * (1.0 - CAST(x1 AS DOUBLE) / n1) / n1
+                                    + 0.9604 / (n1 * CAST(n1 AS DOUBLE))))
+                     / (1.0 + 3.8416 / n1), 9) AS wilson_lo_b
+        FROM wide
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout: user-parity arms (the deterministic
+    stand-in for assignment), per-user buyer propensity (strictly more
+    purchases than views — the simple "any purchase" flag saturates to
+    100% on this corpus and degenerates the variance), the
+    pooled two-proportion z statistic, and each arm's Wilson lower
+    bound at 95% (the interval that behaves at small n and extreme
+    rates, unlike Wald). Counts are exact integers; every float is one
+    fixed closed-form expression rounded at 9 — both engines evaluate
+    identical IEEE sequences from identical integers.
+
+    Plan: one per-user conditional-flag aggregate (map-side combined),
+    one 2-row arm rollup, one 1×1 combine — the entire statistical
+    readout costs a single corpus exchange.
+    """
+    ev = _t(spark, sf_dir, "events")
+    arms = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "nv"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .filter(F.col("nv") > 0)
+        .select((F.col("user_id") % 2).alias("arm"), "nv", "np")
+    )
+    agg = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("np") > F.col("nv"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    a = agg.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("x").alias("x0")
+    )
+    b = agg.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    x0 = F.col("x0").cast("double")
+    x1 = F.col("x1").cast("double")
+    pool = (x0 + x1) / (F.col("n0") + F.col("n1")).cast("double")
+    # pooled rate 0 or 1 (every viewer converts at tiny SFs) zeroes the
+    # variance -> guard the z statistic with NULL instead of 0/0
+    degenerate = (F.col("x0") + F.col("x1") == 0) | (
+        F.col("x0") + F.col("x1") == F.col("n0") + F.col("n1")
+    )
+    z = F.when(degenerate, F.lit(None).cast("double")).otherwise(
+        F.round(
+            (x1 / n1 - x0 / n0)
+            / F.sqrt(pool * (1.0 - pool) * (1.0 / n0 + 1.0 / n1)),
+            9,
+        )
+    )
+
+    def wilson_lo(x, n):
+        p = x / n
+        return (
+            p
+            + 1.9208 / n
+            - 1.96 * F.sqrt(p * (1.0 - p) / n + 0.9604 / (n * n))
+        ) / (1.0 + 3.8416 / n)
+
+    return w.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        F.round(x0 / n0, 9).alias("rate_a"),
+        F.round(x1 / n1, 9).alias("rate_b"),
+        z.alias("z"),
+        F.round(wilson_lo(x0, n0), 9).alias("wilson_lo_a"),
+        F.round(wilson_lo(x1, n1), 9).alias("wilson_lo_b"),
+    )

@@ -812,3 +812,38 @@ def test_stream_anomaly_zscore_flags_3sigma(spark, sf_dir):
     assert got, "3-sigma outliers exist in the synthetic value mix"
     for r in got:
         assert abs(r.z) > 3.0
+
+
+def test_ab_ztest_vs_brute_force(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    [r] = rows(spark, sf_dir, "ab_conversion_ztest")
+    per = defaultdict(lambda: [0, 0])
+    for e in read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).collect():
+        if e.event_type == "view":
+            per[e.user_id][0] += 1
+        elif e.event_type == "purchase":
+            per[e.user_id][1] += 1
+    stats = {0: [0, 0], 1: [0, 0]}
+    for uid, (nv, np_) in per.items():
+        if nv == 0:
+            continue
+        s = stats[uid % 2]
+        s[0] += 1
+        s[1] += 1 if np_ > nv else 0
+    (n0, x0), (n1, x1) = stats[0], stats[1]
+    assert (r.n0, r.x0, r.n1, r.x1) == (n0, x0, n1, x1)
+    assert r.rate_a == pytest.approx(x0 / n0, abs=1e-9)
+    assert r.rate_b == pytest.approx(x1 / n1, abs=1e-9)
+    if 0 < x0 + x1 < n0 + n1:
+        pool = (x0 + x1) / (n0 + n1)
+        z = (x1 / n1 - x0 / n0) / math.sqrt(
+            pool * (1 - pool) * (1 / n0 + 1 / n1)
+        )
+        assert r.z == pytest.approx(z, abs=1e-6)
+    # Wilson lower bound sits at or below the point estimate
+    assert r.wilson_lo_a <= r.rate_a + 1e-9
+    assert r.wilson_lo_b <= r.rate_b + 1e-9
+    assert r.wilson_lo_a >= 0 and r.wilson_lo_b >= 0
