@@ -88,6 +88,7 @@ def test_no_cartesian_products(plans):
             "ks_two_sample_values",  # 1-row sample-size broadcasts
             "ndcg_lexical_vs_dense",  # BM25 scalar broadcasts feed the DCG
             "ann_recall_eval",  # two 10-row TakeOrdereds joined
+            "ab_conversion_ztest",  # 1-row × 1-row arm-stats combine
         ), f"{name} nested-loop joins"
 
 
