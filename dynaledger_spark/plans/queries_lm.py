@@ -585,3 +585,112 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covered", F.lit(0).cast("bigint"), lambda a, p: a + p
         ).alias("covered_pos_sum"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-exact BPE miniature: 3 merge rounds re-derived by SQL windows
+# ---------------------------------------------------------------------------
+def _bpe_round_sql(k: int) -> str:
+    """One BPE merge round as SQL CTEs: pair counting, total-order
+    argmax, and the non-overlapping left-to-right merge expressed with
+    WINDOWS (islands of equal symbols + run parity for the a==b case) —
+    a completely different algorithm from the Spark operator's array
+    fold, which is exactly what makes the parity check strong
+    evidence. s{k} -> s{k+1}.
+    """
+    p = f"""
+        p{k + 1} AS (
+            SELECT syms[CAST(u.i AS INT)] AS a,
+                   syms[CAST(u.i AS INT) + 1] AS b,
+                   CAST(SUM(cnt) AS BIGINT) AS n
+            FROM s{k}, unnest(range(1, len(syms))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        b{k + 1} AS (
+            SELECT a, b, n FROM p{k + 1} ORDER BY n DESC, a, b LIMIT 1
+        ),
+        e{k + 1} AS (
+            SELECT w, cnt, CAST(u.i AS BIGINT) AS pos,
+                   syms[CAST(u.i AS INT)] AS s,
+                   len(syms) AS L
+            FROM s{k}, unnest(range(1, len(syms) + 1)) AS u(i)
+        ),
+        r{k + 1} AS (
+            SELECT e.*, b.a, b.b, b.a || b.b AS ab,
+                   pos - row_number() OVER (PARTITION BY w, s
+                                            ORDER BY pos) AS grp,
+                   lead(s) OVER (PARTITION BY w ORDER BY pos) AS nxt
+            FROM e{k + 1} e, b{k + 1} b
+        ),
+        h{k + 1} AS (
+            SELECT *, MIN(pos) OVER (PARTITION BY w, s, grp) AS run_head
+            FROM r{k + 1}
+        ),
+        st{k + 1} AS (
+            SELECT *,
+                   (s = a AND nxt = b
+                    AND (a <> b OR (pos - run_head) % 2 = 0)) AS start
+            FROM h{k + 1}
+        ),
+        con{k + 1} AS (
+            SELECT *, COALESCE(lag(start) OVER (PARTITION BY w
+                                                ORDER BY pos), FALSE)
+                          AS consumed
+            FROM st{k + 1}
+        ),
+        s{k + 1} AS (
+            SELECT w, cnt,
+                   list(CASE WHEN start THEN ab ELSE s END
+                        ORDER BY pos) AS syms
+            FROM con{k + 1} WHERE NOT consumed
+            GROUP BY w, cnt
+        )"""
+    return p
+
+
+_BPE_PORTABLE_ROUNDS = 3
+
+
+@register(
+    "bpe_portable_merges",
+    doc="first 3 BPE merges with the oracle re-deriving every round via SQL windows",
+    oracle=f"""
+        WITH words AS (
+            SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+            WHERE length(u.w) > 0 GROUP BY 1
+        ),
+        s0 AS (SELECT w, cnt, string_split(w, '') AS syms FROM words),
+        {','.join(_bpe_round_sql(k) for k in range(_BPE_PORTABLE_ROUNDS))}
+        SELECT * FROM (
+            SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,
+                   a || b AS merged, n AS pair_count FROM b1
+            UNION ALL
+            SELECT 2, a, b, a || b, n FROM b2
+            UNION ALL
+            SELECT 3, a, b, a || b, n FROM b3
+        ) ORDER BY merge_rank
+    """,
+)
+def bpe_portable_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-exact BPE miniature, following the portable-MinHash
+    doctrine: the Spark side runs the REAL distributed trainer
+    (operators/bpe.py — array-fold merges), while the DuckDB oracle
+    re-derives all three rounds with an INDEPENDENT algorithm
+    (windowed islands: merge starts where (s, next) matches the argmax
+    pair, with run-parity handling the a==b self-pair case; consumed
+    positions drop via lag). Hash-identical output across two
+    different merge implementations pins the non-overlap semantics the
+    python mirror test asserts, but under the driver's gate.
+    """
+    from dynaledger_spark.operators.bpe import learn_bpe_merges
+
+    return learn_bpe_merges(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_PORTABLE_ROUNDS
+    ).select(
+        "merge_rank",
+        F.col("left").alias("left_sym"),
+        F.col("right").alias("right_sym"),
+        "merged",
+        "pair_count",
+    )
