@@ -226,6 +226,82 @@ def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85) -> DataFra
     )
 
 
+_BFS_DEPTH = 4
+
+
+@register(
+    "bfs_levels_copurchase",
+    doc="BFS hop levels from the min-id vertex (4 hops, iterative frontier joins)",
+    oracle=f"""
+        WITH RECURSIVE {_EDGES_DUCK},
+        arcs AS (
+            SELECT pa AS src, pb AS dst FROM edges
+            UNION ALL
+            SELECT pb, pa FROM edges
+        ),
+        walk(v, lvl) AS (
+            SELECT CAST((SELECT MIN(pa) FROM edges) AS BIGINT), 0
+            UNION
+            SELECT a.dst, w.lvl + 1
+            FROM walk w JOIN arcs a ON a.src = w.v
+            WHERE w.lvl < {_BFS_DEPTH}
+        )
+        SELECT v, CAST(MIN(lvl) AS BIGINT) AS level
+        FROM walk GROUP BY v
+    """,
+)
+def bfs_levels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first traversal — the graph staple the module still
+    lacked (components, PageRank, k-core, triangles are all here).
+    Levels are pure integers, so unlike PageRank this iterative
+    operator is ORACLE-EXACT, and the DuckDB side re-derives it with a
+    genuinely different algorithm (a recursive CTE enumerating all
+    ≤4-hop walks, deduped per (v, lvl), MIN-folded) — strong
+    independent evidence for the frontier semantics.
+    """
+    return bfs_levels(_edges(spark, sf_dir), max_depth=_BFS_DEPTH)
+
+
+def bfs_levels(edges: DataFrame, max_depth: int) -> DataFrame:
+    """(v, level) for every vertex within max_depth hops of the
+    minimum-id vertex; level = hop distance (0 for the seed).
+
+    Classic frontier BFS as joins: each round expands the CURRENT
+    frontier along arcs, anti-joins the visited set, and checkpoints
+    the (small) frontier eagerly — per-round plans stay flat and the
+    round's count() doubles as the empty-frontier convergence test
+    (same pattern as kcore below). Work per round is
+    |frontier ⋈ arcs|, the textbook distributed-BFS cost; the visited
+    set only ever APPENDS, so at 100 TB you'd keep it bucketed by v
+    for the anti-join and this shape survives unchanged.
+    """
+    arcs = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()
+    )
+    seed = edges.agg(F.min("pa").cast("bigint").alias("v")).select(
+        "v", F.lit(0).cast("bigint").alias("level")
+    )
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.select(F.col("v").alias("src"))
+            .join(arcs, "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, "v", "left_anti")
+            .select("v", F.lit(depth).cast("bigint").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 @register(
     "kcore_copurchase",
     doc="2-core of the co-purchase graph (iterative peeling to fixpoint)",

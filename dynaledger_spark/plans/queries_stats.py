@@ -1827,3 +1827,382 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wilson_lo(x0, n0), 9).alias("wilson_lo_a"),
         F.round(wilson_lo(x1, n1), 9).alias("wilson_lo_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) with tie correction
+# ---------------------------------------------------------------------------
+@register(
+    "mann_whitney_u_test",
+    doc="tie-corrected Mann-Whitney U between first/second half-month purchase values",
+    oracle="""
+        WITH s AS (
+            SELECT CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS half,
+                   CAST(round(value * 100) AS BIGINT) AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        n AS (
+            SELECT CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS na,
+                   CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nb
+            FROM s
+        ),
+        cnts AS (
+            SELECT v,
+                   SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+                   COUNT(*) AS cnt
+            FROM s GROUP BY v
+        ),
+        ranked AS (
+            SELECT ca, cnt,
+                   SUM(cnt) OVER (ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - cnt AS cum_before
+            FROM cnts
+        ),
+        folds AS (
+            SELECT CAST(SUM(CAST(ca AS HUGEINT)
+                            * (2 * cum_before + cnt + 1)) AS BIGINT) AS ra2,
+                   CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                        AS BIGINT) AS ties
+            FROM ranked
+        )
+        SELECT na, nb,
+               CAST(ra2 - na * (na + 1) AS BIGINT) AS u2_a,
+               ties AS tie_sum,
+               round(CAST(ra2 - na * (na + 1) AS DOUBLE) / 2.0
+                     - CAST(na AS DOUBLE) * nb / 2.0, 9) AS u_minus_mean,
+               round((CAST(ra2 - na * (na + 1) AS DOUBLE)
+                      - CAST(na AS DOUBLE) * nb)
+                     / (2.0 * sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                                   * ((CAST(na AS DOUBLE) + nb + 1.0)
+                                      - CAST(ties AS DOUBLE)
+                                        / ((CAST(na AS DOUBLE) + nb)
+                                           * (CAST(na AS DOUBLE) + nb
+                                              - 1.0))))), 9) AS z
+        FROM folds, n
+    """,
+)
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-based nonparametric complement to ks_two_sample_values,
+    on the SAME half-month purchase split: KS tests the largest CDF gap,
+    Mann-Whitney tests stochastic dominance (P(A > B) ≠ ½). Values are
+    discretized to cents like KS — which both bounds the rank window by
+    the value domain AND produces genuine ties, so the tie-corrected
+    variance term σ² = nₐn_b/12·((N+1) − Σ(t³−t)/(N(N−1))) is actually
+    exercised. Everything up to the final statistic is integer
+    arithmetic on DECIMAL(38,0) accumulators — midranks are kept DOUBLED
+    (2·midrank = 2·cum_before + cnt + 1, always an integer), so rank
+    sums are exact and the only floats are two fixed closed forms
+    rounded at 9.
+
+    Plan: one cents-grain hash aggregate, one window over the distinct
+    value axis (domain-bounded — "aggregate first, then window the
+    rollup", the KS/quantile-normalize shape), two 1-row folds combined
+    by broadcast. One corpus exchange total.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = ev.select(
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("half"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    n = s.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    cnts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = cnts.select(
+        "ca", "cnt", (F.sum("cnt").over(wv) - F.col("cnt")).alias("cum_before")
+    )
+    folds = ranked.agg(
+        F.sum(
+            F.col("ca").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("ra2"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("ties"),
+    )
+    w = folds.crossJoin(F.broadcast(n))
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    u2 = F.col("ra2") - F.col("na") * (F.col("na") + 1)
+    sigma2 = (
+        nad * nbd / 12.0
+        * (
+            (nad + nbd + 1.0)
+            - F.col("ties").cast("double") / ((nad + nbd) * (nad + nbd - 1.0))
+        )
+    )
+    return w.select(
+        "na",
+        "nb",
+        u2.cast("bigint").alias("u2_a"),
+        F.col("ties").alias("tie_sum"),
+        F.round(u2.cast("double") / 2.0 - nad * nbd / 2.0, 9).alias(
+            "u_minus_mean"
+        ),
+        F.round(
+            (u2.cast("double") - nad * nbd) / (2.0 * F.sqrt(sigma2)), 9
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# ---------------------------------------------------------------------------
+@register(
+    "cuped_adjusted_ab",
+    doc="CUPED-adjusted per-arm post-period spend (pre-period value as covariate)",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN day(ts) <= 15
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN day(ts) > 15
+                                  AND event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        arm_agg AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy
+            FROM per_user GROUP BY arm
+        ),
+        g AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS gn,
+                   CAST(SUM(sx) AS BIGINT) AS gsx,
+                   CAST(SUM(sy) AS BIGINT) AS gsy,
+                   CAST(SUM(sxx) AS BIGINT) AS gsxx,
+                   CAST(SUM(sxy) AS BIGINT) AS gsxy,
+                   CAST(SUM(syy) AS BIGINT) AS gsyy
+            FROM arm_agg
+        )
+        SELECT arm, n AS n_users,
+               round(CAST(sy AS DOUBLE) / n / 100.0, 9) AS mean_post,
+               round((CAST(sy AS DOUBLE) / n
+                      - ((CAST(gn AS DOUBLE) * gsxy
+                          - CAST(gsx AS DOUBLE) * gsy)
+                         / (CAST(gn AS DOUBLE) * gsxx
+                            - CAST(gsx AS DOUBLE) * gsx))
+                        * (CAST(sx AS DOUBLE) / n
+                           - CAST(gsx AS DOUBLE) / gn)) / 100.0, 9)
+                   AS mean_cuped,
+               round((CAST(gn AS DOUBLE) * gsxy
+                      - CAST(gsx AS DOUBLE) * gsy)
+                     / (CAST(gn AS DOUBLE) * gsxx
+                        - CAST(gsx AS DOUBLE) * gsx), 9) AS theta,
+               round(((CAST(gn AS DOUBLE) * gsxy
+                       - CAST(gsx AS DOUBLE) * gsy)
+                      * (CAST(gn AS DOUBLE) * gsxy
+                         - CAST(gsx AS DOUBLE) * gsy))
+                     / ((CAST(gn AS DOUBLE) * gsxx
+                         - CAST(gsx AS DOUBLE) * gsx)
+                        * (CAST(gn AS DOUBLE) * gsyy
+                           - CAST(gsy AS DOUBLE) * gsy)), 9)
+                   AS var_reduction
+        FROM arm_agg, g
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Deng et al. 2013): shrink each arm's post-period spend by
+    the pooled pre-period covariate — Ŷ_arm = Ȳ_arm − θ·(X̄_arm − X̄),
+    θ = cov(X,Y)/var(X) — cutting readout variance by ρ² without
+    touching the treatment-effect estimate. Pre-period covariate =
+    first-half total event value; metric = second-half purchase spend;
+    arms by user parity (the ab_conversion_ztest assignment). All
+    moments are exact integer sums over cent-quantized per-user totals
+    (DECIMAL-accumulated, order-independent); θ, the adjusted means,
+    and ρ² are fixed closed forms on those integers, rounded at 9.
+
+    Plan: one per-user conditional aggregate (map-side combined), a
+    2-row arm rollup, a 1-row global fold broadcast back onto the arms.
+    One corpus exchange total — the readout costs the same as a count.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.dayofmonth("ts") > 15)
+                & (F.col("event_type") == "purchase"),
+                cents,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    arm_agg = per_user.select(
+        (F.col("user_id") % 2).alias("arm"), "x", "y"
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(big("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(big("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(big("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    g = arm_agg.agg(
+        F.sum("n").cast("bigint").alias("gn"),
+        F.sum("sx").cast("bigint").alias("gsx"),
+        F.sum("sy").cast("bigint").alias("gsy"),
+        F.sum("sxx").cast("bigint").alias("gsxx"),
+        F.sum("sxy").cast("bigint").alias("gsxy"),
+        F.sum("syy").cast("bigint").alias("gsyy"),
+    )
+    w = arm_agg.crossJoin(F.broadcast(g))
+    gn = F.col("gn").cast("double")
+    gsx = F.col("gsx").cast("double")
+    gsy = F.col("gsy").cast("double")
+    cov_n = gn * F.col("gsxy") - gsx * F.col("gsy")
+    varx_n = gn * F.col("gsxx") - gsx * F.col("gsx")
+    vary_n = gn * F.col("gsyy") - gsy * F.col("gsy")
+    theta = cov_n / varx_n
+    return w.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.round(F.col("sy").cast("double") / F.col("n") / 100.0, 9).alias(
+            "mean_post"
+        ),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - theta
+                * (F.col("sx").cast("double") / F.col("n") - gsx / F.col("gn"))
+            )
+            / 100.0,
+            9,
+        ).alias("mean_cuped"),
+        F.round(theta, 9).alias("theta"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 9).alias("var_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value binning
+# ---------------------------------------------------------------------------
+@register(
+    "woe_iv_acctbal_urgent",
+    doc="per-bin weight-of-evidence of acctbal bands vs has-urgent-order target",
+    oracle="""
+        WITH tgt AS (
+            SELECT c.c_custkey,
+                   CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bin,
+                   CASE WHEN u.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+                       AS event
+            FROM customer c
+            LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT') u
+              ON u.o_custkey = c.c_custkey
+        ),
+        bins AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(event) AS BIGINT) AS n_event,
+                   CAST(COUNT(*) - SUM(event) AS BIGINT) AS n_nonevent
+            FROM tgt GROUP BY bin
+        ),
+        tot AS (
+            SELECT bin, n_customers, n_event, n_nonevent,
+                   SUM(n_event) OVER () AS et,
+                   SUM(n_nonevent) OVER () AS net,
+                   COUNT(*) OVER () AS nb
+            FROM bins
+        )
+        SELECT bin, n_customers, n_event, n_nonevent,
+               round(ln(((CAST(n_event AS DOUBLE) + 0.5)
+                         / (CAST(et AS DOUBLE) + 0.5 * nb))
+                        / ((CAST(n_nonevent AS DOUBLE) + 0.5)
+                           / (CAST(net AS DOUBLE) + 0.5 * nb))), 9) AS woe,
+               round(((CAST(n_event AS DOUBLE) + 0.5)
+                      / (CAST(et AS DOUBLE) + 0.5 * nb)
+                      - (CAST(n_nonevent AS DOUBLE) + 0.5)
+                        / (CAST(net AS DOUBLE) + 0.5 * nb))
+                     * ln(((CAST(n_event AS DOUBLE) + 0.5)
+                           / (CAST(et AS DOUBLE) + 0.5 * nb))
+                          / ((CAST(n_nonevent AS DOUBLE) + 0.5)
+                             / (CAST(net AS DOUBLE) + 0.5 * nb))), 9)
+                   AS iv_term
+        FROM tot
+    """,
+)
+def woe_iv_acctbal_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding — the credit-scoring sibling of
+    target_encode_priority: per acctbal band, WOE = ln(P(bin|event) /
+    P(bin|non-event)) with 0.5 Laplace smoothing per cell, plus each
+    band's information-value term (their sum is the feature's IV). Bin
+    counts are exact integers; the totals ride a window over the ~11-row
+    bin rollup (integer, order-free), so each output float is one fixed
+    ln/divide chain rounded at 9. IV is reported PER BIN, not summed —
+    a cross-bin float sum would be the one order-dependent step, so the
+    contract leaves the 11-term reduction to the reader.
+
+    Plan: distinct urgent custkeys (fits broadcast), left broadcast
+    join onto customers, one bin rollup; the OVER () totals window runs
+    on 11 rows. One customer-table exchange total.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("event_flag", F.lit(1))
+    )
+    tgt = c.join(
+        F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left"
+    ).select(
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bin"),
+        F.coalesce(F.col("event_flag"), F.lit(0)).alias("event"),
+    )
+    bins = tgt.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("event").cast("bigint").alias("n_event"),
+        (F.count(F.lit(1)) - F.sum("event")).cast("bigint").alias("n_nonevent"),
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    tot = bins.select(
+        "*",
+        F.sum("n_event").over(wall).alias("et"),
+        F.sum("n_nonevent").over(wall).alias("net"),
+        F.count(F.lit(1)).over(wall).alias("nb"),
+    )
+    pe = (F.col("n_event").cast("double") + 0.5) / (
+        F.col("et").cast("double") + 0.5 * F.col("nb")
+    )
+    pne = (F.col("n_nonevent").cast("double") + 0.5) / (
+        F.col("net").cast("double") + 0.5 * F.col("nb")
+    )
+    return tot.select(
+        "bin",
+        "n_customers",
+        "n_event",
+        "n_nonevent",
+        F.round(F.log(pe / pne), 9).alias("woe"),
+        F.round((pe - pne) * F.log(pe / pne), 9).alias("iv_term"),
+    )

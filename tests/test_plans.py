@@ -73,6 +73,8 @@ def test_no_cartesian_products(plans):
             "benford_first_digit",  # 1-row broadcast of the grand total
             "temperature_resample_sources",  # 1-row broadcasts of corpus totals
             "decay_weighted_engagement",  # 1-row broadcast of the time anchor
+            "mann_whitney_u_test",  # 1-row broadcast of the group sizes
+            "cuped_adjusted_ab",  # 1-row broadcast of the pooled moments
             "bigram_interpolated_logprob",  # 1-row broadcast of the token total
             "tpch_q1_pricing_summary",  # 1-row broadcast of the shipdate anchor
             "theil_sen_daily_trend",  # calendar-bounded |days|x|days| pair loop
