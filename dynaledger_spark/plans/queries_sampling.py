@@ -330,3 +330,168 @@ def temperature_resample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from dynaledger_spark.catalog import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+_BOOT_B = 200
+# Inverse-CDF thresholds for Poisson(1): P(X <= k) for k = 0..5; draws
+# above the last threshold cap at 6 (P ≈ 1 - 1e-4 — negligible mass,
+# identical cap on both engines so exactness is unaffected).
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+@register(
+    "bootstrap_mean_ci",
+    doc="Poisson-bootstrap 95% CI of the mean purchase value (200 deterministic replicates)",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        draws AS (
+            SELECT CAST(u.r AS BIGINT) AS rep, cents,
+                   {_pois_case_sql(
+                       "CAST((event_id * " + str(_H1)
+                       + " + CAST(u.r AS BIGINT) * " + str(_H2)
+                       + ") % " + str(_M32)
+                       + " AS DOUBLE) / " + str(_M32) + ".0"
+                   )} AS w
+            FROM s, unnest(range(1, {_BOOT_B} + 1)) AS u(r)
+        ),
+        reps AS (
+            SELECT rep,
+                   CAST(SUM(CAST(w AS BIGINT) * cents) AS BIGINT) AS wsum,
+                   CAST(SUM(w) AS BIGINT) AS wn
+            FROM draws GROUP BY rep
+        ),
+        means AS (
+            SELECT CAST(wsum AS DOUBLE) / wn / 100.0 AS m,
+                   row_number() OVER (ORDER BY CAST(wsum AS DOUBLE) / wn,
+                                      rep) AS rk
+            FROM reps
+        ),
+        pt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS tot
+            FROM s
+        )
+        SELECT n_events,
+               CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+               round(CAST(tot AS DOUBLE) / n_events / 100.0, 9) AS point_mean,
+               round((SELECT m FROM means
+                      WHERE rk = CAST(ceil(0.025 * {_BOOT_B}) AS BIGINT)), 9)
+                   AS ci_lo,
+               round((SELECT m FROM means
+                      WHERE rk = CAST(ceil(0.975 * {_BOOT_B}) AS BIGINT)), 9)
+                   AS ci_hi
+        FROM pt
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap (Chamandy et al., Google 2012) — THE
+    resampling scheme for distributed data: instead of materializing B
+    resampled datasets, each row draws an independent Poisson(1)
+    multiplicity per replicate, so one pass over the corpus yields all
+    B replicate sums. Draws are DETERMINISTIC — the multiplicative-hash
+    uniform u = ((event_id·H1 + rep·H2) mod 2³²)/2³² pushed through the
+    exact Poisson(1) inverse CDF — so both engines reproduce identical
+    weights and the CI is oracle-exact (percentile method on the
+    order statistics of the replicate means, ranks ⌈0.025B⌉/⌈0.975B⌉).
+
+    Plan: map-side explode ×B (no shuffle), ONE hash aggregate on the
+    B-row replicate key, a 200-row rank window, and 1-row combines. At
+    100 TB the per-replicate partials combine map-side, so cost is one
+    corpus scan + B·|partitions| partial rows — the reason this beats
+    classic resampling by construction.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    s = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    draws = s.select(
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("rep"),
+        "event_id",
+    ).select(
+        F.col("rep").cast("bigint").alias("rep"),
+        "cents",
+        (
+            (
+                (
+                    F.col("event_id").cast("decimal(38,0)") * _H1
+                    + F.col("rep").cast("decimal(38,0)") * _H2
+                )
+                % _M32
+            ).cast("bigint")
+        ).alias("h"),
+    )
+    u = F.col("h").cast("double") / float(_M32)
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < float(_POIS1_CDF[k]), k).otherwise(w)
+    reps = (
+        draws.select("rep", "cents", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("w").cast("bigint") * F.col("cents"))
+            .cast("bigint")
+            .alias("wsum"),
+            F.sum("w").cast("bigint").alias("wn"),
+        )
+    )
+    m = F.col("wsum").cast("double") / F.col("wn") / 100.0
+    means = reps.select(
+        m.alias("m"),
+        F.row_number()
+        .over(W.orderBy((F.col("wsum").cast("double") / F.col("wn")), "rep"))
+        .alias("rk"),
+    )
+    import math as _math
+
+    lo_rk = int(_math.ceil(0.025 * _BOOT_B))
+    hi_rk = int(_math.ceil(0.975 * _BOOT_B))
+    lo = means.filter(F.col("rk") == lo_rk).select(
+        F.round("m", 9).alias("ci_lo")
+    )
+    hi = means.filter(F.col("rk") == hi_rk).select(
+        F.round("m", 9).alias("ci_hi")
+    )
+    pt = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("tot"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_events",
+            F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+            F.round(
+                F.col("tot").cast("double") / F.col("n_events") / 100.0, 9
+            ).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -2206,3 +2206,244 @@ def woe_iv_acctbal_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(pe / pne), 9).alias("woe"),
         F.round((pe - pne) * F.log(pe / pne), 9).alias("iv_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS via explicit normal equations (Cramer's rule)
+# ---------------------------------------------------------------------------
+@register(
+    "ols_price_qty_discount",
+    doc="OLS extendedprice ~ quantity + discount via exact-moment normal equations",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                            * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE)
+                       AS s11,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                            * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                       AS s12,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(8,2))
+                            * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                       AS s22,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))
+                            * CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(8,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS s2y,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS syy
+            FROM lineitem
+        )
+        SELECT n,
+               round((sy * (s11 * s22 - s12 * s12)
+                      - s1 * (s1y * s22 - s12 * s2y)
+                      + s2 * (s1y * s12 - s11 * s2y))
+                     / (n * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2)), 6) AS beta0,
+               round((n * (s1y * s22 - s12 * s2y)
+                      - sy * (s1 * s22 - s12 * s2)
+                      + s2 * (s1 * s2y - s1y * s2))
+                     / (n * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2)), 6) AS beta1,
+               round((n * (s11 * s2y - s1y * s12)
+                      - s1 * (s1 * s2y - s1y * s2)
+                      + sy * (s1 * s12 - s11 * s2))
+                     / (n * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2)), 6) AS beta2,
+               round(1.0 - (syy
+                            - ((sy * (s11 * s22 - s12 * s12)
+                                - s1 * (s1y * s22 - s12 * s2y)
+                                + s2 * (s1y * s12 - s11 * s2y))
+                               / (n * (s11 * s22 - s12 * s12)
+                                  - s1 * (s1 * s22 - s12 * s2)
+                                  + s2 * (s1 * s12 - s11 * s2)) * sy
+                               + (n * (s1y * s22 - s12 * s2y)
+                                  - sy * (s1 * s22 - s12 * s2)
+                                  + s2 * (s1 * s2y - s1y * s2))
+                                 / (n * (s11 * s22 - s12 * s12)
+                                    - s1 * (s1 * s22 - s12 * s2)
+                                    + s2 * (s1 * s12 - s11 * s2)) * s1y
+                               + (n * (s11 * s2y - s1y * s12)
+                                  - s1 * (s1 * s2y - s1y * s2)
+                                  + sy * (s1 * s12 - s11 * s2))
+                                 / (n * (s11 * s22 - s12 * s12)
+                                    - s1 * (s1 * s22 - s12 * s2)
+                                    + s2 * (s1 * s12 - s11 * s2)) * s2y))
+                           / (syy - sy * sy / n), 9) AS r2
+        FROM m
+    """,
+)
+def ols_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS upgraded from regression_price_by_qty's simple
+    slope: extendedprice ~ β₀ + β₁·quantity + β₂·discount, solved by
+    Cramer's rule on the 3×3 normal equations. Every moment is an exact
+    DECIMAL sum (order-independent across Spark's partial combines);
+    the determinant ratios and R² = 1 − SSE/SST are fixed IEEE chains
+    on those exact moments — SQL and Spark spell the IDENTICAL
+    expression tree, parenthesis for parenthesis, so 6/9-digit rounding
+    seals bitwise parity. Distributed linear regression at any corpus
+    size is exactly this shape: one map-side-combined moment aggregate,
+    then O(p³) driver-free closed-form algebra on a 1-row result.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,0)")
+    d = F.col("l_discount").cast("decimal(8,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(d).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(q * d).cast("double").alias("s12"),
+        F.sum(d * d).cast("double").alias("s22"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(d * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2, sy = F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    ) / det
+    r2 = 1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) / (syy - sy * sy / n)
+    return m.select(
+        "n",
+        F.round(b0, 6).alias("beta0"),
+        F.round(b1, 6).alias("beta1"),
+        F.round(b2, 6).alias("beta2"),
+        F.round(r2, 9).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gains / lift table over score deciles
+# ---------------------------------------------------------------------------
+@register(
+    "lift_gains_deciles",
+    doc="cumulative gains and lift of acctbal deciles against the has-urgent-order target",
+    oracle="""
+        WITH tgt AS (
+            SELECT ntile(10) OVER (ORDER BY c.c_acctbal DESC, c.c_custkey)
+                       AS decile,
+                   CASE WHEN u.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+                       AS event
+            FROM customer c
+            LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT') u
+              ON u.o_custkey = c.c_custkey
+        ),
+        bins AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(event) AS BIGINT) AS n_event
+            FROM tgt GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n_customers, n_event,
+                   SUM(n_customers) OVER (ORDER BY decile
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum_customers,
+                   SUM(n_event) OVER (ORDER BY decile
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_event,
+                   SUM(n_customers) OVER () AS tot_customers,
+                   SUM(n_event) OVER () AS tot_event
+            FROM bins
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, n_customers, n_event,
+               CAST(cum_event AS BIGINT) AS cum_event,
+               round(CAST(cum_event AS DOUBLE) / tot_event, 9) AS cum_gain,
+               round((CAST(cum_event AS DOUBLE) / cum_customers)
+                     / (CAST(tot_event AS DOUBLE) / tot_customers), 9)
+                   AS cum_lift
+        FROM cum
+    """,
+)
+def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The campaign-targeting readout: rank customers by a score
+    (acctbal, descending — custkey breaks ties so NTILE is
+    deterministic), cut into deciles, and report each prefix's share of
+    all targets (cumulative gains) and its precision relative to random
+    targeting (cumulative lift). Counts are integers end-to-end; gains
+    and lift are single divisions rounded at 9.
+
+    Plan: broadcast the distinct urgent keys onto customers, one global
+    NTILE (the decile assignment is a rank — at 100 TB you'd swap it
+    for precomputed decile BOUNDARIES from quantile_binning_migration
+    and a map-side bucket lookup, trading exact equal-frequency cuts
+    for a boundary broadcast), then all windows run on the 10-row
+    rollup.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("event_flag", F.lit(1))
+    )
+    scored = c.join(
+        F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left"
+    ).select(
+        F.ntile(10)
+        .over(W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+        .alias("decile"),
+        F.coalesce(F.col("event_flag"), F.lit(0)).alias("event"),
+    )
+    bins = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("event").cast("bigint").alias("n_event"),
+    )
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = bins.select(
+        "*",
+        F.sum("n_customers").over(wcum).alias("cum_customers"),
+        F.sum("n_event").over(wcum).alias("cum_event"),
+        F.sum("n_customers").over(wall).alias("tot_customers"),
+        F.sum("n_event").over(wall).alias("tot_event"),
+    )
+    return cum.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_customers",
+        "n_event",
+        F.col("cum_event").cast("bigint").alias("cum_event"),
+        F.round(
+            F.col("cum_event").cast("double") / F.col("tot_event"), 9
+        ).alias("cum_gain"),
+        F.round(
+            (F.col("cum_event").cast("double") / F.col("cum_customers"))
+            / (F.col("tot_event").cast("double") / F.col("tot_customers")),
+            9,
+        ).alias("cum_lift"),
+    )

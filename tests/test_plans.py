@@ -75,6 +75,7 @@ def test_no_cartesian_products(plans):
             "decay_weighted_engagement",  # 1-row broadcast of the time anchor
             "mann_whitney_u_test",  # 1-row broadcast of the group sizes
             "cuped_adjusted_ab",  # 1-row broadcast of the pooled moments
+            "bootstrap_mean_ci",  # 1-row broadcasts of the CI order statistics
             "bigram_interpolated_logprob",  # 1-row broadcast of the token total
             "tpch_q1_pricing_summary",  # 1-row broadcast of the shipdate anchor
             "theil_sen_daily_trend",  # calendar-bounded |days|x|days| pair loop

@@ -206,3 +206,116 @@ def test_woe_iv_vs_brute_force(spark, sf_dir):
         assert got[b].iv_term == pytest.approx((pe - pne) * woe, abs=1e-8)
     # IV terms of a binary split sum to a nonnegative number
     assert sum(r.iv_term for r in got.values()) >= 0
+
+
+def test_bootstrap_ci_vs_brute_force(spark, sf_dir):
+    """Replay the deterministic Poisson draws in pure Python and
+    recompute the replicate means and percentile CI."""
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.plans.queries_sampling import (
+        _BOOT_B,
+        _H1,
+        _H2,
+        _M32,
+        _POIS1_CDF,
+    )
+
+    [r] = rows(spark, sf_dir, "bootstrap_mean_ci")
+    cents = {
+        e.event_id: int(round(e.value * 100))
+        for e in read_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .select("event_id", "value")
+        .collect()
+    }
+    thresholds = [float(t) for t in _POIS1_CDF]
+    means = []
+    for rep in range(1, _BOOT_B + 1):
+        wsum = wn = 0
+        for eid, c in cents.items():
+            u = ((eid * _H1 + rep * _H2) % _M32) / _M32
+            w = 6
+            for k, t in enumerate(thresholds):
+                if u < t:
+                    w = k
+                    break
+            wsum += w * c
+            wn += w
+        means.append(wsum / wn / 100.0)
+    means.sort()
+    assert r.n_events == len(cents)
+    assert r.n_replicates == _BOOT_B
+    assert r.point_mean == pytest.approx(
+        sum(cents.values()) / len(cents) / 100.0, abs=1e-8
+    )
+    assert r.ci_lo == pytest.approx(means[math.ceil(0.025 * _BOOT_B) - 1], abs=1e-8)
+    assert r.ci_hi == pytest.approx(means[math.ceil(0.975 * _BOOT_B) - 1], abs=1e-8)
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+
+
+def test_ols_vs_numpy_lstsq(spark, sf_dir):
+    """The Cramer solution must match numpy's least-squares solve."""
+    import numpy as np
+
+    from dynaledger_spark.catalog import read_table
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    X = np.array([[1.0, float(r.l_quantity), float(r.l_discount)] for r in li])
+    y = np.array([float(r.l_extendedprice) for r in li])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    [r] = rows(spark, sf_dir, "ols_price_qty_discount")
+    assert r.n == len(li)
+    assert r.beta0 == pytest.approx(beta[0], rel=1e-6)
+    assert r.beta1 == pytest.approx(beta[1], rel=1e-6)
+    assert r.beta2 == pytest.approx(beta[2], rel=1e-6)
+    resid = y - X @ beta
+    sst = ((y - y.mean()) ** 2).sum()
+    assert r.r2 == pytest.approx(1.0 - (resid**2).sum() / sst, abs=1e-6)
+    assert 0.0 <= r.r2 <= 1.0
+
+
+def test_lift_gains_vs_brute_force(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    urgent = {
+        r.o_custkey
+        for r in read_table(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_custkey")
+        .collect()
+    }
+    custs = sorted(
+        (
+            (-c.c_acctbal, c.c_custkey, 1 if c.c_custkey in urgent else 0)
+            for c in read_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_acctbal")
+            .collect()
+        )
+    )
+    n = len(custs)
+    # ntile semantics: first (n % 10) tiles get one extra row
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    got = sorted(rows(spark, sf_dir, "lift_gains_deciles"), key=lambda r: r.decile)
+    tot_event = sum(t[2] for t in custs)
+    idx = 0
+    cum_e = cum_n = 0
+    for d, size in enumerate(sizes, start=1):
+        ev = sum(t[2] for t in custs[idx : idx + size])
+        idx += size
+        cum_e += ev
+        cum_n += size
+        r = got[d - 1]
+        assert (r.n_customers, r.n_event) == (size, ev)
+        assert r.cum_event == cum_e
+        assert r.cum_gain == pytest.approx(cum_e / tot_event, abs=1e-8)
+        assert r.cum_lift == pytest.approx(
+            (cum_e / cum_n) / (tot_event / n), abs=1e-8
+        )
+    # gains are monotone and end at 1; lift is decreasing-ish ending at 1
+    assert got[-1].cum_gain == pytest.approx(1.0)
+    assert got[-1].cum_lift == pytest.approx(1.0)
