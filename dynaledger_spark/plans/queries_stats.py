@@ -2447,3 +2447,240 @@ def lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cum_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (pool-adjacent-violators via the minimax identity)
+# ---------------------------------------------------------------------------
+@register(
+    "isotonic_calibration_deciles",
+    doc="weighted isotonic fit of urgent-order rate over acctbal deciles (PAV minimax form)",
+    oracle="""
+        WITH tgt AS (
+            SELECT ntile(10) OVER (ORDER BY c.c_acctbal, c.c_custkey)
+                       AS decile,
+                   CASE WHEN u.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+                       AS event
+            FROM customer c
+            LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT') u
+              ON u.o_custkey = c.c_custkey
+        ),
+        bins AS (
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(event) AS BIGINT) AS e
+            FROM tgt GROUP BY decile
+        ),
+        pre AS (
+            SELECT decile, n, e,
+                   SUM(n) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cn,
+                   SUM(e) OVER (ORDER BY decile
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ce
+            FROM bins
+        ),
+        avgs AS (
+            SELECT j.decile AS j, k.decile AS k,
+                   CAST(k.ce - j.ce + j.e AS DOUBLE)
+                       / (k.cn - j.cn + j.n) AS seg_avg
+            FROM pre j JOIN pre k ON j.decile <= k.decile
+        ),
+        inner_min AS (
+            SELECT a.j, i.decile AS i, MIN(a.seg_avg) AS mn
+            FROM avgs a JOIN bins i
+              ON a.j <= i.decile AND a.k >= i.decile
+            GROUP BY a.j, i.decile
+        ),
+        iso AS (
+            SELECT i AS decile, MAX(mn) AS iso_rate FROM inner_min GROUP BY i
+        )
+        SELECT b.decile, b.n AS n_customers, b.e AS n_event,
+               round(CAST(b.e AS DOUBLE) / b.n, 9) AS raw_rate,
+               round(iso.iso_rate, 9) AS iso_rate
+        FROM bins b JOIN iso ON iso.decile = b.decile
+    """,
+)
+def isotonic_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression — the standard score-calibration step (map a
+    monotone score to well-ordered probabilities) — via the MINIMAX
+    identity instead of the sequential pool-adjacent-violators sweep:
+    iso(i) = max_{j≤i} min_{k≥i} wavg(e, n over bins j..k). The identity
+    is what makes the fit RELATIONAL (three tiny joins over the decile
+    rollup) and hence oracle-exact; classic PAV is inherently a
+    left-to-right fold. Segment averages are single divisions of exact
+    integer prefix-sum differences, so MIN/MAX argbits cannot flip
+    between engines.
+
+    Plan: the corpus work is one broadcast target join + one NTILE +
+    one 10-row rollup; the O(bins³) minimax algebra runs on 10-row
+    inputs (non-equi joins between broadcast-sized rollups — the ONLY
+    place a nested-loop join appears, and it's 55×10 rows). At 100 TB
+    the bins stay 10 rows; nothing here grows with the corpus.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("event_flag", F.lit(1))
+    )
+    tgt = c.join(
+        F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left"
+    ).select(
+        F.ntile(10)
+        .over(W.orderBy(F.col("c_acctbal"), F.col("c_custkey")))
+        .cast("bigint")
+        .alias("decile"),
+        F.coalesce(F.col("event_flag"), F.lit(0)).alias("event"),
+    )
+    bins = tgt.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("event").cast("bigint").alias("e"),
+    )
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = bins.select(
+        "decile",
+        "n",
+        "e",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("e").over(wcum).alias("ce"),
+    )
+    j, k = pre.alias("j"), pre.alias("k")
+    avgs = j.join(k, F.col("j.decile") <= F.col("k.decile")).select(
+        F.col("j.decile").alias("j"),
+        F.col("k.decile").alias("k"),
+        (
+            (F.col("k.ce") - F.col("j.ce") + F.col("j.e")).cast("double")
+            / (F.col("k.cn") - F.col("j.cn") + F.col("j.n"))
+        ).alias("seg_avg"),
+    )
+    i = bins.select(F.col("decile").alias("i"))
+    inner_min = (
+        avgs.join(i, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("j", "i")
+        .agg(F.min("seg_avg").alias("mn"))
+    )
+    iso = inner_min.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return bins.join(iso, bins.decile == iso.i).select(
+        "decile",
+        F.col("n").alias("n_customers"),
+        F.col("e").alias("n_event"),
+        F.round(F.col("e").cast("double") / F.col("n"), 9).alias("raw_rate"),
+        F.round("iso_rate", 9).alias("iso_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis / minimum detectable effect
+# ---------------------------------------------------------------------------
+@register(
+    "ab_power_analysis",
+    doc="required n per arm (80% power, two-sided 5%) and current MDE for the parity A/B",
+    oracle="""
+        WITH arms AS (
+            SELECT user_id % 2 AS arm,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS nv,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS np
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN np > nv THEN 1 ELSE 0 END) AS BIGINT)
+                       AS x
+            FROM arms WHERE nv > 0 GROUP BY arm
+        ),
+        wide AS (
+            SELECT a.n AS n0, a.x AS x0, b.n AS n1, b.x AS x1
+            FROM agg a, agg b WHERE a.arm = 0 AND b.arm = 1
+        )
+        SELECT n0, x0, n1, x1,
+               round((1.959963984540054 + 0.8416212335729143)
+                     * sqrt((CAST(x0 AS DOUBLE) / n0)
+                            * (1.0 - CAST(x0 AS DOUBLE) / n0) / n0
+                            + (CAST(x1 AS DOUBLE) / n1)
+                              * (1.0 - CAST(x1 AS DOUBLE) / n1) / n1), 9)
+                   AS mde_now,
+               CASE WHEN CAST(x1 AS DOUBLE) / n1 = CAST(x0 AS DOUBLE) / n0
+                    THEN NULL
+                    ELSE CAST(ceil(
+                        (1.959963984540054 + 0.8416212335729143)
+                        * (1.959963984540054 + 0.8416212335729143)
+                        * ((CAST(x0 AS DOUBLE) / n0)
+                           * (1.0 - CAST(x0 AS DOUBLE) / n0)
+                           + (CAST(x1 AS DOUBLE) / n1)
+                             * (1.0 - CAST(x1 AS DOUBLE) / n1))
+                        / ((CAST(x1 AS DOUBLE) / n1
+                            - CAST(x0 AS DOUBLE) / n0)
+                           * (CAST(x1 AS DOUBLE) / n1
+                              - CAST(x0 AS DOUBLE) / n0))) AS BIGINT)
+               END AS n_per_arm_80pct
+        FROM wide
+    """,
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the experimentation suite (z-test readout →
+    CUPED adjustment → THIS: was the experiment even big enough?):
+    the minimum detectable effect at the current sample
+    (z_{α/2}+z_β)·√(p₀q₀/n₀ + p₁q₁/n₁) and the per-arm n required for
+    80% power at the observed effect. Rates come from the exact
+    integer counts of ab_conversion_ztest; the z constants are double
+    literals both engines parse identically; ceil on an IEEE-identical
+    double is exact. δ=0 degenerates the n formula → NULL guard.
+
+    Plan: identical single-exchange shape as ab_conversion_ztest —
+    per-user flags, 2-row rollup, 1×1 combine.
+    """
+    ev = _t(spark, sf_dir, "events")
+    arms = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "nv"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .filter(F.col("nv") > 0)
+        .select((F.col("user_id") % 2).alias("arm"), "nv", "np")
+    )
+    agg = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("np") > F.col("nv"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    a = agg.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("x").alias("x0")
+    )
+    b = agg.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    zsum = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    mde = zsum * F.sqrt(
+        p0 * (1.0 - p0) / F.col("n0") + p1 * (1.0 - p1) / F.col("n1")
+    )
+    n_req = F.when(p1 == p0, F.lit(None).cast("bigint")).otherwise(
+        F.ceil(
+            zsum * zsum * (p0 * (1.0 - p0) + p1 * (1.0 - p1))
+            / ((p1 - p0) * (p1 - p0))
+        ).cast("bigint")
+    )
+    return w.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        F.round(mde, 9).alias("mde_now"),
+        n_req.alias("n_per_arm_80pct"),
+    )

@@ -1150,3 +1150,95 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("actual_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap (corpus-diversity screen)
+# ---------------------------------------------------------------------------
+@register(
+    "source_vocab_overlap",
+    doc="pairwise vocabulary Jaccard between document sources",
+    oracle="""
+        WITH v AS (
+            SELECT DISTINCT source, u.w AS w
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+            WHERE length(u.w) > 0
+        ),
+        sizes AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b,
+               na.n AS vocab_a, nb.n AS vocab_b, n_shared,
+               round(CAST(n_shared AS DOUBLE)
+                     / (na.n + nb.n - n_shared), 9) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.source = source_a
+        JOIN sizes nb ON nb.source = source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity screen for mixture design: how much vocabulary
+    do the sources actually share? Pairwise Jaccard over each source's
+    DISTINCT token set — low overlap justifies keeping a source in the
+    mixture, near-1 overlap means it adds volume, not coverage. All
+    counts are integers; the Jaccard is one division rounded at 9.
+
+    Plan: one distinct (source, word) aggregate (bounded by
+    |sources|·|vocab|, NOT the corpus — the explode collapses
+    immediately), then the word-keyed self-join runs on that vocabulary
+    table. |sources| is small by definition, so pair counts are a tiny
+    rollup; at 100 TB you'd frequency-floor the vocab first (the
+    unigram-LM precedent) to keep the join under control.
+    """
+    from dynaledger_spark.plans.queries_pipeline import _docs_by_id
+
+    docs = _docs_by_id(spark, sf_dir)
+    v = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = v.alias("a"), v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    na = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("vocab_a")
+    )
+    nb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                9,
+            ).alias("jaccard"),
+        )
+    )

@@ -76,6 +76,8 @@ def test_no_cartesian_products(plans):
             "mann_whitney_u_test",  # 1-row broadcast of the group sizes
             "cuped_adjusted_ab",  # 1-row broadcast of the pooled moments
             "bootstrap_mean_ci",  # 1-row broadcasts of the CI order statistics
+            "isotonic_calibration_deciles",  # 10-row minimax non-equi joins
+            "ab_power_analysis",  # 1-row × 1-row arm combine
             "bigram_interpolated_logprob",  # 1-row broadcast of the token total
             "tpch_q1_pricing_summary",  # 1-row broadcast of the shipdate anchor
             "theil_sen_daily_trend",  # calendar-bounded |days|x|days| pair loop

@@ -319,3 +319,126 @@ def test_lift_gains_vs_brute_force(spark, sf_dir):
     # gains are monotone and end at 1; lift is decreasing-ish ending at 1
     assert got[-1].cum_gain == pytest.approx(1.0)
     assert got[-1].cum_lift == pytest.approx(1.0)
+
+
+def _decile_bins(spark, sf_dir):
+    """(n, e) per acctbal-ascending decile, recomputed in Python."""
+    from dynaledger_spark.catalog import read_table
+
+    urgent = {
+        r.o_custkey
+        for r in read_table(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_custkey")
+        .collect()
+    }
+    custs = sorted(
+        (c.c_acctbal, c.c_custkey, 1 if c.c_custkey in urgent else 0)
+        for c in read_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    )
+    n = len(custs)
+    base, extra = divmod(n, 10)
+    sizes = [base + (1 if i < extra else 0) for i in range(10)]
+    bins, idx = [], 0
+    for size in sizes:
+        bins.append((size, sum(t[2] for t in custs[idx : idx + size])))
+        idx += size
+    return bins
+
+
+def test_isotonic_vs_sequential_pav(spark, sf_dir):
+    """The minimax-identity fit must equal the TEXTBOOK sequential
+    pool-adjacent-violators sweep — a genuinely different algorithm."""
+    bins = _decile_bins(spark, sf_dir)
+    # classic PAV: maintain a stack of (weight, sum) blocks, merge while
+    # the tail violates monotonicity
+    stack: list[list[float]] = []
+    for n, e in bins:
+        stack.append([n, e])
+        while len(stack) > 1 and (
+            stack[-2][1] / stack[-2][0] >= stack[-1][1] / stack[-1][0]
+        ):
+            w2, s2 = stack.pop()
+            stack[-1][0] += w2
+            stack[-1][1] += s2
+    fitted = []
+    for w, s in stack:
+        # each pooled block emits its average for every member bin
+        cnt = 0
+        i = len(fitted)
+        while cnt < w:
+            cnt += bins[i][0]
+            fitted.append(s / w)
+            i += 1
+    got = sorted(
+        rows(spark, sf_dir, "isotonic_calibration_deciles"),
+        key=lambda r: r.decile,
+    )
+    assert [r.n_event for r in got] == [e for _, e in bins]
+    for r, f in zip(got, fitted):
+        assert r.iso_rate == pytest.approx(f, abs=1e-8)
+    # defining properties: monotone non-decreasing, same weighted mean
+    iso = [r.iso_rate for r in got]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    tot_n = sum(n for n, _ in bins)
+    assert sum(r.iso_rate * r.n_customers for r in got) == pytest.approx(
+        sum(e for _, e in bins), rel=1e-6
+    )
+    assert tot_n == sum(r.n_customers for r in got)
+
+
+def test_ab_power_vs_closed_form(spark, sf_dir):
+    [z] = rows(spark, sf_dir, "ab_conversion_ztest")
+    [p] = rows(spark, sf_dir, "ab_power_analysis")
+    assert (p.n0, p.x0, p.n1, p.x1) == (z.n0, z.x0, z.n1, z.x1)
+    za, zb = 1.959963984540054, 0.8416212335729143
+    p0, p1 = p.x0 / p.n0, p.x1 / p.n1
+    mde = (za + zb) * math.sqrt(
+        p0 * (1 - p0) / p.n0 + p1 * (1 - p1) / p.n1
+    )
+    assert p.mde_now == pytest.approx(mde, abs=1e-8)
+    if p0 != p1:
+        n_req = math.ceil(
+            (za + zb) ** 2 * (p0 * (1 - p0) + p1 * (1 - p1)) / (p1 - p0) ** 2
+        )
+        assert p.n_per_arm_80pct == n_req
+        # self-consistency: at the required n, the MDE equals |delta|
+        mde_at_req = (za + zb) * math.sqrt(
+            (p0 * (1 - p0) + p1 * (1 - p1)) / n_req
+        )
+        assert mde_at_req <= abs(p1 - p0) * 1.01
+
+
+def test_source_vocab_overlap_vs_brute_force(spark, sf_dir):
+    from dynaledger_spark.catalog import read_table
+
+    vocab = defaultdict(set)
+    for d in (
+        read_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .collect()
+    ):
+        for w in d.text.split(" "):
+            if w:
+                vocab[d.source].add(w)
+    got = {
+        (r.source_a, r.source_b): r
+        for r in rows(spark, sf_dir, "source_vocab_overlap")
+    }
+    srcs = sorted(vocab)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            inter = len(vocab[sa] & vocab[sb])
+            if inter == 0:
+                assert (sa, sb) not in got
+                continue
+            r = got[(sa, sb)]
+            assert (r.vocab_a, r.vocab_b, r.n_shared) == (
+                len(vocab[sa]),
+                len(vocab[sb]),
+                inter,
+            )
+            union = len(vocab[sa] | vocab[sb])
+            assert r.jaccard == pytest.approx(inter / union, abs=1e-8)
