@@ -514,3 +514,139 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Accounts-receivable aging buckets
+# ---------------------------------------------------------------------------
+@register(
+    "ar_aging_buckets",
+    doc="open-order value by priority x age bucket (0-30/31-60/61-90/90+) at the ledger date",
+    oracle="""
+        WITH anchor AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS asof FROM orders
+        ),
+        open_orders AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   datediff('day', CAST(o_orderdate AS DATE),
+                            (SELECT asof FROM anchor)) AS age
+            FROM orders WHERE o_orderstatus IN ('O', 'P')
+        ),
+        bucketed AS (
+            SELECT priority,
+                   CASE WHEN age <= 30 THEN '0-30'
+                        WHEN age <= 60 THEN '31-60'
+                        WHEN age <= 90 THEN '61-90'
+                        ELSE '90+' END AS bucket,
+                   cents
+            FROM open_orders
+        )
+        SELECT priority, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               round(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS open_value
+        FROM bucketed GROUP BY priority, bucket
+    """,
+)
+def ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The receivables-aging report — the ledger readout every finance
+    team runs at close: outstanding (open / pending) order value split
+    by how long it has been on the books, per priority band. The as-of
+    date is the ledger's own max order date (deterministic, no wall
+    clock). Values are exact integer cents; the only float is the final
+    cents→currency division, rounded at 2.
+
+    Plan: 1-row anchor broadcast, map-side bucket expression, one
+    (priority × bucket ≤ 20-row) hash aggregate. One exchange.
+    """
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    open_orders = o.filter(F.col("o_orderstatus").isin("O", "P")).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.to_date("o_orderdate").alias("odate"),
+    )
+    aged = open_orders.crossJoin(F.broadcast(anchor)).select(
+        "priority",
+        "cents",
+        F.datediff(F.col("asof"), F.col("odate")).alias("age"),
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        aged.select("priority", bucket.alias("bucket"), "cents")
+        .groupBy("priority", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+                "open_value"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue decomposition + reconciliation
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_decomposition_reconcile",
+    doc="per-returnflag gross/discount/tax/net decomposition with an exact reconciliation residual",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS gross,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                   AS discount_amt,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+                   AS net,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                        * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE)
+                   AS tax_amt,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE)
+                   AS charged,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    - SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(8,2)))
+                    - SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,2))))
+                   AS DOUBLE) AS residual
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def revenue_decomposition_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The double-entry sanity check behind fact_build's rollups: split
+    each gross charge into discount, net, and tax components and PROVE the
+    books balance — gross − discount − net must be exactly zero, and
+    because every component is accumulated in DECIMAL (exact, not
+    IEEE), the residual column is bitwise 0.0, not merely small. A
+    float pipeline cannot make this guarantee; this query is the
+    demonstration that the engine's money math is ledger-grade.
+
+    Plan: one map-side-combined hash aggregate over lineitem; all six
+    measures share the scan. One exchange.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(8,2)")
+    t = F.col("l_tax").cast("decimal(8,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(p).cast("double").alias("gross"),
+        F.sum(p * d).cast("double").alias("discount_amt"),
+        F.sum(p * (1 - d)).cast("double").alias("net"),
+        F.sum(p * (1 - d) * t).cast("double").alias("tax_amt"),
+        F.sum(p * (1 - d) * (1 + t)).cast("double").alias("charged"),
+        (F.sum(p) - F.sum(p * d) - F.sum(p * (1 - d)))
+        .cast("double")
+        .alias("residual"),
+    )

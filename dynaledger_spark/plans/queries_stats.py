@@ -2684,3 +2684,96 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 9).alias("mde_now"),
         n_req.alias("n_per_arm_80pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences readout
+# ---------------------------------------------------------------------------
+@register(
+    "diff_in_diff_readout",
+    doc="2x2 difference-in-differences of per-user purchase spend (parity arms x half-month)",
+    oracle="""
+        WITH cell_user AS (
+            SELECT user_id % 2 AS arm,
+                   CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END AS period,
+                   user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2, 3
+        ),
+        cells AS (
+            SELECT arm, period,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(cents) AS BIGINT) AS tot
+            FROM cell_user GROUP BY arm, period
+        ),
+        wide AS (
+            SELECT MAX(CASE WHEN arm = 0 AND period = 0
+                            THEN CAST(tot AS DOUBLE) / n_users END) AS m00,
+                   MAX(CASE WHEN arm = 0 AND period = 1
+                            THEN CAST(tot AS DOUBLE) / n_users END) AS m01,
+                   MAX(CASE WHEN arm = 1 AND period = 0
+                            THEN CAST(tot AS DOUBLE) / n_users END) AS m10,
+                   MAX(CASE WHEN arm = 1 AND period = 1
+                            THEN CAST(tot AS DOUBLE) / n_users END) AS m11
+            FROM cells
+        )
+        SELECT round(m00 / 100.0, 9) AS ctrl_pre,
+               round(m01 / 100.0, 9) AS ctrl_post,
+               round(m10 / 100.0, 9) AS treat_pre,
+               round(m11 / 100.0, 9) AS treat_post,
+               round((m11 - m10) / 100.0, 9) AS treat_delta,
+               round((m01 - m00) / 100.0, 9) AS ctrl_delta,
+               round(((m11 - m10) - (m01 - m00)) / 100.0, 9) AS did_estimate
+        FROM wide
+    """,
+)
+def diff_in_diff_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the fourth leg of the causal suite
+    (z-test, CUPED, power, THIS): the 2×2 of mean per-user purchase
+    spend over parity arms × half-month periods, the per-group deltas,
+    and the DiD estimate (Δtreat − Δctrl) that nets out the shared time
+    trend. Per-user cent totals are exact integers; each cell mean is
+    one division, and the estimate is one fixed subtraction chain
+    rounded at 9.
+
+    Plan: one (arm, period, user) aggregate riding the user_id hash
+    partitioning, a 4-row cell rollup, a 1-row pivot. One corpus
+    exchange.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cell_user = (
+        ev.select(
+            (F.col("user_id") % 2).alias("arm"),
+            F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("period"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("arm", "period", "user_id")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    cells = cell_user.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("tot"),
+    )
+    mean = F.col("tot").cast("double") / F.col("n_users")
+    wide = cells.agg(
+        F.max(F.when((F.col("arm") == 0) & (F.col("period") == 0), mean)).alias("m00"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("period") == 1), mean)).alias("m01"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("period") == 0), mean)).alias("m10"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("period") == 1), mean)).alias("m11"),
+    )
+    return wide.select(
+        F.round(F.col("m00") / 100.0, 9).alias("ctrl_pre"),
+        F.round(F.col("m01") / 100.0, 9).alias("ctrl_post"),
+        F.round(F.col("m10") / 100.0, 9).alias("treat_pre"),
+        F.round(F.col("m11") / 100.0, 9).alias("treat_post"),
+        F.round((F.col("m11") - F.col("m10")) / 100.0, 9).alias("treat_delta"),
+        F.round((F.col("m01") - F.col("m00")) / 100.0, 9).alias("ctrl_delta"),
+        F.round(
+            ((F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00")))
+            / 100.0,
+            9,
+        ).alias("did_estimate"),
+    )
