@@ -213,8 +213,8 @@ def freshness_lag_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT nation, bal_band, k, l_distinct,
                round(-list_reduce(
-                   list_transform(ns, x -> (x / CAST(k AS DOUBLE))
-                                           * ln(x / CAST(k AS DOUBLE))),
+                   list_transform(ns, x -> round((x / CAST(k AS DOUBLE))
+                                           * ln(x / CAST(k AS DOUBLE)), 12)),
                    (a, b) -> a + b), 9) + 0.0 AS entropy_l
         FROM g WHERE k >= 2
         ORDER BY l_distinct, k DESC, nation, bal_band
@@ -248,12 +248,15 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = "CAST(s.n AS DOUBLE) / CAST(k AS DOUBLE)"
     # + 0.0 collapses IEEE -0.0 (a fully-uniform or singleton cell folds
     # to -Σ0 = -0.0 in one engine, +0.0 in the other) to +0.0 in both.
+    # each -p·ln(p) term is pinned at 12 decimals before the fold (the
+    # repo-wide convention for ln-derived values) so a cross-libm ln ulp
+    # cannot flip the final round(…, 9) at a half-way boundary.
     groups = groups.withColumn(
         "entropy_l",
         F.round(
             -F.expr(
                 f"aggregate(_cells, CAST(0.0 AS DOUBLE),"
-                f" (acc, s) -> acc + ({p}) * ln({p}))"
+                f" (acc, s) -> acc + round(({p}) * ln({p}), 12))"
             ),
             9,
         )

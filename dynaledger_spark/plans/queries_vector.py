@@ -636,7 +636,7 @@ def quantized_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "power_iteration_top_pc",
-    doc="top PCA component: distributed exact covariance + 30 power-iteration steps",
+    doc="top PCA component: distributed exact covariance + 1000 power-iteration steps",
     oracle=None,  # iterative algorithm — verified by the Rayleigh-residual
     # property test (tests/test_round5b_ops.py) instead of SQL
 )
@@ -647,7 +647,7 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate), and the O(d²) eigen-iteration runs on the driver over
     the collected d×d matrix — 64×64 here, bounded by schema width,
     never by corpus size (the same bounded-collect contract as the IVF
-    k-means fit, operators/similarity.py). 200 power-iteration steps
+    k-means fit, operators/similarity.py). 1000 power-iteration steps
     from the uniform unit vector (the measured λ2/λ1 is ≈0.88 at
     sf0.001 but ≈0.98 at sf0.01 — 1000 steps drive the Rayleigh
     residual below 1e-8 for any ratio ≤0.98 and cost ~2 ms at d=64),

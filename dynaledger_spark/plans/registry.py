@@ -151,12 +151,10 @@ _ROUND4_DRIVER_GREEN = (
 # miniatures that stand in for the engine-specific MinHash/SimHash.
 _PINNED = ("fact_build", "minhash_portable_pairs", "simhash_portable_fingerprints")
 
-# The round-5 verification window, fixed in the order the queries have
-# been WAITING (round-4-late batches first, then round-5 batch 1).
-# Without this pin, later-session additions to earlier modules
-# (queries_text/stats/eval/...) would displace the oldest never-verified
-# queries from the 50-slot window purely by module import order.
-_ROUND5_WINDOW = (
+# CORRECTNESS_r05.json: the round-5 window, 50/50 green (key order
+# preserved — becomes the re-verification priority among green rows).
+_ROUND5_DRIVER_GREEN = (
+    "fact_build", "minhash_portable_pairs", "simhash_portable_fingerprints",
     "hll_portable_estimate", "temperature_resample_sources",
     "benford_first_digit", "tpch_q1_pricing_summary",
     "seasonal_decompose_dow", "cusum_changepoint", "theil_sen_daily_trend",
@@ -174,10 +172,35 @@ _ROUND5_WINDOW = (
     "silhouette_fixed_centroids", "path_topk_sequences",
     "funnel_pattern_match", "item_cf_cosine", "period_end_balance",
     "event_debounce_keep_first", "decay_weighted_engagement",
-    # 5 spare slots go to the session's earliest batch-2 additions
     "max_drawdown_daily_revenue", "rsi_14_daily_revenue",
     "bollinger_breakout_days", "revenue_concentration_hhi",
     "schema_drift_report",
+)
+
+# The round-6 verification window, fixed in the order the queries have
+# been WAITING (round-5 batch-2..9 additions first, in module import /
+# registration order). Without this pin, later-session additions to
+# earlier modules would displace the oldest never-verified queries from
+# the 50-slot window purely by module import order. 42 never-verified
+# oracle-backed queries + 3 pinned = 45; the 5 spare slots go to this
+# session's earliest round-6 additions (appended below as they land).
+_ROUND6_WINDOW = (
+    "bfs_levels_copurchase", "lang_id_confusion", "source_vocab_overlap",
+    "bootstrap_mean_ci", "trimmed_mean_priority", "ks_two_sample_values",
+    "ab_conversion_ztest", "mann_whitney_u_test", "cuped_adjusted_ab",
+    "woe_iv_acctbal_urgent", "ols_price_qty_discount", "lift_gains_deciles",
+    "isotonic_calibration_deciles", "ab_power_analysis",
+    "diff_in_diff_readout", "stream_anomaly_zscore", "grid_density_clusters",
+    "ann_recall_eval", "mlm_mask_positions", "span_corruption_plan",
+    "bpe_portable_merges", "cluster_majority_prf", "embedding_drift_report",
+    "user_burstiness", "holt_linear_forecast", "gini_customer_revenue",
+    "ar_aging_buckets", "revenue_decomposition_reconcile",
+    "freshness_lag_by_type", "l_diversity_audit", "fk_orphan_scorecard",
+    "charset_profile_by_source", "dp_noisy_counts", "psi_feature_drift",
+    "join_key_skew_report", "t_closeness_audit", "bm25_topk_docs",
+    "rrf_hybrid_topk", "kwic_concordance", "ndcg_lexical_vs_dense",
+    "ivm_daily_revenue_refresh", "cdc_chunk_dedup",
+    # round-6 batch-1 additions (5 spare slots)
 )
 
 # Twice-green simple relational queries: verified in both r1 and r2 (or
@@ -212,15 +235,19 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
     r2_rank = {n: i for i, n in enumerate(_ROUND2_DRIVER_GREEN)}
     r3_rank = {n: i for i, n in enumerate(_ROUND3_DRIVER_GREEN)}
     r4_rank = {n: i for i, n in enumerate(_ROUND4_DRIVER_GREEN)}
-    r5_rank = {n: i for i, n in enumerate(_ROUND5_WINDOW)}
-    green = set(r2_rank) | set(r3_rank) | set(r4_rank) | _ROUND1_DRIVER_GREEN
+    r5_rank = {n: i for i, n in enumerate(_ROUND5_DRIVER_GREEN)}
+    r6_rank = {n: i for i, n in enumerate(_ROUND6_WINDOW)}
+    green = (
+        set(r2_rank) | set(r3_rank) | set(r4_rank) | set(r5_rank)
+        | _ROUND1_DRIVER_GREEN
+    )
     names = list(registry)
 
     def key(name: str):
         spec = registry[name]
         if name in _PINNED:
             tier = 0
-        elif name in r5_rank:
+        elif name in r6_rank:
             tier = 1  # this round's fixed verification window
         elif spec.oracle is None:
             tier = 5
@@ -231,13 +258,18 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
         else:
             tier = 2  # newer never-verified: next round's window
         if tier == 1:
-            return (tier, r5_rank[name], names.index(name))
+            return (tier, r6_rank[name], names.index(name))
         # among green rows, re-verify the most recent round's set first
-        # (it contains this round's behavior-touched queries), then r3, r2
-        rank = r4_rank.get(
+        # (it contains this round's behavior-touched queries), then r4,
+        # r3, r2
+        rank = r5_rank.get(
             name,
-            len(r4_rank)
-            + r3_rank.get(name, len(r3_rank) + r2_rank.get(name, len(r2_rank))),
+            len(r5_rank)
+            + r4_rank.get(
+                name,
+                len(r4_rank)
+                + r3_rank.get(name, len(r3_rank) + r2_rank.get(name, len(r2_rank))),
+            ),
         )
         return (tier, rank, names.index(name))
 

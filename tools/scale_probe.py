@@ -73,7 +73,19 @@ QUERIES = [
 # queries (used to extend the measured table without re-running the
 # whole suite).
 if len(sys.argv) > 1:
-    QUERIES = [q for q in QUERIES if q in set(sys.argv[1:])] or sys.argv[1:]
+    _known = set(QUERIES)
+    _unknown = [q for q in sys.argv[1:] if q not in _known]
+    if _unknown:
+        # unknown names may still be valid registry queries (used to probe a
+        # query before it joins the measured table) — warn, don't guess
+        print(f"scale_probe: not in the measured QUERIES list: {_unknown}", file=sys.stderr)
+        from dynaledger_spark.plans.registry import load_all as _la
+
+        _reg = _la()
+        _bad = [q for q in _unknown if q not in _reg]
+        if _bad:
+            sys.exit(f"scale_probe: unrecognized query names: {_bad}")
+    QUERIES = [q for q in sys.argv[1:]]
 
 
 def build_probe(spark, dest: str, mult: int = 10) -> None:
