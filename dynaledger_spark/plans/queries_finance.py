@@ -524,13 +524,13 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="open-order value by priority x age bucket (0-30/31-60/61-90/90+) at the ledger date",
     oracle="""
         WITH anchor AS (
-            SELECT MAX(CAST(o_orderdate AS DATE)) AS asof FROM orders
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS asof_day FROM orders
         ),
         open_orders AS (
             SELECT o_orderpriority AS priority,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                    datediff('day', CAST(o_orderdate AS DATE),
-                            (SELECT asof FROM anchor)) AS age
+                            (SELECT asof_day FROM anchor)) AS age
             FROM orders WHERE o_orderstatus IN ('O', 'P')
         ),
         bucketed AS (

@@ -200,7 +200,10 @@ _ROUND6_WINDOW = (
     "join_key_skew_report", "t_closeness_audit", "bm25_topk_docs",
     "rrf_hybrid_topk", "kwic_concordance", "ndcg_lexical_vs_dense",
     "ivm_daily_revenue_refresh", "cdc_chunk_dedup",
-    # round-6 batch-1 additions (5 spare slots)
+    # round-6 batch-1 additions (5 spare slots): the TPC-H classics
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
 )
 
 # Twice-green simple relational queries: verified in both r1 and r2 (or
@@ -311,6 +314,7 @@ def load_all() -> dict[str, QuerySpec]:
         # batch-2 additions rank behind batch-1 in tier 1: the round-5
         # window is already full, so they enter the driver window in
         # round 6; locally parity-proven at both SFs like every batch
+        queries_tpch,  # round-6 batch-1: TPC-H Q3/Q5/Q6/Q10/Q14
     )
 
     return {name: QUERY_REGISTRY[name] for name in driver_order(QUERY_REGISTRY)}

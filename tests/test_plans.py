@@ -94,6 +94,7 @@ def test_no_cartesian_products(plans):
             "ndcg_lexical_vs_dense",  # BM25 scalar broadcasts feed the DCG
             "ann_recall_eval",  # two 10-row TakeOrdereds joined
             "ab_conversion_ztest",  # 1-row × 1-row arm-stats combine
+            "ar_aging_buckets",  # 1-row broadcast of the as-of ledger date
         ), f"{name} nested-loop joins"
 
 
