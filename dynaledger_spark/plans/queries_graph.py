@@ -302,11 +302,51 @@ def bfs_levels(edges: DataFrame, max_depth: int) -> DataFrame:
     return visited
 
 
+# The DuckDB oracle re-derives the 2-core by UNROLLED peeling:
+# keep_{i+1} = vertices whose degree restricted to keep_i is >= k, a
+# monotone-shrinking set whose fixpoint IS the k-core. Peeling depth is
+# the longest chain of dependent removals (measured: 1 round at
+# sf0.001, 4 at sf0.01, 6 at sf0.1), so 12 unrolled rounds is a 2×
+# margin — once the set stops changing, further rounds are identity,
+# so over-unrolling can never change the result, only under-unrolling
+# could (tests/test_graph.py pins convergence within the margin).
+_KCORE_UNROLL = 12
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # every keep_i is referenced TWICE by keep_{i+1} — without
+    # MATERIALIZED, DuckDB inlines the chain into 2^rounds copies of
+    # the whole lineitem subtree (observed as an fd-exhaustion blowup)
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        keep{i} AS MATERIALIZED (
+            SELECT a.src AS v FROM arcs a
+            JOIN keep{i - 1} s ON a.src = s.v
+            JOIN keep{i - 1} t ON a.dst = t.v
+            GROUP BY a.src HAVING COUNT(*) >= {k}
+        )""")
+    return f"""
+        WITH {_EDGES_DUCK},
+        arcs AS MATERIALIZED (
+            SELECT pa AS src, pb AS dst FROM edges
+            UNION ALL
+            SELECT pb, pa FROM edges
+        ),
+        keep0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM arcs),
+        {",".join(steps)}
+        SELECT a.src AS v, COUNT(*) AS core_degree
+        FROM arcs a
+        JOIN keep{rounds} s ON a.src = s.v
+        JOIN keep{rounds} t ON a.dst = t.v
+        GROUP BY a.src HAVING COUNT(*) >= {k}
+    """
+
+
 @register(
     "kcore_copurchase",
     doc="2-core of the co-purchase graph (iterative peeling to fixpoint)",
-    oracle=None,  # iterative fixpoint — verified against a transparent
-    # python peeling reference in tests/test_graph.py
+    oracle=_kcore_oracle(k=2, rounds=_KCORE_UNROLL),
 )
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k-core — the maximal subgraph where every vertex keeps degree

@@ -206,6 +206,42 @@ _ROUND6_WINDOW = (
     "tpch_q14_promo_effect",
 )
 
+# CORRECTNESS_r06.json: the round-6 window, 50/50 green (key order
+# preserved — becomes the re-verification priority among green rows).
+_ROUND6_DRIVER_GREEN = _ROUND6_WINDOW
+
+# The round-7 verification window: the 3 pinned flagships, then the 8
+# round-7 additions (the seven remaining schema-expressible TPC-H
+# queries + kcore_copurchase, newly oracle-exact via the unrolled-
+# peeling CTE), then 39 rotation slots re-verifying the LONGEST-
+# unverified oracle-backed queries (green in r1/r2, aged out of every
+# window since — computed from the CORRECTNESS_r0{1..6} files as
+# min(last-verified round), oldest first, names sorted within a round).
+_ROUND7_WINDOW = (
+    # round-7 additions (never driver-verified)
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q13_order_count_distribution", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
+    "tpch_q22_global_sales_opportunity", "kcore_copurchase",
+    # longest-unverified rotation (last green r1)
+    "bottomk_suppliers", "cube_sales_priority", "date_rollup",
+    "date_validity", "doc_assembly", "first_last_order_span",
+    "flatten_explode", "hash_split_train_val", "lead_next_order_gap",
+    "media_decode_meta", "media_features", "media_frame_sample",
+    "media_resize_dims", "median_disc_by_priority",
+    "ntile_acctbal_quartiles", "orc_roundtrip_revenue",
+    "regex_extract_id_buckets", "rolling_30d_revenue", "scalar_stats",
+    "scalar_subquery_small_qty", "shard_round_robin", "sql_passthrough",
+    "stddev_exact_by_flag", "stratified_sample_docs", "topk_customers",
+    "union_by_name", "unique_key_check", "unpivot_lineitem_measures",
+    "validation_summary",
+    # longest-unverified rotation (last green r2)
+    "ann_cosine_topk", "ann_lsh_bucketed", "anti_join_fk",
+    "broadcast_lookup_default", "calendar_fill_daily_revenue",
+    "conditional_routing", "cosine_near_dup_windowed",
+    "date_functions_matrix", "doc_fingerprint", "dup_detection",
+)
+
 # Twice-green simple relational queries: verified in both r1 and r2 (or
 # structurally equivalent to still-windowed queries) — demoted below the
 # rest of the green set so new queries fit in the 50-entry window without
@@ -239,10 +275,11 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
     r3_rank = {n: i for i, n in enumerate(_ROUND3_DRIVER_GREEN)}
     r4_rank = {n: i for i, n in enumerate(_ROUND4_DRIVER_GREEN)}
     r5_rank = {n: i for i, n in enumerate(_ROUND5_DRIVER_GREEN)}
-    r6_rank = {n: i for i, n in enumerate(_ROUND6_WINDOW)}
+    r6_rank = {n: i for i, n in enumerate(_ROUND6_DRIVER_GREEN)}
+    r7_rank = {n: i for i, n in enumerate(_ROUND7_WINDOW)}
     green = (
         set(r2_rank) | set(r3_rank) | set(r4_rank) | set(r5_rank)
-        | _ROUND1_DRIVER_GREEN
+        | set(r6_rank) | _ROUND1_DRIVER_GREEN
     )
     names = list(registry)
 
@@ -250,7 +287,7 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
         spec = registry[name]
         if name in _PINNED:
             tier = 0
-        elif name in r6_rank:
+        elif name in r7_rank:
             tier = 1  # this round's fixed verification window
         elif spec.oracle is None:
             tier = 5
@@ -261,17 +298,23 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
         else:
             tier = 2  # newer never-verified: next round's window
         if tier == 1:
-            return (tier, r6_rank[name], names.index(name))
+            return (tier, r7_rank[name], names.index(name))
         # among green rows, re-verify the most recent round's set first
-        # (it contains this round's behavior-touched queries), then r4,
-        # r3, r2
-        rank = r5_rank.get(
+        # (it contains this round's behavior-touched queries), then r5,
+        # r4, r3, r2
+        rank = r6_rank.get(
             name,
-            len(r5_rank)
-            + r4_rank.get(
+            len(r6_rank)
+            + r5_rank.get(
                 name,
-                len(r4_rank)
-                + r3_rank.get(name, len(r3_rank) + r2_rank.get(name, len(r2_rank))),
+                len(r5_rank)
+                + r4_rank.get(
+                    name,
+                    len(r4_rank)
+                    + r3_rank.get(
+                        name, len(r3_rank) + r2_rank.get(name, len(r2_rank))
+                    ),
+                ),
             ),
         )
         return (tier, rank, names.index(name))

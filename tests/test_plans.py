@@ -95,6 +95,8 @@ def test_no_cartesian_products(plans):
             "ann_recall_eval",  # two 10-row TakeOrdereds joined
             "ab_conversion_ztest",  # 1-row × 1-row arm-stats combine
             "ar_aging_buckets",  # 1-row broadcast of the as-of ledger date
+            "tpch_q15_top_supplier",  # 1-row broadcast of the max revenue
+            "tpch_q22_global_sales_opportunity",  # 1-row broadcast of the avg balance
         ), f"{name} nested-loop joins"
 
 

@@ -85,7 +85,9 @@ if len(sys.argv) > 1:
         _bad = [q for q in _unknown if q not in _reg]
         if _bad:
             sys.exit(f"scale_probe: unrecognized query names: {_bad}")
-    QUERIES = [q for q in sys.argv[1:]]
+    # dedupe while preserving argv order: the same name passed twice
+    # should probe (and report) once
+    QUERIES = list(dict.fromkeys(sys.argv[1:]))
 
 
 def build_probe(spark, dest: str, mult: int = 10) -> None:
