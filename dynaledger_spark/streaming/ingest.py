@@ -148,14 +148,32 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
 
 
 def replay_as_batches(
-    df: DataFrame, landing_dir: str, n_batches: int, ts_col: str = "ts"
+    df: DataFrame,
+    landing_dir: str,
+    n_batches: int,
+    ts_col: str = "ts",
+    max_rows: int = 1_000_000,
 ) -> str:
     """Write a batch DataFrame as N time-ordered landing files.
 
     Test/replay harness: file order (modification time) follows event
     time, so a `maxFilesPerTrigger=1` stream sees watermarks advance the
     way a live source would. Stand-in for Kafka in this container.
+
+    The time-bucketing below is a GLOBAL-SORT ntile — single partition,
+    deliberately simple for replay fixtures, catastrophic on a real
+    corpus. The `max_rows` guard (costs one count of the input) refuses
+    anything corpus-sized; raise it only for a replay you know fits one
+    executor's memory.
     """
+    n_rows = df.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"replay_as_batches is a single-partition replay harness: input has "
+            f"{n_rows} rows > max_rows={max_rows}. Use a partitioned writer for "
+            "real corpora (this global-sort ntile would move everything to one "
+            "task)."
+        )
     if n_batches == 1:
         # no ordering needed for a single landing file — skip the
         # global-sort ntile (a single-partition window, fine for a test

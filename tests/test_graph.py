@@ -184,3 +184,33 @@ def test_kcore_matches_reference(spark, sf_dir):
             for r in kcore(_edges(spark, sf_dir), k=k).collect()
         }
         assert got == _kcore_py(real, k)
+
+
+def test_kcore_oracle_unroll_margin(spark, sf_dir):
+    """The DuckDB oracle unrolls the keep-set peel _KCORE_UNROLL rounds;
+    it is only exact if the fixpoint arrives within that many rounds.
+    Pin the margin: synchronous keep-set peeling on the real edge set
+    must converge in at most HALF the unroll (measured depth is 1 at
+    sf0.001 / 4 at sf0.01 / 6 at sf0.1 — a new generator that deepens
+    the tree appendages past the margin must fail here, not in the
+    driver)."""
+    from dynaledger_spark.plans.queries_graph import _KCORE_UNROLL, _edges
+
+    edges = [(r.pa, r.pb) for r in _edges(spark, sf_dir).collect()]
+    keep = {v for e in edges for v in e}
+    rounds = 0
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            if a in keep and b in keep:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        new = {v for v in keep if deg.get(v, 0) >= 2}
+        rounds += 1
+        if new == keep:
+            break
+        keep = new
+    assert rounds <= _KCORE_UNROLL // 2, (
+        f"peel depth {rounds} is within a factor 2 of the oracle's "
+        f"{_KCORE_UNROLL}-round unroll — raise _KCORE_UNROLL"
+    )

@@ -27,15 +27,23 @@ def plan_of(df, mode: str = "formatted") -> str:
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    """Physical plan text of every registered batch query (streaming
-    queries execute eagerly; their plan is asserted separately)."""
+def built(spark, sf_dir):
+    """Built (unexecuted) DataFrames of every registered batch query
+    (streaming queries execute eagerly; their plan is asserted
+    separately). Built ONCE per module — both the plan-text assertions
+    and the logical-plan lints read from here."""
     out = {}
     for name, spec in REGISTRY.items():
         if name.startswith("stream_"):
             continue
-        out[name] = plan_of(spec.build(spark, sf_dir))
+        out[name] = spec.build(spark, sf_dir)
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(built):
+    """Physical plan text of every registered batch query."""
+    return {name: plan_of(df) for name, df in built.items()}
 
 
 def test_no_row_at_a_time_python_anywhere(plans):
@@ -527,3 +535,106 @@ def test_unigram_logprob_broadcasts_vocab(plans):
     doc_id-clustered corpus — the corpus never re-shuffles for the LM
     lookup."""
     assert plans["unigram_logprob_quality"].count("BroadcastExchange") >= 2
+
+
+# Queries allowed an UNPARTITIONED window (single-partition global sort
+# in WindowExec). Two legitimate classes only:
+#   bounded  — the window input is a post-aggregation series bounded by
+#              the calendar / decile grid / vocab cut, never corpus-sized;
+#   total    — the operator is semantically a total order (exact global
+#              quartiles, round-robin sharding); the docstring documents
+#              the distributed 100 TB layout that replaces it.
+# Anything NOT listed here that grows an unpartitioned window fails the
+# lint — a new query cannot silently global-sort a corpus.
+GLOBAL_WINDOW_WHITELIST = {
+    # bounded: daily / calendar rollup series (≤ |days| rows)
+    "rolling_30d_revenue", "seasonal_decompose_dow", "cusum_changepoint",
+    "theil_sen_daily_trend", "km_churn_curve", "mad_outlier_days",
+    "max_drawdown_daily_revenue", "rsi_14_daily_revenue",
+    "bollinger_breakout_days",
+    # bounded: post-aggregation grids (deciles, per-group stats, ranks
+    # over an already-reduced result)
+    "bootstrap_mean_ci", "woe_iv_acctbal_urgent", "lift_gains_deciles",
+    "isotonic_calibration_deciles", "rrf_hybrid_topk",
+    "ndcg_lexical_vs_dense", "zipf_fit_vocab", "vocab_build_topn",
+    "tokenize_to_ids", "chi_square_segment_priority",
+    "revenue_share_by_nation", "pareto_abc_parts", "rfm_segmentation",
+    "triplet_sample_contrastive",
+    # bounded: rank transform over the two A/B samples' value column
+    # (events.value measurements, one global ECDF/rank by construction)
+    "ks_two_sample_values", "mann_whitney_u_test",
+    # total-order by design, distributed alternative documented in the
+    # query docstring
+    "ntile_acctbal_quartiles", "shard_round_robin",
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count Window nodes with an empty partitionSpec in the optimized
+    logical plan (the thing WindowExec warns about at runtime)."""
+    n = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            n += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return n
+
+
+def test_no_unpartitioned_window_outside_whitelist(built):
+    offenders = {
+        name for name, df in built.items()
+        if name not in GLOBAL_WINDOW_WHITELIST and _unpartitioned_windows(df)
+    }
+    assert not offenders, (
+        f"unpartitioned (single-partition) Window in: {sorted(offenders)} — "
+        "either partition the window or whitelist with a boundedness "
+        "justification"
+    )
+
+
+def test_global_window_whitelist_is_current(built):
+    """Every whitelisted name must still exist AND still use a global
+    window — stale entries would quietly widen the lint's blind spot."""
+    stale = {
+        n for n in GLOBAL_WINDOW_WHITELIST
+        if n not in built or not _unpartitioned_windows(built[n])
+    }
+    assert not stale, f"whitelist entries no longer using a global window: {sorted(stale)}"
+
+
+def test_tpch_plan_shapes(plans):
+    """The TPC-H family's plans must be the warehouse-scale ones:
+    top-k as TakeOrdered (never a global sort), selective filters
+    pushed into the parquet scans, nation/region as broadcasts, the
+    Q13 LEFT join and Q22 anti join preserved."""
+    # top-k queries: per-partition heap + driver merge, not Sort+Limit
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q10_returned_items",
+        "tpch_q18_large_volume_customers",
+    ):
+        assert "TakeOrderedAndProject" in plans[name], f"{name} global-sorts its top-k"
+    # Q6 is the pure scan-aggregate: no join anywhere, shipdate pushed
+    q6 = plans["tpch_q6_forecast_revenue"]
+    assert "Join" not in q6
+    assert "PushedFilters" in q6 and "l_shipdate" in q6
+    # selective dimension filters reach their scans
+    assert "c_mktsegment" in plans["tpch_q3_shipping_priority"]
+    assert "o_orderdate" in plans["tpch_q5_local_supplier_volume"]
+    assert "p_brand" in plans["tpch_q17_small_quantity_revenue"]
+    # nation/region dims ride broadcast joins
+    for name in (
+        "tpch_q5_local_supplier_volume",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_items",
+    ):
+        assert "BroadcastHashJoin" in plans[name], f"{name} lost its dim broadcast"
+    # Q13's filtered LEFT join keeps order-less customers
+    assert "LeftOuter" in plans["tpch_q13_order_count_distribution"]
+    # Q22's NOT EXISTS decorrelates to an anti join
+    assert "LeftAnti" in plans["tpch_q22_global_sales_opportunity"]

@@ -254,3 +254,21 @@ def test_upsert_materialize_incremental_and_bucket_scoped(spark, tmp_path):
         assert untouched and all(
             os.path.getmtime(p) == mtimes[p] for p in untouched if p in mtimes
         )
+
+
+def test_replay_as_batches_refuses_corpus_sized_input(spark, landing):
+    """The replay harness's time-bucketing is a single-partition global
+    sort — the max_rows guard must refuse anything bigger than the
+    stated cap instead of silently moving a corpus to one task."""
+    import pytest
+
+    df = spark.range(0, 50).selectExpr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "id AS user_id",
+        "'view' AS event_type",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        replay_as_batches(df, landing, n_batches=3, max_rows=10)
+    # within the cap the guard is silent
+    replay_as_batches(df, landing, n_batches=2, max_rows=1000)

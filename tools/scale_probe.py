@@ -67,6 +67,16 @@ QUERIES = [
     "freshness_lag_by_type",      # 1-row watermark broadcast over 10x events
     "rsi_14_daily_revenue",       # calendar-bounded daily windows over 10x events
     "kwic_concordance",           # TakeOrdered over the exploded 10x+hot-doc hit stream
+    # round-7: the TPC-H family against 10x lineitem/orders with a 50k-line
+    # hot order and a 20k-order hot customer
+    "tpch_q3_shipping_priority",   # orderkey shuffle + TakeOrdered under the hot order
+    "tpch_q6_forecast_revenue",    # pure scan-agg: must scale ~linearly with I/O
+    "tpch_q8_market_share",        # 7-table join tree, two broadcast nation sides
+    "tpch_q13_order_count_distribution",  # LEFT-join count with the 20k-order hot customer
+    "tpch_q15_top_supplier",       # quarter agg + 1-row max broadcast
+    "tpch_q17_small_quantity_revenue",    # correlated-AVG decorrelation at 10x
+    "tpch_q18_large_volume_customers",    # HAVING>300 over the 50k-line hot order
+    "tpch_q22_global_sales_opportunity",  # anti join against 10x orders
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
@@ -92,9 +102,79 @@ if len(sys.argv) > 1:
 
 def build_probe(spark, dest: str, mult: int = 10) -> None:
     os.makedirs(dest, exist_ok=True)
+    scaled = ("events.parquet", "documents.parquet", "lineitem.parquet", "orders.parquet")
     for f in os.listdir(SF1):
-        if f.endswith(".parquet") and f not in ("events.parquet", "documents.parquet"):
+        if f.endswith(".parquet") and f not in scaled:
             os.symlink(os.path.join(SF1, f), os.path.join(dest, f))
+
+    # --- TPC-H fact tables: 10x with consistent orderkey perturbation
+    # (lineitem and orders shift together so the FK holds), custkey /
+    # partkey / suppkey domains fixed (each customer simply has 10x the
+    # orders — the realistic scale-up). Two adversarial skews:
+    #   * hot ORDER 999,999,999 with 50k lineitems — the skewed-orderkey
+    #     shuffle shape for Q3/Q10/Q18's join and HAVING aggregate;
+    #   * hot CUSTOMER 7 with 20k extra (lineitem-less) orders — the
+    #     skewed-custkey shape for Q13's LEFT-join count and Q22's anti
+    #     join.
+    li = spark.read.parquet(os.path.join(SF1, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(SF1, "orders.parquet"))
+    n_li, n_od = li.count(), od.count()
+    licopies = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000))
+        for i in range(mult)
+    ]
+    li_big = licopies[0]
+    for c in licopies[1:]:
+        li_big = li_big.unionByName(c)
+    hot_li = spark.range(50_000).select(
+        F.lit(999_999_999).cast("long").alias("l_orderkey"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000)) + 1).alias("l_partkey"),
+        (F.pmod(F.col("id"), F.lit(100)) + 1).alias("l_suppkey"),
+        (F.col("id") + 1).cast("int").alias("l_linenumber"),
+        (F.pmod(F.col("id"), F.lit(50)) + 1).cast("double").alias("l_quantity"),
+        (F.pmod(F.col("id") * 7919, F.lit(90_000)) / 100.0 + 100.0).alias("l_extendedprice"),
+        (F.pmod(F.col("id"), F.lit(11)) / 100.0).alias("l_discount"),
+        (F.pmod(F.col("id"), F.lit(9)) / 100.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+        F.expr(
+            "timestamp'1997-06-01 00:00:00' + make_interval(0,0,0,0,0,0, id % 31536000)"
+        ).alias("l_shipdate"),
+    )
+    li_big = li_big.unionByName(hot_li.select(*li.columns))
+    li_big.write.mode("overwrite").parquet(os.path.join(dest, "lineitem.parquet"))
+
+    odcopies = [
+        od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * 100_000_000))
+        for i in range(mult)
+    ]
+    od_big = odcopies[0]
+    for c in odcopies[1:]:
+        od_big = od_big.unionByName(c)
+    hot_orders = spark.range(20_001).select(
+        (F.col("id") + 980_000_000).alias("o_orderkey"),
+        F.lit(7).cast("long").alias("o_custkey"),
+        F.lit("F").alias("o_orderstatus"),
+        (F.pmod(F.col("id") * 104729, F.lit(400_000)) / 100.0).alias("o_totalprice"),
+        F.expr(
+            "timestamp'1996-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id % 126144000)"
+        ).alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    )
+    # ...and the hot order itself, owned by customer 7
+    hot_one = spark.sql(
+        "SELECT CAST(999999999 AS BIGINT) AS o_orderkey, CAST(7 AS BIGINT) AS o_custkey, "
+        "'O' AS o_orderstatus, CAST(123456.78 AS DOUBLE) AS o_totalprice, "
+        "timestamp'1997-05-01 00:00:00' AS o_orderdate, '1-URGENT' AS o_orderpriority"
+    )
+    od_big = od_big.unionByName(hot_orders.select(*od.columns)).unionByName(
+        hot_one.select(*od.columns)
+    )
+    od_big.write.mode("overwrite").parquet(os.path.join(dest, "orders.parquet"))
+    print(
+        f"probe built: lineitem {n_li} -> {mult}x+50k hot order, "
+        f"orders {n_od} -> {mult}x+20k hot customer"
+    )
 
     ev = spark.read.parquet(os.path.join(SF1, "events.parquet"))
     n_ev = ev.count()
