@@ -78,3 +78,48 @@ def build_all_facts(
         "INCOME_STATEMENT": build_fact_table(num, sub, pre, "IS"),
         "CASH_FLOW": build_fact_table(num, sub, pre, "CF"),
     }
+
+
+def build_facts_single_pass(num: DataFrame, sub: DataFrame, pre: DataFrame) -> DataFrame:
+    """All three statement fact tables in ONE pass over num.
+
+    `build_all_facts` mirrors the reference's three separate dbt models
+    (one SELECT per statement), which re-joins and re-shuffles the full
+    num table three times. Because `statement_type` is already a group
+    column, one join + one aggregate produces every statement's rows;
+    writing the result `partitionBy('statement_type')` yields the same
+    three physical tables at a third of the shuffle cost — the ingest-
+    path shape for a multi-quarter backfill.
+
+    The DENSE_RANK window is eliminated, provably without effect: its
+    partition key contains `report_date` (= the ORDER BY column ddate),
+    so within any partition every row has the same ddate and the rank
+    is the constant 1 — grouping by (12 cols, rn) equals grouping by
+    the 12 cols. tests/test_sec_pipeline.py pins equality against the
+    per-statement builders row for row.
+    """
+    joined = (
+        num.join(sub.select("adsh", "cik", "name", "filed", "fy", "fp"), "adsh")
+        .join(
+            pre.select("adsh", "tag", "stmt", "plabel").filter(
+                F.col("stmt").isin(*STATEMENT_TYPES.values())
+            ),
+            ["adsh", "tag"],
+        )
+        .select(
+            "adsh",
+            "cik",
+            F.col("name").alias("company_name"),
+            F.col("filed").alias("filing_date"),
+            F.col("fy").alias("fiscal_year"),
+            F.col("fp").alias("fiscal_period"),
+            "tag",
+            F.col("uom").alias("unit_of_measure"),
+            F.col("ddate").alias("report_date"),
+            "qtrs",
+            F.col("stmt").alias("statement_type"),
+            "plabel",
+            "value",
+        )
+    )
+    return joined.groupBy(*_GROUP_COLS).agg(F.sum("value").alias("total_value"))

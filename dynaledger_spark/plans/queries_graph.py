@@ -403,3 +403,114 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
     return deg.filter(F.col("core_degree") >= k)
+
+
+# ---------------------------------------------------------------------------
+# Portable fixed-point PageRank (round 7) — the oracle-exact twin of
+# pagerank_copurchase, the same way minhash_portable_pairs twins the
+# xxhash64 MinHash: float power iteration cannot match DuckDB bitwise
+# (combine-order drift), but scaled-INTEGER iteration can. Ranks are
+# held as R = rank * 10^12 (bigint); one step is
+#     R'(v) = (0.15 * 10^12) // N  +  (17 * Σ_{u→v} R(u) // deg(u)) // 20
+# — floor divisions and bigint sums only, so every engine that
+# implements integer arithmetic agrees exactly, per iteration, forever.
+# d = 0.85 becomes the rational 17/20.
+# ---------------------------------------------------------------------------
+_PR_SCALE = 10**12
+_PR_ROUNDS = 8
+
+
+def _pagerank_oracle(rounds: int) -> str:
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+        pr{i} AS MATERIALIZED (
+            SELECT d.v, d.deg,
+                   CAST((15 * {_PR_SCALE} // 100) // (SELECT n FROM nv)
+                        + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS r
+            FROM deg d
+            LEFT JOIN (
+                SELECT a.dst AS v, SUM(p.r // p.deg) AS s
+                FROM arcs a JOIN pr{i - 1} p ON a.src = p.v
+                GROUP BY a.dst
+            ) c ON c.v = d.v
+        )""")
+    return f"""
+        WITH {_EDGES_DUCK},
+        arcs AS MATERIALIZED (
+            SELECT pa AS src, pb AS dst FROM edges
+            UNION ALL
+            SELECT pb, pa FROM edges
+        ),
+        deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM arcs GROUP BY src),
+        nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+        pr0 AS MATERIALIZED (
+            SELECT v, deg, CAST({_PR_SCALE} // (SELECT n FROM nv) AS BIGINT) AS r
+            FROM deg
+        ),
+        {",".join(steps)}
+        SELECT v, r AS pr_fixed FROM pr{rounds}
+    """
+
+
+@register(
+    "pagerank_portable_fixedpoint",
+    doc="integer fixed-point PageRank (8 rounds, d=17/20, rank*1e12) — oracle-exact twin of the float PageRank",
+    oracle=_pagerank_oracle(_PR_ROUNDS),
+)
+def pagerank_portable_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with EXACT integer arithmetic: ranks scaled by 10^12,
+    damping as the rational 17/20, per-edge shares and the damped sum
+    via floor division — no floating point anywhere, so the DuckDB
+    oracle (the same 8 iterations as unrolled MATERIALIZED CTEs)
+    matches bitwise. The float `pagerank_copurchase` stays as the
+    engine-native operator; this twin turns its correctness evidence
+    from property-tests into a driver-checked oracle row, exactly the
+    MinHash/SimHash portable-twin pattern. Per-round eager
+    localCheckpoint keeps the iterative plan flat (the kcore/BFS
+    pattern); fixed-point truncation error vs true PageRank is
+    ≤ rounds/10^12 per vertex — three digits below anything a ranking
+    consumer can observe.
+
+    Scale: each round is one join on the arc list + one dst aggregate —
+    the canonical distributed PageRank step; at 100 TB you'd
+    pre-partition arcs by src and co-partition the rank table, exactly
+    as the plan's hash exchanges do.
+    """
+    edges = _edges(spark, sf_dir)
+    arcs = (
+        edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()
+    )
+    deg = arcs.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = deg.count()  # driver scalar: |V|, bounded, deterministic
+    base = _PR_SCALE // n
+    teleport = (15 * _PR_SCALE // 100) // n
+    cur = deg.withColumn("r", F.lit(base).cast("bigint")).localCheckpoint(eager=True)
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            arcs.join(
+                cur.select(
+                    F.col("v").alias("src"), F.expr("r div deg").alias("share")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("share").alias("s"))
+        )
+        cur = (
+            deg.join(contrib, "v", "left")
+            .withColumn(
+                "r",
+                (
+                    F.lit(teleport)
+                    + F.expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
+                ).cast("bigint"),
+            )
+            .select("v", "deg", "r")
+            .localCheckpoint(eager=True)
+        )
+    return cur.select("v", F.col("r").alias("pr_fixed"))

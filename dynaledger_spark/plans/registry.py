@@ -223,6 +223,7 @@ _ROUND7_WINDOW = (
     "tpch_q13_order_count_distribution", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
     "tpch_q22_global_sales_opportunity", "kcore_copurchase",
+    "pagerank_portable_fixedpoint",
     # longest-unverified rotation (last green r1)
     "bottomk_suppliers", "cube_sales_priority", "date_rollup",
     "date_validity", "doc_assembly", "first_last_order_span",
@@ -239,7 +240,10 @@ _ROUND7_WINDOW = (
     "ann_cosine_topk", "ann_lsh_bucketed", "anti_join_fk",
     "broadcast_lookup_default", "calendar_fill_daily_revenue",
     "conditional_routing", "cosine_near_dup_windowed",
-    "date_functions_matrix", "doc_fingerprint", "dup_detection",
+    "date_functions_matrix", "doc_fingerprint",
+    # (dup_detection, the next-oldest candidate, yields its slot to
+    # pagerank_portable_fixedpoint above: a never-verified oracle row
+    # buys more signal than a third verification of a simple HAVING)
 )
 
 # Twice-green simple relational queries: verified in both r1 and r2 (or

@@ -214,3 +214,42 @@ def test_kcore_oracle_unroll_margin(spark, sf_dir):
         f"peel depth {rounds} is within a factor 2 of the oracle's "
         f"{_KCORE_UNROLL}-round unroll — raise _KCORE_UNROLL"
     )
+
+
+def test_pagerank_fixedpoint_matches_python_exactly(spark, sf_dir):
+    """Integer fixed-point PageRank must equal a transparent python
+    implementation of the same recurrence EXACTLY (no tolerance — the
+    whole point of the scaled-integer formulation), and conserve rank
+    mass up to floor truncation."""
+    from dynaledger_spark.plans.queries_graph import (
+        _PR_ROUNDS, _PR_SCALE, _edges, pagerank_portable_fixedpoint,
+    )
+
+    edges = [(r.pa, r.pb) for r in _edges(spark, sf_dir).collect()]
+    deg: dict[int, int] = {}
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        for u, v in ((a, b), (b, a)):
+            deg[u] = deg.get(u, 0) + 1
+            adj.setdefault(u, []).append(v)
+    n = len(deg)
+    teleport = (15 * _PR_SCALE // 100) // n
+    r = {v: _PR_SCALE // n for v in deg}
+    for _ in range(_PR_ROUNDS):
+        s = {v: 0 for v in deg}
+        for u, nbrs in adj.items():
+            share = r[u] // deg[u]
+            for v in nbrs:
+                s[v] += share
+        r = {v: teleport + (17 * s[v]) // 20 for v in deg}
+
+    got = {
+        row.v: row.pr_fixed
+        for row in pagerank_portable_fixedpoint(spark, sf_dir).collect()
+    }
+    assert got == r
+    # mass conservation: floors lose < 1 unit per vertex per round on the
+    # share side plus the damped-sum floor; teleport floor loses < n
+    total = sum(got.values())
+    loss_bound = (_PR_ROUNDS + 1) * 2 * (n + len(edges) * 2)
+    assert _PR_SCALE - loss_bound <= total <= _PR_SCALE

@@ -4,6 +4,8 @@ the dbt SQL) → JSON documents → flatten views → validation suite → API."
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -294,3 +296,79 @@ def test_store_failures_materializes_audit_tables(spark, tables, tmp_path):
         assert back.count() == r.n_violations
     bad_sic = spark.read.parquet(rows["sec_sub.sic_between_100_9999"].failures_path)
     assert [row.sic for row in bad_sic.collect()] == [99]
+
+
+def test_scaled_quarter_zip_ingest_e2e(spark, tmp_path):
+    """The ingest-bench path (tools/ingest_bench.py) at pytest scale:
+    ZIP -> extract -> typed parquet -> 3 fact tables, asserting row
+    conservation (PERMISSIVE + try_cast never drops rows; ~2% dirty
+    numeric cells coerce to NULL) and non-empty facts. The same code
+    measured at 8M num rows for BASELINE.md's ingest row."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ingest_bench",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "ingest_bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from dynaledger_spark.operators.facts import build_all_facts
+    from dynaledger_spark.sources.tsv import extract_zip, ingest_quarter
+
+    zp = str(tmp_path / "2024Q1.zip")
+    counts = bench.build_quarter_zip(zp, n_num=20_000, n_sub=250, n_tag=500)
+    members = extract_zip(zp, str(tmp_path / "ext"))
+    assert set(members) == {"sec_sub", "sec_tag", "sec_num", "sec_pre"}
+    typed = ingest_quarter(spark, members, "2024Q1")
+
+    num, sub, pre = typed["sec_num"], typed["sec_sub"], typed["sec_pre"]
+    assert num.count() == counts["num"]
+    assert sub.count() == counts["sub"]
+    assert pre.count() == counts["pre"]
+    # dirty cells coerced to NULL, not dropped
+    n_null = num.filter("value IS NULL").count()
+    assert 0 < n_null < counts["num"] * 0.05
+    # typed: value is DOUBLE, period survived the int(float(x)) path
+    assert dict(num.dtypes)["value"] == "double"
+    assert sub.filter("period = 20240331").count() == counts["sub"]
+
+    facts = build_all_facts(num, sub, pre)
+    sizes = {k: df.count() for k, df in facts.items()}
+    assert set(sizes) == {"BALANCE_SHEET", "INCOME_STATEMENT", "CASH_FLOW"}
+    assert all(v > 0 for v in sizes.values())
+    # every fact group's facts came only from its statement's pre lines
+    bs = facts["BALANCE_SHEET"]
+    assert bs.filter("statement_type <> 'BS'").count() == 0
+
+
+def test_single_pass_facts_equal_per_statement(spark, tmp_path):
+    """build_facts_single_pass must reproduce build_all_facts row for
+    row (the DENSE_RANK elimination proof: rank over a partition that
+    contains its own ORDER BY column is constant 1)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ingest_bench2",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "ingest_bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from dynaledger_spark.operators.facts import build_all_facts, build_facts_single_pass
+    from dynaledger_spark.sources.tsv import extract_zip, ingest_quarter
+
+    zp = str(tmp_path / "q.zip")
+    bench.build_quarter_zip(zp, n_num=20_000, n_sub=250, n_tag=500)
+    typed = ingest_quarter(spark, extract_zip(zp, str(tmp_path / "e")), "2024Q1")
+    num, sub, pre = typed["sec_num"], typed["sec_sub"], typed["sec_pre"]
+
+    single = build_facts_single_pass(num, sub, pre)
+    per_stmt = build_all_facts(num, sub, pre)
+    for stmt, table in [("BS", "BALANCE_SHEET"), ("IS", "INCOME_STATEMENT"), ("CF", "CASH_FLOW")]:
+        got = single.filter(F.col("statement_type") == stmt)
+        want = per_stmt[table]
+        assert got.columns == want.columns
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

@@ -1,0 +1,285 @@
+"""Ingest-path benchmark: quarterly SEC ZIP → typed parquet → fact tables.
+
+The reference's real workload is this path, not the query registry:
+zip_ext_and_parq_store.py:161-217 extracts {sub,pre,tag,num}.txt from a
+quarter ZIP and loads them through chunked pandas (CHUNK_SIZE=1e6,
+ext_zip_convert_into_json_store.py:19 — chunked because a real num.txt
+is millions of rows), then the dbt fact models aggregate. This tool
+synthesizes a quarter at that scale (default: 8M num rows, 100k
+filings, 1.2M pre rows — a large real quarter), zips it, and measures
+the engine's replacement path end to end:
+
+    stage 1  extract_zip            (sources/tsv.py:37)
+    stage 2  TSV → typed parquet    (sources/tsv.py:54-93, S4-S7)
+    stage 3  parquet → 3 fact tables (operators/facts.py:30, J2/A2/W1)
+
+Row-conservation is asserted at each stage (the e2e check: nothing
+dropped, facts non-empty). Prints ONE JSON line; transcribe into
+BASELINE.md.
+
+Run: python tools/ingest_bench.py [n_num_rows]   (default 8_000_000)
+Scratch lives under /tmp and is removed on exit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import zipfile
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def _argv_rows(default: int = 8_000_000) -> int:
+    # tolerate import under pytest (argv holds test args, not a row count)
+    try:
+        return int(sys.argv[1])
+    except (IndexError, ValueError):
+        return default
+
+
+N_NUM = _argv_rows()
+N_TAG = 20_000
+PRE_PER_FILING = 12                     # 4 lines per statement x BS/IS/CF
+CHUNK = 1_000_000
+Q = "2024Q1"
+
+_STMTS = ["BS", "IS", "CF"]
+_UOMS = ["USD", "shares", "EUR", "USD-per-shares"]
+
+
+def _adsh_pool(n: int) -> np.ndarray:
+    return np.array([f"{i:010d}-24-{i % 1_000_000:06d}" for i in range(n)])
+
+
+def _tag_pool(n: int) -> np.ndarray:
+    return np.array([f"Tag{i:05d}" for i in range(n)])
+
+
+def build_quarter_zip(
+    zip_path: str, n_num: int, n_sub: int | None = None, n_tag: int = N_TAG
+) -> dict[str, int]:
+    """Write a synthetic quarter ZIP with FIXTURES.md §A shapes at scale.
+
+    Deterministic (seeded RNG); TSVs are streamed into the ZIP in 1M-row
+    chunks so generation memory stays bounded the same way the
+    reference's chunked reader does. n_sub/n_tag default to the bench
+    proportions; the e2e test passes tiny values.
+    """
+    n_sub = n_sub if n_sub is not None else max(1000, n_num // 80)
+    rng = np.random.default_rng(42)
+    adsh = _adsh_pool(n_sub)
+    tags = _tag_pool(n_tag)
+    counts: dict[str, int] = {}
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
+        # --- sub.txt: one row per filing
+        sub = pd.DataFrame(
+            {
+                "adsh": adsh,
+                "cik": rng.integers(1000, 2_000_000, n_sub),
+                "name": np.char.add("COMPANY ", adsh.astype("U10")),
+                "sic": rng.integers(100, 9999, n_sub),
+                "countryba": "US",
+                "countryinc": "US",
+                "wksi": rng.integers(0, 2, n_sub),
+                "fye": 1231,
+                "form": rng.choice(["10-K", "10-Q", "8-K"], n_sub),
+                "period": 20240331,
+                "fy": 2024,
+                "fp": "Q1",
+                "filed": 20240401 + rng.integers(0, 29, n_sub),
+                "accepted": "2024-04-10 08:24:00.0",
+                "prevrpt": 0,
+                "detail": 1,
+                "nciks": 1,
+            }
+        )
+        for col in ("stprba", "cityba", "zipba", "bas1", "bas2", "baph",
+                    "countryma", "stprma", "cityma", "zipma", "mas1", "mas2",
+                    "stprinc", "ein", "former", "changed", "afs", "instance",
+                    "aciks"):
+            sub[col] = ""
+        cols = ["adsh", "cik", "name", "sic", "countryba", "stprba", "cityba",
+                "zipba", "bas1", "bas2", "baph", "countryma", "stprma",
+                "cityma", "zipma", "mas1", "mas2", "countryinc", "stprinc",
+                "ein", "former", "changed", "afs", "wksi", "fye", "form",
+                "period", "fy", "fp", "filed", "accepted", "prevrpt",
+                "detail", "instance", "nciks", "aciks"]
+        with zf.open("sub.txt", "w") as fh:
+            fh.write(sub[cols].to_csv(sep="\t", index=False).encode())
+        counts["sub"] = len(sub)
+
+        # --- tag.txt
+        tag = pd.DataFrame(
+            {
+                "tag": tags,
+                "version": "us-gaap/2024",
+                "custom": 0,
+                "abstract": 0,
+                "datatype": "monetary",
+                "iord": rng.choice(["I", "D"], n_tag),
+                "crdr": rng.choice(["D", "C"], n_tag),
+                "tlabel": np.char.add("Label ", tags.astype("U9")),
+                "doc": "",
+            }
+        )
+        with zf.open("tag.txt", "w") as fh:
+            fh.write(tag.to_csv(sep="\t", index=False).encode())
+        counts["tag"] = len(tag)
+
+        # --- pre.txt: PRE_PER_FILING statement lines per filing
+        rep = np.repeat(np.arange(n_sub), PRE_PER_FILING)
+        line_in_filing = np.tile(np.arange(PRE_PER_FILING), n_sub)
+        pre = pd.DataFrame(
+            {
+                "adsh": adsh[rep],
+                "report": 1 + line_in_filing // 4,
+                "line": 1 + line_in_filing % 4,
+                "stmt": np.array(_STMTS)[line_in_filing // 4],
+                "inpth": 0,
+                "rfile": "H",
+                # each filing's line maps to a deterministic tag window so
+                # num's (adsh, tag) join finds matches
+                "tag": tags[(rep * 7 + line_in_filing) % n_tag],
+                "version": "us-gaap/2024",
+                "plabel": "Line label",
+                "negating": 0,
+            }
+        )
+        with zf.open("pre.txt", "w") as fh:
+            fh.write(pre.to_csv(sep="\t", index=False).encode())
+        counts["pre"] = len(pre)
+
+        # --- num.txt: n_num facts, chunked; ~2% dirty numeric cells (the
+        # coerce-to-null path must engage, like the real feed)
+        with zf.open("num.txt", "w") as fh:
+            header = True
+            for start in range(0, n_num, CHUNK):
+                n = min(CHUNK, n_num - start)
+                filing = rng.integers(0, n_sub, n)
+                line = rng.integers(0, PRE_PER_FILING, n)
+                value = np.round(rng.normal(1e6, 1e5, n), 4).astype("object")
+                dirty = rng.random(n) < 0.02
+                value[dirty] = "NotANumber"
+                num = pd.DataFrame(
+                    {
+                        "adsh": adsh[filing],
+                        "tag": tags[(filing * 7 + line) % n_tag],
+                        "version": "us-gaap/2024",
+                        "ddate": 20240331,
+                        "qtrs": rng.integers(0, 5, n),
+                        "uom": np.array(_UOMS)[rng.integers(0, len(_UOMS), n)],
+                        "segments": "",
+                        "coreg": "",
+                        "value": value,
+                        "footnote": "",
+                    }
+                )
+                fh.write(num.to_csv(sep="\t", index=False, header=header).encode())
+                header = False
+        counts["num"] = n_num
+    return counts
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dynaledger_spark.operators.facts import build_all_facts, build_facts_single_pass
+    from dynaledger_spark.session import get_spark
+    from dynaledger_spark.sources.parquet_io import write_partitioned
+    from dynaledger_spark.sources.tsv import extract_zip, ingest_quarter
+
+    scratch = tempfile.mkdtemp(prefix="dl_ingest_bench_")
+    try:
+        zip_path = os.path.join(scratch, f"{Q}.zip")
+        t0 = time.perf_counter()
+        counts = build_quarter_zip(zip_path, N_NUM)
+        gen_s = time.perf_counter() - t0
+        zip_mb = os.path.getsize(zip_path) / 1e6
+
+        spark = get_spark("ingest_bench")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+
+        t1 = time.perf_counter()
+        members = extract_zip(zip_path, os.path.join(scratch, "ext"))
+        extract_s = time.perf_counter() - t1
+
+        t2 = time.perf_counter()
+        typed = ingest_quarter(spark, members, Q)
+        typed_dir = os.path.join(scratch, "typed")
+        for table, df in typed.items():
+            write_partitioned(df, os.path.join(typed_dir, table))
+        load_s = time.perf_counter() - t2
+
+        num = spark.read.parquet(os.path.join(typed_dir, "sec_num"))
+        sub = spark.read.parquet(os.path.join(typed_dir, "sec_sub"))
+        pre = spark.read.parquet(os.path.join(typed_dir, "sec_pre"))
+        # e2e row conservation: the PERMISSIVE + try_cast load must keep
+        # every source row (bad cells null out, rows never drop)
+        assert num.count() == counts["num"], "num rows dropped in load"
+        assert sub.count() == counts["sub"], "sub rows dropped in load"
+        n_null = num.filter("value IS NULL").count()
+        assert 0 < n_null < counts["num"] * 0.05, "dirty-cell coercion off"
+
+        # engine path: ONE join+aggregate for all three statements,
+        # written partitionBy(statement_type) -> the same three tables
+        t3 = time.perf_counter()
+        out = os.path.join(scratch, "facts_single")
+        (
+            build_facts_single_pass(num, sub, pre)
+            .write.mode("overwrite")
+            .partitionBy("statement_type")
+            .parquet(out, compression="snappy")
+        )
+        fact_rows = {
+            r["statement_type"]: r["n"]
+            for r in spark.read.parquet(out)
+            .groupBy("statement_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        facts_s = time.perf_counter() - t3
+        assert set(fact_rows) == {"BS", "IS", "CF"} and all(
+            v > 0 for v in fact_rows.values()
+        ), "missing statement partition"
+
+        # reference-shaped path (three separate models) for comparison
+        t4 = time.perf_counter()
+        for name, df in build_all_facts(num, sub, pre).items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(scratch, "facts", name), compression="snappy"
+            )
+        facts3_s = time.perf_counter() - t4
+
+        total = extract_s + load_s + facts_s
+        print(
+            json.dumps(
+                {
+                    "metric": "sec_quarter_ingest_wall",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "stages": {
+                        "extract_zip": round(extract_s, 3),
+                        "tsv_to_typed_parquet": round(load_s, 3),
+                        "fact_build_single_pass": round(facts_s, 3),
+                        "fact_build_per_stmt_x3_not_counted": round(facts3_s, 3),
+                    },
+                    "rows": {**counts, "facts": fact_rows},
+                    "num_rows_per_sec": int(counts["num"] / total),
+                    "zip_mb": round(zip_mb, 1),
+                    "gen_sec_not_counted": round(gen_s, 3),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
