@@ -7,14 +7,21 @@ TPC-H query suite is the canonical claim check for that capability —
 Q1 landed in round 5 (queries_stats.tpch_q1_pricing_summary); round 6
 added the join-heavy classics Q3 (shipping priority), Q5 (local-
 supplier volume), Q6 (forecast revenue change), Q10 (returned items),
-Q14 (promotion effect); round 7 completes every schema-expressible
-query: Q7 (volume shipping), Q8 (market share), Q13 (order-count
+Q14 (promotion effect); round 7 completes the full 22-query suite:
+Q7 (volume shipping), Q8 (market share), Q13 (order-count
 distribution), Q15 (top supplier), Q17 (correlated small-quantity
-AVG), Q18 (large-volume customers), Q22 (NOT EXISTS + scalar AVG).
-The testdata lacks l_shipmode/l_commitdate/partsupp and the comment/
-phone/container columns, so Q2/Q4/Q9/Q11/Q12/Q16/Q19/Q20/Q21 are out
-of schema reach and Q13/Q17/Q22 are adapted (documented per query);
-parameters are shifted into the generated 1995-2001 date range.
+AVG), Q18 (large-volume customers), Q22 (NOT EXISTS + scalar AVG)
+run near-verbatim, and the nine queries whose canonical text needs
+columns the testdata lacks (l_shipmode/l_commitdate/l_receiptdate,
+partsupp, and the comment/phone/container columns) are ADAPTED so
+each preserves its defining PLAN SHAPE on the available schema —
+Q2's correlated argmin-per-part, Q4's EXISTS semi-join group-count,
+Q9's 5-way profit rollup, Q11's group-vs-global-scalar HAVING, Q12's
+CASE-pivot over a joined year slice, Q16's filtered COUNT(DISTINCT)
+with a NOT IN exclusion, Q19's disjunction-of-conjunctions pushdown,
+Q20's nested-aggregate semi-join, Q21's double self-join semi+anti —
+with the substitution documented per query. Parameters are shifted
+into the generated 1995-2001 date range and value domains.
 
 Exactness: every money SUM accumulates in DECIMAL (functions/agg.dsum
 and its SQL twin osum) so partial-aggregate combine order cannot move
@@ -765,4 +772,565 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             (F.sum(cents).cast("double") / F.lit(100.0)).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (adapted). The testdata has no partsupp/
+# ps_supplycost, so the "offered cost" becomes the minimum observed
+# unit price (l_extendedprice / l_quantity) each supplier has ever
+# shipped the part at — preserving Q2's defining shape: a correlated
+# argmin-per-part subquery resolved against a region-restricted
+# supplier pool, returning ALL tied suppliers.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q2_min_cost_supplier",
+    doc="TPC-H Q2 (adapted): cheapest EUROPE supplier per mid-size STANDARD part, ties kept",
+    oracle="""
+        WITH offers AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_price
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eur AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        eo AS (
+            SELECT l_partkey, unit_price, s_name, s_acctbal, n_name
+            FROM offers JOIN eur ON l_suppkey = s_suppkey
+        ),
+        best AS (
+            SELECT l_partkey AS best_key, MIN(unit_price) AS best_price
+            FROM eo GROUP BY l_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               unit_price
+        FROM part
+        JOIN eo   ON l_partkey = p_partkey
+        JOIN best ON best_key = p_partkey AND unit_price = best_price
+        WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated MIN decorrelated the standard way: one
+    (partkey, suppkey) aggregate builds the offer book, the regional
+    minimum is a second partkey aggregate over the SAME rows, and the
+    tie-preserving equality rejoin replaces the scalar subquery. The
+    unit price is a single IEEE double division per row and MIN only
+    selects among computed values, so the equality rejoin matches
+    bitwise on both engines. nation⨝region is an explicit broadcast;
+    the offer book shuffles lineitem once on (partkey, suppkey) — at
+    100 TB that is the same one shuffle, and the best-price side is a
+    partkey-partial re-aggregate of the already-shrunk offer book.
+    reference: backend/main.py:109-134 (ad-hoc SQL surface).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            )
+        )
+    )
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eo = offers.join(eur, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_partkey", "unit_price", "s_name", "s_acctbal", "n_name"
+    )
+    best = eo.groupBy(F.col("l_partkey").alias("best_key")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    return (
+        part.join(eo, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            best,
+            (F.col("best_key") == F.col("p_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_price")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (adapted). The canonical EXISTS
+# predicate (l_commitdate < l_receiptdate: a late line) has no columns
+# here; l_returnflag = 'R' (a returned line) stands in as the
+# "problem order" marker. The shape — a quarter-sliced order count per
+# priority gated by an EXISTS semi-join into lineitem — is unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q4_order_priority",
+    doc="TPC-H Q4 (adapted): 1997Q3 order counts per priority, orders having a returned line",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate <  TIMESTAMP '1997-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: how many orders per priority band had a problem line.
+    EXISTS compiles to a left_semi join — Spark never materializes the
+    duplicate-producing inner join, and the returnflag filter pushes
+    into the lineitem scan so the semi-join's build side is only the
+    returned lines. The quarter filter prunes orders before the
+    shuffle. At 100 TB both sides arrive shuffled on orderkey once;
+    the aggregate output is 5 rows.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product type profit (adapted). Without ps_supplycost the profit
+# measure loses its cost term and becomes discounted revenue; the
+# defining 5-way join (lineitem ⨝ part[p_name LIKE] ⨝ supplier ⨝
+# nation ⨝ orders) and the nation × order-year rollup are unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q9_product_type_profit",
+    doc="TPC-H Q9 (adapted): discounted revenue on red parts by supplier nation and order year",
+    oracle=f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               {osum(_REV_SQL, 'sum_profit')}
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit contribution of one product family, rolled up
+    by the supplying nation and the order year. The p_name LIKE filter
+    prunes part FIRST (the join then keeps ~1/6 of lineitem);
+    supplier/part join declaratively (AQE broadcasts at test SF,
+    sort-merge at warehouse scale), nation is an explicit broadcast,
+    and the one unavoidable big-big shuffle is lineitem⨝orders on
+    orderkey. 25 nations × 7 years of output rows.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(_rev(), "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (adapted). partsupp value
+# (ps_supplycost × ps_availqty) becomes per-part discounted revenue,
+# keeping the defining shape: a grouped aggregate HAVING-filtered
+# against a scalar fraction of the SAME aggregate computed globally.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q11_important_stock",
+    doc="TPC-H Q11 (adapted): parts whose revenue exceeds 0.08% of global revenue",
+    oracle=f"""
+        WITH pr AS (
+            SELECT l_partkey, {osum(_REV_SQL, 'part_value')}
+            FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (
+            SELECT {osum(_REV_SQL, 'total_value')} FROM lineitem
+        )
+        SELECT l_partkey, part_value
+        FROM pr, tot
+        WHERE part_value > 0.0008 * total_value
+        ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: the parts that matter — per-part value above a fixed
+    fraction of total value. Both aggregates accumulate in DECIMAL so
+    the per-part values and the global total are exact (the global sum
+    equals the sum of the per-part sums by associativity); the single
+    fraction multiply happens once in double on each engine. The
+    threshold is a 1-row broadcast crossJoin, never a driver collect.
+    One partkey shuffle over lineitem; the global total re-aggregates
+    the per-partition partials — at 100 TB both are map-side-combined
+    hash aggregates.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(dsum(_rev(), "part_value"))
+    tot = li.agg(dsum(_rev(), "total_value"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > 0.0008 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping mode / priority pivot (adapted). No l_shipmode or
+# commit/receipt dates: the pivot dimension becomes l_linestatus and
+# the year slice cuts on l_shipdate. The defining CASE-sum pivot of
+# high- vs low-priority orders across a joined fact slice is intact.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q12_priority_pivot",
+    doc="TPC-H Q12 (adapted): high/low-priority line counts by linestatus for 1997 shipments",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: did the slow shipping channel carry the urgent
+    orders? The year filter pushes into the lineitem scan (pruning
+    ~6/7 of the fact before the orderkey shuffle), the CASE pivot is
+    a pair of conditional counts folded into ONE hash aggregate (one
+    pass, map-side partials), and the output is 2 rows.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier-part relationship count (adapted). Without partsupp,
+# the supply relationship is the one OBSERVED in lineitem (supplier s
+# has shipped part p); without s_comment, the "customer complaints"
+# exclusion becomes the negative-balance suppliers. The defining shape
+# — COUNT(DISTINCT supplier) per (brand, type, size) over a filtered
+# relationship set minus a NOT IN supplier exclusion — is unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q16_parts_supplier_count",
+    doc="TPC-H Q16 (adapted): distinct good-standing suppliers per brand/type/size, selected sizes",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: how many distinct suppliers can deliver each part
+    class, excluding the blacklist. NOT IN over a provably non-null
+    key column compiles to a left_anti join (the blacklist is tiny —
+    an explicit broadcast); the brand/size filters push into the part
+    scan before the join. COUNT(DISTINCT) runs as Spark's two-phase
+    distinct aggregate — partial distinct per partition on
+    (brand,type,size,suppkey), then the final count — no row ever
+    leaves the executors un-aggregated.
+    """
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue under a disjunction of conjunctions
+# (adapted). p_container and l_shipmode/l_shipinstruct don't exist;
+# the three OR'd branches pair (brand, size range, quantity range)
+# instead. The defining challenge — a filter that mixes columns from
+# BOTH join sides inside each disjunct, where the optimizer must still
+# extract the common per-table predicates and push them below the
+# join — is preserved.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q19_disjunctive_revenue",
+    doc="TPC-H Q19 (adapted): revenue from three OR'd brand/size/quantity windows",
+    oracle=f"""
+        SELECT {osum(_REV_SQL, 'revenue')},
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: the disjunctive-pushdown stress test. Each OR branch
+    constrains part (brand, size) AND lineitem (quantity); Catalyst's
+    constraint propagation extracts the per-table residuals — p_brand
+    IN (...) AND p_size <= 15 onto the part scan, l_quantity BETWEEN
+    1 AND 30 onto the lineitem scan — so both sides shrink before the
+    partkey join, and the full mixed predicate re-applies after it.
+    Single scalar output row, DECIMAL-exact.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    b = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(b)
+        .agg(
+            dsum(_rev(), "revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (adapted). ps_availqty doesn't exist,
+# so "shipped more than half of availability in the year" becomes
+# "the year's shipments exceed half of the supplier's ALL-TIME volume
+# for that part" — same nested-aggregate semi-join: an inner
+# (supplier, part) aggregate gates an outer supplier list restricted
+# to a nation set.
+# ---------------------------------------------------------------------------
+_Q20_NATIONS = ("NATION_3", "NATION_7", "NATION_11")
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    doc="TPC-H Q20 (adapted): suppliers who shipped most of their red-part volume in 1997",
+    oracle=f"""
+        WITH per AS (
+            SELECT l_suppkey,
+                   SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                                 THEN l_quantity ELSE 0 END
+                            AS DECIMAL(27,2))) AS q97,
+                   SUM(CAST(l_quantity AS DECIMAL(27,2))) AS qtot
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'red%'
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN {_Q20_NATIONS}
+          AND EXISTS (SELECT 1 FROM per
+                      WHERE l_suppkey = s_suppkey
+                        AND 2 * q97 > qtot AND q97 > 0)
+        ORDER BY s_name
+    """,
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: which in-nation suppliers concentrated their red-part
+    shipments into 1997. The inner aggregate groups the part-filtered
+    lineitem by (suppkey, partkey) with both quantity sums in ONE pass
+    (conditional + unconditional DECIMAL accumulators — exact, so the
+    2·q97 > qtot cut cannot waver); the qualifying suppkeys then gate
+    the nation-filtered supplier list through a left_semi join. At
+    100 TB: one (suppkey, partkey) shuffle over the ~1/6-pruned fact,
+    and the semi-join's left side is the 100-row-per-million supplier
+    dim.
+    """
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    li = _t(spark, sf_dir, "lineitem")
+    in_97 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(in_97, F.col("l_quantity")).otherwise(0).cast("decimal(27,2)")
+            ).alias("q97"),
+            F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("qtot"),
+        )
+        .filter((F.lit(2) * F.col("q97") > F.col("qtot")) & (F.col("q97") > 0))
+        .select("l_suppkey")
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*_Q20_NATIONS))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(per, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted). Without receipt/
+# commit dates, "the line that arrived late" becomes "the line that
+# came back returned" (l_returnflag = 'R'); o_orderstatus = 'F' is on
+# schema and stays. The defining shape — a semi-join (some OTHER
+# supplier contributed to the order) stacked with an anti-join (no
+# OTHER supplier's line was a problem) over two more self-references
+# of the fact — is unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q21_waiting_suppliers",
+    doc="TPC-H Q21 (adapted): top-100 suppliers solely responsible for returns on multi-supplier finished orders",
+    oracle="""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: the supplier who single-handedly spoiled shared
+    orders. Three self-references of lineitem resolve as one orderkey-
+    keyed join tree: l1 (the returned lines on finished orders) takes
+    a left_semi against "any other supplier's line" and a left_anti
+    against "any other supplier's returned line" — both are equi-joins
+    on orderkey with the <> residual evaluated on the matched pairs,
+    so all three legs ride the SAME orderkey shuffle partitioning
+    (Spark reuses the exchange); nothing ever materializes the
+    quadratic pair set. The count per supplier is a final tiny
+    aggregate; top-100 is TakeOrdered.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders_f = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole = (
+        l1.join(
+            l2,
+            (F.col("ok2") == F.col("l_orderkey"))
+            & (F.col("sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("ok3") == F.col("l_orderkey"))
+            & (F.col("sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )

@@ -211,10 +211,11 @@ _ROUND6_WINDOW = (
 _ROUND6_DRIVER_GREEN = _ROUND6_WINDOW
 
 # The round-7 verification window: the 3 pinned flagships, then the 8
-# round-7 additions (the seven remaining schema-expressible TPC-H
-# queries + kcore_copurchase, newly oracle-exact via the unrolled-
-# peeling CTE), then 39 rotation slots re-verifying the LONGEST-
-# unverified oracle-backed queries (green in r1/r2, aged out of every
+# round-7 additions (the sixteen remaining TPC-H queries — seven
+# near-verbatim plus the nine ADAPTED where the schema lacks the
+# canonical columns — + kcore_copurchase and PageRank, newly
+# oracle-exact), then 30 rotation slots re-verifying the LONGEST-
+# unverified oracle-backed queries (green in r1, aged out of every
 # window since — computed from the CORRECTNESS_r0{1..6} files as
 # min(last-verified round), oldest first, names sorted within a round).
 _ROUND7_WINDOW = (
@@ -224,6 +225,11 @@ _ROUND7_WINDOW = (
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
     "tpch_q22_global_sales_opportunity", "kcore_copurchase",
     "pagerank_portable_fixedpoint",
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q9_product_type_profit", "tpch_q11_important_stock",
+    "tpch_q12_priority_pivot", "tpch_q16_parts_supplier_count",
+    "tpch_q19_disjunctive_revenue", "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
     # longest-unverified rotation (last green r1)
     "bottomk_suppliers", "cube_sales_priority", "date_rollup",
     "date_validity", "doc_assembly", "first_last_order_span",
@@ -236,14 +242,10 @@ _ROUND7_WINDOW = (
     "stddev_exact_by_flag", "stratified_sample_docs", "topk_customers",
     "union_by_name", "unique_key_check", "unpivot_lineitem_measures",
     "validation_summary",
-    # longest-unverified rotation (last green r2)
-    "ann_cosine_topk", "ann_lsh_bucketed", "anti_join_fk",
-    "broadcast_lookup_default", "calendar_fill_daily_revenue",
-    "conditional_routing", "cosine_near_dup_windowed",
-    "date_functions_matrix", "doc_fingerprint",
-    # (dup_detection, the next-oldest candidate, yields its slot to
-    # pagerank_portable_fixedpoint above: a never-verified oracle row
-    # buys more signal than a third verification of a simple HAVING)
+    # (the 9-slot "last green r2" rotation tier and dup_detection yield
+    # their slots to the adapted-TPC-H batch: a never-verified oracle
+    # row buys more signal than a third verification of a green query;
+    # the r2 tier stays covered by the local two-SF parity suite.)
 )
 
 # Twice-green simple relational queries: verified in both r1 and r2 (or

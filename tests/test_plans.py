@@ -105,6 +105,7 @@ def test_no_cartesian_products(plans):
             "ar_aging_buckets",  # 1-row broadcast of the as-of ledger date
             "tpch_q15_top_supplier",  # 1-row broadcast of the max revenue
             "tpch_q22_global_sales_opportunity",  # 1-row broadcast of the avg balance
+            "tpch_q11_important_stock",  # 1-row broadcast of the global total
         ), f"{name} nested-loop joins"
 
 
@@ -638,3 +639,45 @@ def test_tpch_plan_shapes(plans):
     assert "LeftOuter" in plans["tpch_q13_order_count_distribution"]
     # Q22's NOT EXISTS decorrelates to an anti join
     assert "LeftAnti" in plans["tpch_q22_global_sales_opportunity"]
+    # --- the adapted nine (round 7) ---
+    # Q2: tie-preserving argmin rejoin, top-100 as TakeOrdered, the
+    # part-class filter pushed into the part scan
+    q2 = plans["tpch_q2_min_cost_supplier"]
+    assert "TakeOrderedAndProject" in q2
+    assert "EqualTo(p_type,STANDARD)" in q2
+    # Q4: EXISTS compiles to a left_semi, the problem-line marker and
+    # the quarter slice both pushed into their scans
+    q4 = plans["tpch_q4_order_priority"]
+    assert "LeftSemi" in q4
+    assert "EqualTo(l_returnflag,R)" in q4
+    assert "GreaterThanOrEqual(o_orderdate" in q4
+    # Q9: the product-family LIKE reaches the part scan as a pushed
+    # StringContains; nation rides a broadcast
+    q9 = plans["tpch_q9_product_type_profit"]
+    assert "StringContains(p_name,red)" in q9
+    assert "BroadcastHashJoin" in q9
+    # Q12: the year slice prunes the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plans["tpch_q12_priority_pivot"]
+    # Q16: NOT IN over the non-null key compiles to a left_anti, the
+    # size set pushed as an In filter
+    q16 = plans["tpch_q16_parts_supplier_count"]
+    assert "LeftAnti" in q16
+    assert "In(p_size" in q16
+    # Q19: THE disjunctive-pushdown pin — Catalyst must extract the
+    # per-table residuals of the OR-of-ANDs into BOTH scans (quantity
+    # ranges onto lineitem, brand/size onto part)
+    q19 = plans["tpch_q19_disjunctive_revenue"]
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in q19
+    assert "EqualTo(p_brand,Brand#1)" in q19
+    # Q20: nested-aggregate gate stays a left_semi; the part-family
+    # prefix and the nation set pushed
+    q20 = plans["tpch_q20_promotion_suppliers"]
+    assert "LeftSemi" in q20
+    assert "StringStartsWith(p_name,red)" in q20
+    assert "In(n_name" in q20
+    # Q21: the semi + anti self-join pair both survive, count top-100
+    # is TakeOrdered, the returnflag/orderstatus markers pushed
+    q21 = plans["tpch_q21_waiting_suppliers"]
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+    assert "TakeOrderedAndProject" in q21
+    assert "EqualTo(o_orderstatus,F)" in q21
