@@ -77,6 +77,16 @@ QUERIES = [
     "tpch_q17_small_quantity_revenue",    # correlated-AVG decorrelation at 10x
     "tpch_q18_large_volume_customers",    # HAVING>300 over the 50k-line hot order
     "tpch_q22_global_sales_opportunity",  # anti join against 10x orders
+    # round-7: the adapted nine
+    "tpch_q2_min_cost_supplier",     # (partkey,suppkey) offer-book agg at 10x
+    "tpch_q4_order_priority",        # left_semi under the 50k-line hot order
+    "tpch_q9_product_type_profit",   # 5-way join, orderkey shuffle at 10x
+    "tpch_q11_important_stock",      # partkey agg + 1-row total broadcast
+    "tpch_q12_priority_pivot",       # CASE pivot over the year-sliced shuffle
+    "tpch_q16_parts_supplier_count", # distinct agg with the hot order's 50k lines
+    "tpch_q19_disjunctive_revenue",  # disjunctive scan residuals at 10x
+    "tpch_q20_promotion_suppliers",  # nested (suppkey,partkey) agg + semi gate
+    "tpch_q21_waiting_suppliers",    # semi+anti self-joins vs the 50k-line order
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
