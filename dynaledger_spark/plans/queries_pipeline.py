@@ -1728,3 +1728,146 @@ def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("area"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed-feature importance weights for data selection (round 7)
+# ---------------------------------------------------------------------------
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_oracle() -> str:
+    from dynaledger_spark.plans.queries_stats import _duck_hex_poly
+
+    h = f"{_duck_hex_poly('md5(u.w)', 10)} % {_DSIR_BUCKETS}"
+    return f"""
+        WITH words AS (
+            SELECT doc_id, lang, {h} AS bucket
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        ),
+        raw AS (
+            SELECT bucket, COUNT(*) AS r_cnt FROM words GROUP BY bucket
+        ),
+        tgt AS (
+            SELECT bucket, COUNT(*) AS t_cnt FROM words
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+        ),
+        tots AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS r_tot,
+                   CAST(COUNT(*) FILTER (lang = '{_DSIR_TARGET_LANG}')
+                        AS DOUBLE) AS t_tot
+            FROM words
+        ),
+        lr AS (
+            SELECT raw.bucket,
+                   round(ln((coalesce(t_cnt, 0) + 1.0)
+                            / (t_tot + {_DSIR_BUCKETS}.0))
+                         - ln((r_cnt + 1.0) / (r_tot + {_DSIR_BUCKETS}.0)),
+                         12) AS log_ratio
+            FROM raw LEFT JOIN tgt USING (bucket), tots
+        ),
+        db AS (
+            SELECT doc_id, bucket, COUNT(*) AS cnt
+            FROM words GROUP BY doc_id, bucket
+        ),
+        terms AS (
+            SELECT doc_id, round(cnt * log_ratio, 12) AS term
+            FROM db JOIN lr USING (bucket)
+        ),
+        weights AS (
+            SELECT doc_id,
+                   round(list_reduce(list_prepend(0.0, list_sort(list(term))),
+                                     (a, b) -> a + b), 9) AS dsir_weight
+            FROM terms GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, w.dsir_weight
+        FROM weights w JOIN documents d USING (doc_id)
+        WHERE d.lang <> '{_DSIR_TARGET_LANG}'
+        ORDER BY dsir_weight DESC, d.doc_id
+        LIMIT 25
+    """
+
+
+@register(
+    "dsir_importance_weights",
+    doc=f"DSIR data selection: top-25 non-{_DSIR_TARGET_LANG} docs by hashed-ngram importance weight",
+    oracle=None,  # assembled below (needs the hash polynomial)
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): select raw-corpus
+    documents that LOOK like the target distribution by an importance
+    weight computed over hashed n-gram features — the published recipe
+    for cheap, scalable data selection. Target = the 'en' slice, raw =
+    the whole corpus; features are the repo's portable md5-polynomial
+    hash of each token into 64 buckets; bucket log-ratios use +1
+    smoothing; a document's weight is Σ_b cnt_b · log(p_t(b)/p_r(b)).
+
+    Plan: ONE token explode feeds three map-side-combined aggregates —
+    per-bucket raw counts, per-bucket target counts, per-(doc, bucket)
+    counts; the 64-row smoothed log-ratio table joins back as a
+    broadcast and each doc's weight folds its ≤64 terms in sorted
+    order (bitwise-portable). The totals are a 1-row broadcast. At
+    100 TB the corpus is touched twice (bucket stats, then doc terms)
+    with every reduction map-side first — no shuffle ever carries
+    un-aggregated tokens; top-25 is TakeOrdered.
+    reference: SURVEY §2.11 (sampling/curation tier).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = F.expr("CAST(conv(substring(md5(word), 1, 10), 16, 10) AS BIGINT)")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    ).select("doc_id", "lang", (h % _DSIR_BUCKETS).alias("bucket"))
+    raw = words.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt = (
+        words.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    tots = words.agg(
+        F.count(F.lit(1)).cast("double").alias("r_tot"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1))
+        .cast("double")
+        .alias("t_tot"),
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1.0)
+                    / (F.col("t_tot") + float(_DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("r_cnt") + 1.0) / (F.col("r_tot") + float(_DSIR_BUCKETS))
+                ),
+                12,
+            ).alias("log_ratio"),
+        )
+    )
+    db = words.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    terms = db.join(F.broadcast(lr), "bucket").select(
+        "doc_id", F.round(F.col("cnt") * F.col("log_ratio"), 12).alias("term")
+    )
+    weights = terms.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+            ),
+            9,
+        ).alias("dsir_weight")
+    )
+    return (
+        weights.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("lang") != _DSIR_TARGET_LANG)
+        .select("doc_id", "lang", "dsir_weight")
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QR2  # noqa: E402
+
+_QR2["dsir_importance_weights"].oracle = _dsir_oracle()

@@ -867,3 +867,303 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication inside embedding clusters (round 7)
+# ---------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.35
+
+
+@register(
+    "semdedup_prune",
+    doc=f"SemDeDup: per-cluster cosine>{_SEMDEDUP_TAU} prune stats over label-centroid cells",
+    oracle=f"""
+        WITH dims AS (
+            SELECT label, t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        cent_cells AS (
+            SELECT label, pos,
+                   list_reduce(list_prepend(0.0, list_sort(list(x))),
+                               (a, b) -> a + b) / COUNT(*) AS c
+            FROM dims GROUP BY label, pos
+        ),
+        cent AS (
+            SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+            FROM cent_cells GROUP BY label
+        ),
+        ev AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT vec_id, c_label,
+                   list_aggregate(list_transform(list_zip(v, cvec),
+                       p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                       'sum') AS sqd
+            FROM ev, cent
+        ),
+        assigned AS (
+            SELECT vec_id, c_label AS cluster FROM (
+                SELECT vec_id, c_label,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sqd, c_label) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        norms AS (
+            SELECT e.vec_id, a.cluster, e.v,
+                   sqrt(list_aggregate(list_transform(e.v, x -> x * x),
+                                       'sum')) AS nrm
+            FROM ev e JOIN assigned a ON a.vec_id = e.vec_id
+        ),
+        dup AS (
+            SELECT a.cluster, b.vec_id AS pruned_id
+            FROM norms a JOIN norms b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE {_duck_dot('a.v', 'b.v')} / (a.nrm * b.nrm) > {_SEMDEDUP_TAU}
+            GROUP BY a.cluster, b.vec_id
+        )
+        SELECT n.cluster,
+               CAST(COUNT(DISTINCT n.vec_id) AS BIGINT) AS n_vectors,
+               CAST(COUNT(DISTINCT d.pruned_id) AS BIGINT) AS n_pruned,
+               CAST(coalesce(SUM(DISTINCT d.pruned_id), 0)
+                    AS BIGINT) AS pruned_id_sum
+        FROM norms n LEFT JOIN dup d ON d.cluster = n.cluster
+        GROUP BY n.cluster
+        ORDER BY n.cluster
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning that only ever compares vectors INSIDE the
+    same embedding cluster — the trick that turns corpus-quadratic
+    cosine dedup into Σ|cell|², bounded by the cell size the
+    clustering chooses. Cells here are the label-mean centroids
+    (k-means' assignment step with the fit replaced by an exact
+    per-label mean, keeping the whole pipeline oracle-checkable):
+    per-(label, dim) sorted-fold means → nearest-centroid assignment
+    (row_number over a 10-row broadcast fan-out, sqdist tie broken by
+    label) → within-cell pairs above cosine {_SEMDEDUP_TAU} mark the
+    HIGHER vec_id pruned (keep-first greedy, the paper's policy).
+    Output: per-cell totals + the pruned-id checksum.
+
+    Scale: the corpus never self-joins globally — the pair join is
+    equi-keyed on cluster, so at 100 TB (with k raised so cells stay
+    ~1e3-1e5 vectors) each cell's quadratic work is one shuffle
+    partition's local problem, exactly the published algorithm's
+    shape. The centroid table is k rows — broadcast forever.
+    reference: SURVEY §2.11 (dedup tier).
+    """
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "xf")
+    ).select("label", "pos", F.col("xf").cast("double").alias("x"))
+    cent_cells = dims.groupBy("label", "pos").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list("x")), F.lit(0.0), lambda a, x: a + x
+            )
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent = cent_cells.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    ev = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    scored = ev.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "c_label",
+        F.aggregate(
+            F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sqd"),
+    )
+    assigned = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("sqd", "c_label")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("c_label").alias("cluster"))
+    )
+    norms = ev.join(assigned, "vec_id").select(
+        "vec_id",
+        "cluster",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    a, b = norms.alias("a"), norms.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(dot / (F.col("a.nrm") * F.col("b.nrm")) > _SEMDEDUP_TAU)
+        .select(F.col("a.cluster").alias("cluster"), F.col("b.vec_id").alias("pruned_id"))
+        .distinct()
+    )
+    return (
+        norms.select("vec_id", "cluster")
+        .join(dup.withColumnRenamed("cluster", "d_cluster"),
+              F.col("cluster") == F.col("d_cluster"), "left")
+        .groupBy("cluster")
+        .agg(
+            F.count_distinct(F.col("vec_id")).cast("bigint").alias("n_vectors"),
+            F.count_distinct(F.col("pruned_id")).cast("bigint").alias("n_pruned"),
+            F.coalesce(F.sum_distinct(F.col("pruned_id")), F.lit(0))
+            .cast("bigint")
+            .alias("pruned_id_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based kNN scoring (bitext-mining ratio margin) (round 7)
+# ---------------------------------------------------------------------------
+_MARGIN_NQ, _MARGIN_K = 20, 4
+
+
+@register(
+    "margin_knn_scores",
+    doc=f"ratio-margin kNN scores: top-20 query-corpus pairs, k={_MARGIN_K} neighborhood normalization",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < {_MARGIN_NQ}
+        ),
+        c AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id >= {_MARGIN_NQ}
+        ),
+        pairs AS (
+            SELECT qid, cid,
+                   {_duck_dot('qv', 'cv')}
+                   / (sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')))
+                   AS cos_sim
+            FROM q, c
+        ),
+        fwd AS (
+            SELECT qid,
+                   list_reduce(list_prepend(0.0, list_sort(list(cos_sim))),
+                               (a, b) -> a + b) / {_MARGIN_K} AS fwd_avg
+            FROM (SELECT qid, cos_sim,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY cos_sim DESC, cid) AS r
+                  FROM pairs) WHERE r <= {_MARGIN_K}
+            GROUP BY qid
+        ),
+        bwd AS (
+            SELECT cid,
+                   list_reduce(list_prepend(0.0, list_sort(list(cos_sim))),
+                               (a, b) -> a + b) / {_MARGIN_K} AS bwd_avg
+            FROM (SELECT cid, cos_sim,
+                         row_number() OVER (PARTITION BY cid
+                                            ORDER BY cos_sim DESC, qid) AS r
+                  FROM pairs) WHERE r <= {_MARGIN_K}
+            GROUP BY cid
+        )
+        SELECT p.qid, p.cid,
+               round(p.cos_sim, 9) AS cos_sim,
+               round(p.cos_sim / ((f.fwd_avg + b.bwd_avg) / 2.0), 9) AS margin
+        FROM pairs p JOIN fwd f USING (qid) JOIN bwd b USING (cid)
+        ORDER BY margin DESC, p.qid, p.cid
+        LIMIT 20
+    """,
+)
+def margin_knn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-margin kNN scoring (Artetxe & Schwenk 2019, the
+    bitext-mining criterion behind CCMatrix/LASER): a raw cosine is
+    only meaningful relative to its NEIGHBORHOOD density, so each
+    candidate pair is scored cos(x,y) / mean(avg-top-k(x), avg-top-k(y))
+    — hubs that are close to everything get discounted, isolated true
+    matches stand out. Queries are vec_id<{_MARGIN_NQ}, corpus the rest.
+
+    Plan: the pair grid is ONE broadcast fan-out of the {_MARGIN_NQ}-row
+    query side over the corpus scan (never a corpus×corpus join); the
+    forward/backward top-k averages are rank windows partitioned by
+    query resp. candidate — both sides of the normalization reuse the
+    same scored pairs. k-term averages fold in sorted order, so both
+    engines run the identical IEEE chain. At 100 TB the corpus side
+    stays partition-parallel and the margin's backward window shuffles
+    the pair grid once on cid — O(corpus × queries) rows, the published
+    algorithm's cost, with the query batch capped by construction.
+    reference: SURVEY §2.11 (similarity tier).
+    """
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _MARGIN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= _MARGIN_NQ).select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", (dot / (nrm("qv") * nrm("cv"))).alias("cos_sim")
+    )
+    def _avg_topk(part_col: str, tie_col: str, alias: str):
+        w = W.partitionBy(part_col).orderBy(F.col("cos_sim").desc(), F.col(tie_col))
+        return (
+            pairs.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _MARGIN_K)
+            .groupBy(part_col)
+            .agg(
+                (
+                    F.aggregate(
+                        F.array_sort(F.collect_list("cos_sim")),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    / F.lit(_MARGIN_K)
+                ).alias(alias)
+            )
+        )
+    fwd = _avg_topk("qid", "cid", "fwd_avg")
+    bwd = _avg_topk("cid", "qid", "bwd_avg")
+    return (
+        pairs.join(fwd, "qid")
+        .join(bwd, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(F.col("cos_sim"), 9).alias("cos_sim"),
+            F.round(
+                F.col("cos_sim") / ((F.col("fwd_avg") + F.col("bwd_avg")) / 2.0), 9
+            ).alias("margin"),
+        )
+        .orderBy(F.col("margin").desc(), "qid", "cid")
+        .limit(20)
+    )

@@ -230,6 +230,8 @@ _ROUND7_WINDOW = (
     "tpch_q12_priority_pivot", "tpch_q16_parts_supplier_count",
     "tpch_q19_disjunctive_revenue", "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_suppliers",
+    # round-7 curation batch (published-method ops, all oracle-exact)
+    "semdedup_prune", "margin_knn_scores", "dsir_importance_weights",
     # longest-unverified rotation (last green r1)
     "bottomk_suppliers", "cube_sales_priority", "date_rollup",
     "date_validity", "doc_assembly", "first_last_order_span",
@@ -240,8 +242,11 @@ _ROUND7_WINDOW = (
     "regex_extract_id_buckets", "rolling_30d_revenue", "scalar_stats",
     "scalar_subquery_small_qty", "shard_round_robin", "sql_passthrough",
     "stddev_exact_by_flag", "stratified_sample_docs", "topk_customers",
-    "union_by_name", "unique_key_check", "unpivot_lineitem_measures",
     "validation_summary",
+    # (union_by_name / unique_key_check / unpivot_lineitem_measures,
+    # the next-oldest candidates, yield their slots to the curation
+    # batch — never-verified oracle rows buy more signal; all three
+    # stay green in the local two-SF parity suite.)
     # (the 9-slot "last green r2" rotation tier and dup_detection yield
     # their slots to the adapted-TPC-H batch: a never-verified oracle
     # row buys more signal than a third verification of a green query;

@@ -106,6 +106,9 @@ def test_no_cartesian_products(plans):
             "tpch_q15_top_supplier",  # 1-row broadcast of the max revenue
             "tpch_q22_global_sales_opportunity",  # 1-row broadcast of the avg balance
             "tpch_q11_important_stock",  # 1-row broadcast of the global total
+            "semdedup_prune",  # 10-row centroid-table broadcast fan-out
+            "margin_knn_scores",  # 20-row query-batch broadcast fan-out
+            "dsir_importance_weights",  # 1-row broadcast of the corpus totals
         ), f"{name} nested-loop joins"
 
 
