@@ -1167,3 +1167,112 @@ def margin_knn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin").desc(), "qid", "cid")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable fixed-point power iteration (round 7): oracle-exact twin of
+# power_iteration_top_pc, the pagerank_portable_fixedpoint pattern.
+# ---------------------------------------------------------------------------
+# 96 rounds: the Gram spectrum's λ2/λ1 is ~0.95 (near-isotropic test
+# embeddings), so convergence to |cos|>0.999 against the true top
+# eigenvector needs ~90 rounds; by 96 the integer state is at (or one
+# ulp from) its fixed point at every test SF. Each round is O(d²)
+# driver/8-row-CTE arithmetic — rounds are free at any corpus size.
+_PI_DIMS, _PI_ROUNDS, _PI_SCALE = 8, 96, 1000
+
+
+def _power_iteration_oracle() -> str:
+    head = f"""
+        WITH x AS MATERIALIZED (
+            SELECT list_transform(embedding[1:{_PI_DIMS}],
+                       e -> CAST(floor(CAST(e AS DOUBLE) * {_PI_SCALE}.0)
+                                 AS BIGINT)) AS xv
+            FROM embeddings
+        ),
+        cells AS MATERIALIZED (
+            SELECT i.i AS gi, j.j AS gj,
+                   CAST(SUM(xv[i.i + 1] * xv[j.j + 1]) AS BIGINT) AS g
+            FROM x, unnest(range(0, {_PI_DIMS})) AS i(i),
+                    unnest(range(0, {_PI_DIMS})) AS j(j)
+            GROUP BY gi, gj
+        ),
+        v0 AS (SELECT i.i AS dim, CAST({_PI_SCALE} AS BIGINT) AS v
+               FROM unnest(range(0, {_PI_DIMS})) AS i(i))"""
+    rounds = []
+    for r in range(1, _PI_ROUNDS + 1):
+        rounds.append(f"""
+        w{r} AS MATERIALIZED (
+            SELECT gi AS dim, CAST(SUM(g * v) AS BIGINT) AS w
+            FROM cells JOIN v{r - 1} ON v{r - 1}.dim = gj GROUP BY gi
+        ),
+        m{r} AS MATERIALIZED (
+            SELECT greatest(CAST(1 AS BIGINT),
+                            CAST(MAX(abs(w)) AS BIGINT) // {_PI_SCALE}) AS m
+            FROM w{r}
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT dim, CAST(w // m AS BIGINT) AS v FROM w{r}, m{r}
+        )""")
+    return (
+        head + "," + ",".join(rounds)
+        + f"""
+        SELECT CAST(dim AS INT) AS dim, v AS pc_fixed
+        FROM v{_PI_ROUNDS} ORDER BY dim
+    """
+    )
+
+
+@register(
+    "power_iteration_portable",
+    doc=f"integer fixed-point power iteration on the {_PI_DIMS}-dim Gram matrix ({_PI_ROUNDS} rounds) — oracle-exact twin of power_iteration_top_pc",
+    oracle=None,  # assembled below (unrolled rounds)
+)
+def power_iteration_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration with EXACT integer arithmetic, the portable-twin
+    pattern that turned PageRank/MinHash/SimHash evidence into driver-
+    checked oracle rows: embedding components floor-quantized at scale
+    1e3, the (uncentered) Gram matrix accumulated as exact BIGINT sums
+    in ONE corpus pass, then 6 fixed-point matrix-vector rounds with
+    truncating division (Spark `div` == DuckDB `//` == trunc-toward-
+    zero; renormalization divisor max(1, max|w| div 1e3)) so every
+    intermediate matches bitwise. The float `power_iteration_top_pc`
+    stays as the engine-native operator over all 64 dims; this twin
+    pins the distributed reduction + iteration loop end to end.
+
+    Plan: the corpus-sized work is the single Gram aggregate (64
+    integer sums, map-side combined — same shape as
+    embedding_covariance's documented 100 TB path); the iteration is
+    O(d²) driver arithmetic on the collected 8×8 matrix, as in the
+    float op. All intermediates stay < 4e14 by scale construction, so
+    BIGINT never overflows on either engine.
+    """
+    emb = _emb(spark, sf_dir)
+    xv = F.transform(
+        F.slice(F.col("embedding"), 1, _PI_DIMS),
+        lambda e: F.floor(e.cast("double") * _PI_SCALE).cast("bigint"),
+    )
+    exprs = [
+        F.sum(
+            F.element_at(F.col("xv"), i + 1) * F.element_at(F.col("xv"), j + 1)
+        ).alias(f"g_{i}_{j}")
+        for i in range(_PI_DIMS)
+        for j in range(_PI_DIMS)
+    ]
+    row = emb.select(xv.alias("xv")).agg(*exprs).head()
+    G = [[int(row[f"g_{i}_{j}"]) for j in range(_PI_DIMS)] for i in range(_PI_DIMS)]
+
+    def _trunc_div(a: int, b: int) -> int:
+        # trunc-toward-zero, matching Spark `div` and DuckDB `//`
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    v = [_PI_SCALE] * _PI_DIMS
+    for _ in range(_PI_ROUNDS):
+        w = [sum(G[i][j] * v[j] for j in range(_PI_DIMS)) for i in range(_PI_DIMS)]
+        m = max(1, max(abs(x) for x in w) // _PI_SCALE)
+        v = [_trunc_div(x, m) for x in w]
+    out = [(i, v[i]) for i in range(_PI_DIMS)]
+    return spark.createDataFrame(out, "dim int, pc_fixed bigint").orderBy("dim")
+
+
+_QR["power_iteration_portable"].oracle = _power_iteration_oracle()

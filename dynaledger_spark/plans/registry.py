@@ -232,8 +232,11 @@ _ROUND7_WINDOW = (
     "tpch_q21_waiting_suppliers",
     # round-7 curation batch (published-method ops, all oracle-exact)
     "semdedup_prune", "margin_knn_scores", "dsir_importance_weights",
-    # longest-unverified rotation (last green r1)
-    "bottomk_suppliers", "cube_sales_priority", "date_rollup",
+    "power_iteration_portable",
+    # longest-unverified rotation (last green r1; date_rollup yields
+    # its slot to power_iteration_portable — same never-verified-first
+    # rationale as the other swaps)
+    "bottomk_suppliers", "cube_sales_priority",
     "date_validity", "doc_assembly", "first_last_order_span",
     "flatten_explode", "hash_split_train_val", "lead_next_order_gap",
     "media_decode_meta", "media_features", "media_frame_sample",

@@ -167,3 +167,32 @@ def test_dsir_target_docs_score_higher(spark, sf_dir):
     keys = [(-r.dsir_weight, r.doc_id) for r in got]
     assert keys == sorted(keys)
     assert all(r.lang != "en" for r in got)
+
+
+def test_power_iteration_portable_aligns_with_float_pc(spark, sf_dir):
+    """The fixed-point direction must align (|cosine| > 0.99) with the
+    true top eigenvector of the same 8-dim integer Gram matrix computed
+    densely in numpy — evidence the integer loop converges to the right
+    subspace, which the oracle (same arithmetic) cannot certify."""
+    from dynaledger_spark.plans.queries_vector import _PI_DIMS, _PI_SCALE
+
+    ids, V, _ = _embeddings(sf_dir)
+    X = np.floor(V[:, :_PI_DIMS] * _PI_SCALE)
+    G = X.T @ X
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, np.argmax(evals)]
+    got = rows(spark, sf_dir, "power_iteration_portable")
+    v = np.array([r.pc_fixed for r in sorted(got, key=lambda r: r.dim)], dtype=float)
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99, cos
+
+
+def test_power_iteration_portable_scale_bound(spark, sf_dir):
+    """Renormalization contract: every output component is bounded by
+    ~the working scale (|v| <= SCALE * DIMS), so intermediates can
+    never overflow BIGINT at any corpus size."""
+    from dynaledger_spark.plans.queries_vector import _PI_DIMS, _PI_SCALE
+
+    got = rows(spark, sf_dir, "power_iteration_portable")
+    assert len(got) == _PI_DIMS
+    assert all(abs(r.pc_fixed) <= _PI_SCALE * _PI_DIMS for r in got)

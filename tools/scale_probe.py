@@ -87,6 +87,11 @@ QUERIES = [
     "tpch_q19_disjunctive_revenue",  # disjunctive scan residuals at 10x
     "tpch_q20_promotion_suppliers",  # nested (suppkey,partkey) agg + semi gate
     "tpch_q21_waiting_suppliers",    # semi+anti self-joins vs the 50k-line order
+    # round-7 curation batch: embeddings 10x'd as EXACT clones (every
+    # vector gains 9 cosine-1.0 twins), documents 10x+3000 dups
+    "semdedup_prune",          # within-cell pairs grow ~100x, prune rate ~90%
+    "margin_knn_scores",       # 20-query broadcast over the 10x corpus
+    "dsir_importance_weights", # token explode + bucket stats at 10x docs
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
@@ -112,7 +117,10 @@ if len(sys.argv) > 1:
 
 def build_probe(spark, dest: str, mult: int = 10) -> None:
     os.makedirs(dest, exist_ok=True)
-    scaled = ("events.parquet", "documents.parquet", "lineitem.parquet", "orders.parquet")
+    scaled = (
+        "events.parquet", "documents.parquet", "lineitem.parquet",
+        "orders.parquet", "embeddings.parquet",
+    )
     for f in os.listdir(SF1):
         if f.endswith(".parquet") and f not in scaled:
             os.symlink(os.path.join(SF1, f), os.path.join(dest, f))
@@ -232,6 +240,22 @@ def build_probe(spark, dest: str, mult: int = 10) -> None:
     dbig = dbig.unionByName(boiler.select(*docs.columns))
     dbig.write.mode("overwrite").parquet(os.path.join(dest, "documents.parquet"))
     print(f"probe built: events {n_ev} -> {mult}x+100k hot, docs {n_docs} -> {mult}x+3000 dups")
+
+    # --- embeddings: 10x with the VECTORS UNCHANGED (ids shifted) —
+    # the adversarial case for semantic dedup: every vector now has 9
+    # exact clones (cosine 1.0), so SemDeDup's within-cell pair count
+    # and prune rate both explode; margin-kNN's neighborhoods saturate.
+    emb = spark.read.parquet(os.path.join(SF1, "embeddings.parquet"))
+    n_emb = emb.count()
+    ecopies = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        for i in range(mult)
+    ]
+    ebig = ecopies[0]
+    for c in ecopies[1:]:
+        ebig = ebig.unionByName(c)
+    ebig.write.mode("overwrite").parquet(os.path.join(dest, "embeddings.parquet"))
+    print(f"probe built: embeddings {n_emb} -> {mult}x exact clones")
 
 
 def run(spark, reg, sf_dir: str) -> dict[str, float]:
