@@ -854,22 +854,23 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    from pyspark.sql import Window as W
+
     eo = offers.join(eur, F.col("l_suppkey") == F.col("s_suppkey")).select(
         "l_partkey", "unit_price", "s_name", "s_acctbal", "n_name"
     )
-    best = eo.groupBy(F.col("l_partkey").alias("best_key")).agg(
-        F.min("unit_price").alias("best_price")
-    )
+    # regional min per part as a PARTITIONED window over the same offer
+    # book — one partkey shuffle serves both the min and the
+    # tie-preserving filter; the naive groupBy-then-rejoin shape scans
+    # lineitem twice (no exchange reuse across the aggregate boundary)
+    best = eo.withColumn(
+        "best_price", F.min("unit_price").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_price") == F.col("best_price"))
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
     )
     return (
-        part.join(eo, F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            best,
-            (F.col("best_key") == F.col("p_partkey"))
-            & (F.col("unit_price") == F.col("best_price")),
-        )
+        part.join(best, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_price")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
