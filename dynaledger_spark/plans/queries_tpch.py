@@ -609,25 +609,28 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue from orders of a brand's parts at quantities
     below half that part's average — the benchmark's correlated scalar
-    AVG. Decorrelated the way every engine executes it: the per-part
-    average is a groupBy over the SAME brand-filtered lineitem subset
-    (partkey determines the group, so filtering first changes nothing),
-    rejoined on partkey. The per-part AVG is exact on both engines —
-    quantities are small integers, their sum and the single division
-    are IEEE-identical. /7.0 (the 7-year date range of the classic
-    benchmark) is kept for parity with the canonical result shape.
+    AVG. Decorrelated as a PARTITIONED window over the brand-filtered
+    join (partkey determines the correlation group, so filtering first
+    changes nothing): avg(l_quantity) OVER (PARTITION BY l_partkey)
+    rides the one partkey shuffle and the filter applies in the same
+    pass — the groupBy-then-rejoin shape would scan lineitem twice.
+    The per-part AVG is exact on both engines — quantities are small
+    integers, their sum and the single division are IEEE-identical.
+    /7.0 (the 7-year date range of the classic benchmark) is kept for
+    parity with the canonical result shape.
     """
+    from pyspark.sql import Window as W
+
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     li = (
         _t(spark, sf_dir, "lineitem")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
-    pavg = li.groupBy(F.col("l_partkey").alias("avg_key")).agg(
-        F.avg("l_quantity").alias("avg_qty")
-    )
     return (
-        li.join(pavg, F.col("l_partkey") == F.col("avg_key"))
+        li.withColumn(
+            "avg_qty", F.avg("l_quantity").over(W.partitionBy("l_partkey"))
+        )
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(
@@ -1010,8 +1013,21 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregates.
     """
     li = _t(spark, sf_dir, "lineitem")
-    pr = li.groupBy("l_partkey").agg(dsum(_rev(), "part_value"))
-    tot = li.agg(dsum(_rev(), "total_value"))
+    # ONE lineitem pass at runtime: the global total re-aggregates the
+    # per-part DECIMAL partials (associative, so it equals the direct
+    # corpus sum bitwise), and because both branches share the same
+    # partial-aggregate exchange AQE executes the scan once and feeds
+    # the second branch through a ReusedExchange (verified: 1 reuse
+    # node in the executed plan)
+    pr_dec = li.groupBy("l_partkey").agg(
+        F.sum(_rev().cast("decimal(27,6)")).alias("_v")
+    )
+    pr = pr_dec.select(
+        "l_partkey", F.col("_v").cast("double").alias("part_value")
+    )
+    tot = pr_dec.agg(
+        F.sum("_v").cast("double").alias("total_value")
+    )
     return (
         pr.crossJoin(F.broadcast(tot))
         .filter(F.col("part_value") > 0.0008 * F.col("total_value"))
