@@ -495,3 +495,133 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (round 7)
+# ---------------------------------------------------------------------------
+_UNIMAX_EPOCH_CAP = 3          # max epochs any source may repeat
+_UNIMAX_B_NUM, _UNIMAX_B_DEN = 59, 20  # budget = 2.95 x corpus chars
+
+
+@register(
+    "unimax_allocation",
+    doc="UniMax epoch-capped uniform budget allocation across sources (closed-form waterfilling)",
+    oracle=f"""
+        WITH srcs AS (
+            SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s
+            FROM documents GROUP BY source
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+                   ({_UNIMAX_B_NUM} * CAST(SUM(s) AS BIGINT))
+                       // {_UNIMAX_B_DEN} AS budget
+            FROM srcs
+        ),
+        ranked AS (
+            SELECT source, s, {_UNIMAX_EPOCH_CAP} * s AS u, n_src, budget,
+                   row_number() OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * s,
+                                      source) AS i,
+                   SUM({_UNIMAX_EPOCH_CAP} * s)
+                       OVER (ORDER BY {_UNIMAX_EPOCH_CAP} * s, source
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+            FROM srcs CROSS JOIN stats
+        ),
+        flagged AS (
+            SELECT *,
+                   (u * (n_src - i + 1) + cum - u) <= budget AS sat
+            FROM ranked
+        ),
+        kn AS (
+            SELECT COALESCE(MAX(CASE WHEN sat THEN i END), 0) AS k,
+                   COALESCE(MAX(CASE WHEN sat THEN cum END), 0) AS cum_k
+            FROM flagged
+        )
+        SELECT f.source,
+               f.s AS chars_total,
+               f.u AS cap_chars,
+               f.i <= kn.k AS saturated,
+               CASE WHEN f.i <= kn.k THEN CAST(f.u AS DOUBLE)
+                    ELSE CAST(f.budget - kn.cum_k AS DOUBLE)
+                         / (f.n_src - kn.k) END AS quota_chars,
+               CASE WHEN f.i <= kn.k THEN CAST(f.u AS DOUBLE)
+                    ELSE CAST(f.budget - kn.cum_k AS DOUBLE)
+                         / (f.n_src - kn.k) END
+                   / CAST(f.s AS DOUBLE) AS epochs
+        FROM flagged f CROSS JOIN kn
+        ORDER BY f.source
+    """,
+)
+def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. 2023, arXiv:2304.09151): allocate a token
+    budget across sources as UNIFORMLY as possible subject to a
+    per-source epoch cap — the published fix for temperature sampling's
+    head-overweighting. Instead of the paper's sequential loop this
+    uses the closed-form waterfill: sort sources by cap u_i = C·s_i
+    ascending; source i saturates iff u_i·(N-i+1) + cum_{i-1} ≤ B
+    (that test is MONOTONE in i for sorted u, so the saturated set is a
+    prefix); the K saturated sources take their caps and the rest split
+    the remaining budget equally. Everything up to the final waterline
+    is BIGINT-exact (budget = 59·Σs // 20 ≈ 2.95 epochs, strictly below
+    Σu = 3·Σs so K < N always); the waterline is ONE IEEE division and
+    epochs one more, so the DuckDB twin agrees bitwise. With the
+    testdata's ~1.37× size spread the 2.95-epoch budget lands inside
+    the cap range — small sources saturate, large ones share the
+    waterline (non-vacuous at both SFs).
+
+    Plan: one map-side hash aggregate over documents → 20-row source
+    table; the rank window and the K-scan run on those 20 rows (global
+    window whitelisted as calendar-bounded: |sources|, not corpus).
+    At 100 TB the corpus pays exactly one scan+combine; everything
+    after is dimension-sized. reference: SURVEY §2.11 (sampling tier).
+    """
+    docs = _docs(spark, sf_dir)
+    srcs = docs.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("s"))
+    stats = srcs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+        F.expr(
+            f"({_UNIMAX_B_NUM} * CAST(SUM(s) AS BIGINT)) div {_UNIMAX_B_DEN}"
+        ).alias("budget"),
+    )
+    u = (F.lit(_UNIMAX_EPOCH_CAP) * F.col("s")).alias("u")
+    w = W.orderBy(F.lit(_UNIMAX_EPOCH_CAP) * F.col("s"), "source")
+    ranked = (
+        srcs.crossJoin(F.broadcast(stats))
+        .select(
+            "source", "s", u, "n_src", "budget",
+            F.row_number().over(w).alias("i"),
+            F.sum(F.lit(_UNIMAX_EPOCH_CAP) * F.col("s"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("cum"),
+        )
+    )
+    flagged = ranked.withColumn(
+        "sat",
+        (F.col("u") * (F.col("n_src") - F.col("i") + 1) + F.col("cum") - F.col("u"))
+        <= F.col("budget"),
+    )
+    kn = flagged.agg(
+        F.coalesce(F.max(F.when(F.col("sat"), F.col("i"))), F.lit(0)).alias("k"),
+        F.coalesce(F.max(F.when(F.col("sat"), F.col("cum"))), F.lit(0)).alias(
+            "cum_k"
+        ),
+    )
+    quota = F.when(
+        F.col("i") <= F.col("k"), F.col("u").cast("double")
+    ).otherwise(
+        (F.col("budget") - F.col("cum_k")).cast("double")
+        / (F.col("n_src") - F.col("k"))
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kn))
+        .select(
+            "source",
+            F.col("s").alias("chars_total"),
+            F.col("u").alias("cap_chars"),
+            (F.col("i") <= F.col("k")).alias("saturated"),
+            quota.alias("quota_chars"),
+            (quota / F.col("s").cast("double")).alias("epochs"),
+        )
+        .orderBy("source")
+    )

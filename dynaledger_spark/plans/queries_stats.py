@@ -2777,3 +2777,218 @@ def diff_in_diff_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("did_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fisher LDA quality classifier (round 7)
+# ---------------------------------------------------------------------------
+@register(
+    "fisher_lda_quality",
+    doc="Fisher LDA 'is-English' classifier from exact integer moments: weights, threshold, confusion",
+    oracle="""
+        WITH feats AS (
+            SELECT CAST(n_chars AS BIGINT) AS x1,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS x2,
+                   lang = 'en' AS y
+            FROM documents
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) FILTER (NOT y) AS BIGINT) AS n0,
+                   CAST(COUNT(*) FILTER (y) AS BIGINT) AS n1,
+                   CAST(SUM(x1) FILTER (NOT y) AS BIGINT) AS sx1_0,
+                   CAST(SUM(x2) FILTER (NOT y) AS BIGINT) AS sx2_0,
+                   CAST(SUM(x1) FILTER (y) AS BIGINT) AS sx1_1,
+                   CAST(SUM(x2) FILTER (y) AS BIGINT) AS sx2_1,
+                   CAST(SUM(x1 * x1) FILTER (NOT y) AS BIGINT) AS s11_0,
+                   CAST(SUM(x2 * x2) FILTER (NOT y) AS BIGINT) AS s22_0,
+                   CAST(SUM(x1 * x2) FILTER (NOT y) AS BIGINT) AS s12_0,
+                   CAST(SUM(x1 * x1) FILTER (y) AS BIGINT) AS s11_1,
+                   CAST(SUM(x2 * x2) FILTER (y) AS BIGINT) AS s22_1,
+                   CAST(SUM(x1 * x2) FILTER (y) AS BIGINT) AS s12_1
+            FROM feats
+        ),
+        fit AS (
+            SELECT *,
+                   (CAST(s11_0 AS DOUBLE) - CAST(sx1_0 * sx1_0 AS DOUBLE) / n0)
+                 + (CAST(s11_1 AS DOUBLE) - CAST(sx1_1 * sx1_1 AS DOUBLE) / n1)
+                       AS a11,
+                   (CAST(s22_0 AS DOUBLE) - CAST(sx2_0 * sx2_0 AS DOUBLE) / n0)
+                 + (CAST(s22_1 AS DOUBLE) - CAST(sx2_1 * sx2_1 AS DOUBLE) / n1)
+                       AS a22,
+                   (CAST(s12_0 AS DOUBLE) - CAST(sx1_0 * sx2_0 AS DOUBLE) / n0)
+                 + (CAST(s12_1 AS DOUBLE) - CAST(sx1_1 * sx2_1 AS DOUBLE) / n1)
+                       AS a12,
+                   CAST(sx1_1 AS DOUBLE) / n1 - CAST(sx1_0 AS DOUBLE) / n0
+                       AS d1,
+                   CAST(sx2_1 AS DOUBLE) / n1 - CAST(sx2_0 AS DOUBLE) / n0
+                       AS d2
+            FROM m
+        ),
+        wfit AS (
+            SELECT *,
+                   (a22 * d1 - a12 * d2) / (a11 * a22 - a12 * a12) AS w1,
+                   (a11 * d2 - a12 * d1) / (a11 * a22 - a12 * a12) AS w2
+            FROM fit
+        ),
+        model AS (
+            SELECT n0, n1, w1, w2,
+                   (w1 * (CAST(sx1_0 AS DOUBLE) / n0
+                          + CAST(sx1_1 AS DOUBLE) / n1)
+                    + w2 * (CAST(sx2_0 AS DOUBLE) / n0
+                            + CAST(sx2_1 AS DOUBLE) / n1)) / 2 AS thr
+            FROM wfit
+        ),
+        conf AS (
+            SELECT CAST(COUNT(*) FILTER (
+                       f.w1 * f.x1 + f.w2 * f.x2 > f.thr AND f.y
+                   ) AS BIGINT) AS tp,
+                   CAST(COUNT(*) FILTER (
+                       f.w1 * f.x1 + f.w2 * f.x2 > f.thr AND NOT f.y
+                   ) AS BIGINT) AS fp,
+                   CAST(COUNT(*) FILTER (
+                       NOT (f.w1 * f.x1 + f.w2 * f.x2 > f.thr) AND f.y
+                   ) AS BIGINT) AS fn,
+                   CAST(COUNT(*) FILTER (
+                       NOT (f.w1 * f.x1 + f.w2 * f.x2 > f.thr) AND NOT f.y
+                   ) AS BIGINT) AS tn
+            FROM (SELECT feats.*, model.w1, model.w2, model.thr
+                  FROM feats CROSS JOIN model) f
+        )
+        SELECT model.n0 + model.n1 AS n_docs,
+               round(model.w1, 12) AS w1,
+               round(model.w2, 12) AS w2,
+               round(model.thr, 9) AS threshold,
+               conf.tp, conf.fp, conf.fn, conf.tn,
+               CAST(conf.tp + conf.tn AS DOUBLE) / (model.n0 + model.n1)
+                   AS accuracy
+        FROM model CROSS JOIN conf
+    """,
+)
+def fisher_lda_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's linear discriminant (Fisher 1936) as a corpus quality /
+    language classifier — the closed-form cousin of the fastText linear
+    classifiers CCNet-style pipelines use for quality scoring. Features
+    are INTEGERS (n_chars, whitespace word count), label = lang='en';
+    the fit needs only per-class integer moment sums (n, Σx, Σx², Σxy),
+    so w = S_w⁻¹(μ₁−μ₀) and the midpoint threshold come out of a 2×2
+    closed-form inverse whose IEEE expression tree is mirrored verbatim
+    in the DuckDB twin — bitwise equal, no iteration, no exp().
+
+    On this synthetic corpus accuracy sits at chance (~0.49): every
+    lang draws from the SAME length/vocab distributions (verified:
+    per-lang mean chars/words/stopword-frac all within noise), the
+    same signal-free property the lang_id family documents. The oracle
+    therefore checks the exact fit (weights, threshold, confusion
+    counts), not separability — which is the part the engine owns.
+
+    Plan: TWO corpus passes, both one map-side-combined aggregate with
+    no shuffle of raw rows — pass 1 reduces to the 12 BIGINT moments
+    (1-row broadcast), pass 2 scores each doc against the broadcast
+    model and reduces to the confusion counts. At 100 TB the moment
+    sums widen to DECIMAL(38,0) (Σx² at ~1e13 per 500 docs here; the
+    overflow margin is documented, not load-bearing at test SF).
+    reference: SURVEY §2.11 (curation tier); CCNet (Wenzek et al.
+    2020) uses a linear classifier in the same pipeline position.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("n_chars").cast("bigint").alias("x1"),
+        F.size(F.split("text", " ")).cast("bigint").alias("x2"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    yes, no = F.col("y"), ~F.col("y")
+
+    def _csum(expr, cond, name):
+        return F.sum(F.when(cond, expr)).cast("bigint").alias(name)
+
+    m = feats.agg(
+        F.count(F.when(no, 1)).cast("bigint").alias("n0"),
+        F.count(F.when(yes, 1)).cast("bigint").alias("n1"),
+        _csum(F.col("x1"), no, "sx1_0"),
+        _csum(F.col("x2"), no, "sx2_0"),
+        _csum(F.col("x1"), yes, "sx1_1"),
+        _csum(F.col("x2"), yes, "sx2_1"),
+        _csum(F.col("x1") * F.col("x1"), no, "s11_0"),
+        _csum(F.col("x2") * F.col("x2"), no, "s22_0"),
+        _csum(F.col("x1") * F.col("x2"), no, "s12_0"),
+        _csum(F.col("x1") * F.col("x1"), yes, "s11_1"),
+        _csum(F.col("x2") * F.col("x2"), yes, "s22_1"),
+        _csum(F.col("x1") * F.col("x2"), yes, "s12_1"),
+    )
+
+    def _sc(pre, n):  # Σx² − (Σx)²/n per class, summed — scatter entry
+        a, b = pre
+        return (
+            F.col(f"s{a}{b}_0").cast("double")
+            - (F.col(f"sx{a}_0") * F.col(f"sx{b}_0")).cast("double") / F.col("n0")
+        ) + (
+            F.col(f"s{a}{b}_1").cast("double")
+            - (F.col(f"sx{a}_1") * F.col(f"sx{b}_1")).cast("double") / F.col("n1")
+        )
+
+    fit = m.select(
+        "*",
+        _sc((1, 1), None).alias("a11"),
+        _sc((2, 2), None).alias("a22"),
+        _sc((1, 2), None).alias("a12"),
+        (
+            F.col("sx1_1").cast("double") / F.col("n1")
+            - F.col("sx1_0").cast("double") / F.col("n0")
+        ).alias("d1"),
+        (
+            F.col("sx2_1").cast("double") / F.col("n1")
+            - F.col("sx2_0").cast("double") / F.col("n0")
+        ).alias("d2"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    wfit = fit.select(
+        "*",
+        ((F.col("a22") * F.col("d1") - F.col("a12") * F.col("d2")) / det).alias("w1"),
+        ((F.col("a11") * F.col("d2") - F.col("a12") * F.col("d1")) / det).alias("w2"),
+    )
+    model = wfit.select(
+        "n0",
+        "n1",
+        "w1",
+        "w2",
+        (
+            (
+                F.col("w1")
+                * (
+                    F.col("sx1_0").cast("double") / F.col("n0")
+                    + F.col("sx1_1").cast("double") / F.col("n1")
+                )
+                + F.col("w2")
+                * (
+                    F.col("sx2_0").cast("double") / F.col("n0")
+                    + F.col("sx2_1").cast("double") / F.col("n1")
+                )
+            )
+            / 2
+        ).alias("thr"),
+    )
+    scored = feats.crossJoin(F.broadcast(model))
+    pred = F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2") > F.col("thr")
+    conf = scored.agg(
+        F.count(F.when(pred & yes, 1)).cast("bigint").alias("tp"),
+        F.count(F.when(pred & no, 1)).cast("bigint").alias("fp"),
+        F.count(F.when(~pred & yes, 1)).cast("bigint").alias("fn"),
+        F.count(F.when(~pred & no, 1)).cast("bigint").alias("tn"),
+    )
+    return (
+        model.crossJoin(F.broadcast(conf))
+        .select(
+            (F.col("n0") + F.col("n1")).alias("n_docs"),
+            F.round("w1", 12).alias("w1"),
+            F.round("w2", 12).alias("w2"),
+            F.round("thr", 9).alias("threshold"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            (
+                (F.col("tp") + F.col("tn")).cast("double")
+                / (F.col("n0") + F.col("n1"))
+            ).alias("accuracy"),
+        )
+    )

@@ -1276,3 +1276,111 @@ def power_iteration_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QR["power_iteration_portable"].oracle = _power_iteration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization with fixed codebooks (round 7)
+# ---------------------------------------------------------------------------
+# m=4 subspaces x 16 dims, k=8 centroids per subspace. Codebooks are pure
+# seed-derived constants (data-independent, like the LSH hyperplanes):
+# component = (((kc*3 + j*5 + sp*7) % 8) - 4) / 8 — dyadic eighths in
+# [-0.5, 0.375], the testdata embedding range; gcd(3,8)=1 makes all 8
+# codebooks distinct per subspace (a mod-5 pattern would alias kc and
+# kc+5, silently halving k).
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8
+
+
+def _pq_cent(sp: int, kc: int, j: int) -> float:
+    return (((kc * 3 + j * 5 + sp * 7) % 8) - 4) / 8.0
+
+
+def _pq_dists_spark(sp: int) -> str:
+    """array of the 8 centroid sqdists for subspace sp (sequential fold)."""
+    ds = []
+    for kc in range(_PQ_K):
+        cents = ", ".join(
+            repr(_pq_cent(sp, kc, j)) + "D" for j in range(_PQ_SUB)
+        )
+        ds.append(
+            f"aggregate(zip_with(slice(embedding, {sp * _PQ_SUB + 1}, {_PQ_SUB}),"
+            f" array({cents}), (x, c) ->"
+            " (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+            " CAST(0.0 AS DOUBLE), (a, y) -> a + y)"
+        )
+    return "array(" + ", ".join(ds) + ")"
+
+
+def _pq_dists_duck(sp: int) -> str:
+    ds = []
+    lo, hi = sp * _PQ_SUB + 1, (sp + 1) * _PQ_SUB
+    for kc in range(_PQ_K):
+        cents = "[" + ", ".join(
+            repr(_pq_cent(sp, kc, j)) for j in range(_PQ_SUB)
+        ) + "]::DOUBLE[]"
+        ds.append(
+            f"list_aggregate(list_transform("
+            f"list_zip(embedding[{lo}:{hi}], {cents}),"
+            " p -> (CAST(p[1] AS DOUBLE) - p[2])"
+            " * (CAST(p[1] AS DOUBLE) - p[2])), 'sum')"
+        )
+    return "[" + ", ".join(ds) + "]"
+
+
+def _pq_oracle() -> str:
+    cols = []
+    for sp in range(_PQ_M):
+        l = f"d{sp}"
+        cols.append(
+            f"CAST(list_position({l}, list_aggregate({l}, 'min')) - 1"
+            f" AS INT) AS code_{sp}"
+        )
+    recon = " + ".join(f"list_aggregate(d{sp}, 'min')" for sp in range(_PQ_M))
+    dists = ", ".join(f"{_pq_dists_duck(sp)} AS d{sp}" for sp in range(_PQ_M))
+    return f"""
+        WITH d AS (SELECT vec_id, {dists} FROM embeddings)
+        SELECT vec_id, {", ".join(cols)}, {recon} AS recon_err
+        FROM d ORDER BY vec_id
+    """
+
+
+@register(
+    "pq_encode_fixed",
+    doc="product quantization: 4x16-dim subspace codes from fixed codebooks + reconstruction error",
+    oracle=None,  # assembled below (codebook literals)
+)
+def pq_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou, Douze, Schmid 2011, TPAMI): encode
+    each 64-dim vector as m=4 one-byte-ish codes — the nearest of k=8
+    fixed centroids in each 16-dim subspace — plus the reconstruction
+    error Σ_sp min-sqdist. PQ is THE memory layout for billion-scale
+    ANN (a 64-dim float vector compresses 64x); this implements the
+    ENCODE step against data-independent seed-derived codebooks the
+    same way ann_lsh_bucketed inlines its hyperplanes, so the whole
+    pipeline is a pure scan-side expression and the DuckDB twin agrees
+    bitwise (sequential per-subspace folds; argmin = first index of
+    the bit-identical min; fixed left-assoc recon sum).
+
+    Plan: ZERO exchanges — one parquet scan, 32 sequential 16-element
+    folds per row inside whole-stage codegen, ORDER BY for the result
+    contract only. At 100 TB this is the map-side encode you'd run
+    before writing a PQ-compressed index; trained codebooks would
+    arrive as a broadcast literal the same shape. reference: SURVEY
+    §2.11 (similarity tier).
+    """
+    emb = _emb(spark, sf_dir)
+    sel = [F.col("vec_id")]
+    recon = None
+    for sp in range(_PQ_M):
+        dists = F.expr(_pq_dists_spark(sp))
+        sel.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code_{sp}")
+        )
+        term = F.array_min(F.expr(_pq_dists_spark(sp)))
+        recon = term if recon is None else recon + term
+    sel.append(recon.alias("recon_err"))
+    return emb.select(*sel).orderBy("vec_id")
+
+
+_QR["pq_encode_fixed"].oracle = _pq_oracle()

@@ -564,6 +564,9 @@ GLOBAL_WINDOW_WHITELIST = {
     "tokenize_to_ids", "chi_square_segment_priority",
     "revenue_share_by_nation", "pareto_abc_parts", "rfm_segmentation",
     "triplet_sample_contrastive",
+    # bounded: the UniMax waterfill windows run on the 20-row per-source
+    # aggregate (|sources|, never corpus-sized)
+    "unimax_allocation",
     # bounded: rank transform over the two A/B samples' value column
     # (events.value measurements, one global ECDF/rank by construction)
     "ks_two_sample_values", "mann_whitney_u_test",
