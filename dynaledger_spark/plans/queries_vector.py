@@ -1384,3 +1384,128 @@ def pq_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QR["pq_encode_fixed"].oracle = _pq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset selection (round 7)
+# ---------------------------------------------------------------------------
+_KC_MOD, _KC_K = 7, 8  # candidate pool = vec_id % 7 == 0 (~1/7th), 8 centers
+
+
+def _kc_dist_duck(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+    )
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        f"pool AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id % {_KC_MOD} = 0)",
+        "sel0 AS (SELECT vec_id, embedding, 0 AS ord,"
+        " CAST(NULL AS DOUBLE) AS radius FROM pool WHERE vec_id = 0)",
+    ]
+    for t in range(1, _KC_K):
+        d = _kc_dist_duck("p.embedding", "s.embedding")
+        parts.append(
+            f"cand{t} AS (SELECT p.vec_id, p.embedding, MIN({d}) AS md"
+            f" FROM pool p, sel{t - 1} s GROUP BY p.vec_id, p.embedding)"
+        )
+        parts.append(
+            f"pick{t} AS (SELECT vec_id, embedding, md FROM cand{t}"
+            " ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{t} AS (SELECT * FROM sel{t - 1} UNION ALL"
+            f" SELECT vec_id, embedding, {t} AS ord, md AS radius"
+            f" FROM pick{t})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT ord AS order_idx, vec_id, radius"
+        f" FROM sel{_KC_K - 1} ORDER BY ord"
+    )
+
+
+@register(
+    "kcenter_coreset_greedy",
+    doc="k-center greedy (farthest-first) coreset selection over a hash-thinned candidate pool",
+    oracle=None,  # assembled below (unrolled per-round CTE chain)
+)
+def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-Center greedy / farthest-first traversal — the coreset
+    selection rule of Sener & Savarese 2018 (arXiv:1708.00489) for
+    active learning and the classic 2-approximation to the k-center
+    cover: seed with one point, then repeatedly add the candidate
+    FARTHEST from its nearest selected center. Pool = the hash-thinned
+    vec_id % 7 slice (the paper's candidate subsampling), k=8; radius
+    is each pick's min-sqdist at selection time — the sequence is the
+    coverage-radius curve. Ties break to the smaller vec_id.
+
+    Exactness: squared L2 is the sequential 64-dim fold; per-candidate
+    min over selected centers is MIN over bit-identical doubles
+    (order-free); the oracle unrolls the 7 greedy rounds as a CTE
+    chain over the SAME pool table, so both engines replay the
+    identical argmax sequence.
+
+    Plan: 7 bounded driver rounds (house pattern: k-means fits, BPE
+    merges); each round is ONE pool scan with the ≤7 selected centers
+    inlined as broadcast literals, reduced by TakeOrdered(1) — no
+    cross join, no corpus shuffle, driver state is k rows. At 100 TB
+    the pool filter pushes to the scan and each round stays a single
+    map-reduce; cost is k·|pool|·d multiply-adds, the published
+    shape. reference: SURVEY §2.11 (similarity/curation tier).
+    """
+    emb = _emb(spark, sf_dir)
+    pool = emb.filter(F.col("vec_id") % _KC_MOD == 0).select(
+        "vec_id", "embedding"
+    )
+    seed = pool.filter(F.col("vec_id") == 0).head()
+    selected = [(int(seed.vec_id), [float(v) for v in seed.embedding], None)]
+
+    def _sqdist(center: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in center]),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda a, y: a + y,
+        )
+
+    for t in range(1, _KC_K):
+        dists = [_sqdist(c) for _, c, _ in selected]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        r = (
+            pool.select("vec_id", "embedding", mind.alias("md"))
+            .orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+            .head()
+        )
+        selected.append(
+            (int(r.vec_id), [float(v) for v in r.embedding], float(r.md))
+        )
+    ordm, radm = F.lit(None), F.lit(None).cast("double")
+    for i, (vid, _, rad) in enumerate(reversed(selected)):
+        ord_i = len(selected) - 1 - i
+        ordm = F.when(F.col("vec_id") == vid, ord_i).otherwise(ordm)
+        radm = F.when(
+            F.col("vec_id") == vid,
+            F.lit(rad).cast("double") if rad is not None else F.lit(None).cast("double"),
+        ).otherwise(radm)
+    ids = [vid for vid, _, _ in selected]
+    return (
+        pool.filter(F.col("vec_id").isin(ids))
+        .select(
+            ordm.cast("int").alias("order_idx"),
+            "vec_id",
+            radm.alias("radius"),
+        )
+        .orderBy("order_idx")
+    )
+
+
+_QR["kcenter_coreset_greedy"].oracle = _kcenter_oracle()

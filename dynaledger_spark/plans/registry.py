@@ -233,6 +233,10 @@ _ROUND7_WINDOW = (
     # round-7 curation batch (published-method ops, all oracle-exact)
     "semdedup_prune", "margin_knn_scores", "dsir_importance_weights",
     "power_iteration_portable",
+    # round-7 batch 2 (published-method ops, all oracle-exact); these
+    # take the slots of the four rotation entries noted below
+    "unimax_allocation", "fisher_lda_quality", "pq_encode_fixed",
+    "kcenter_coreset_greedy",
     # longest-unverified rotation (last green r1; date_rollup yields
     # its slot to power_iteration_portable — same never-verified-first
     # rationale as the other swaps)
@@ -242,10 +246,13 @@ _ROUND7_WINDOW = (
     "media_decode_meta", "media_features", "media_frame_sample",
     "media_resize_dims", "median_disc_by_priority",
     "ntile_acctbal_quartiles", "orc_roundtrip_revenue",
-    "regex_extract_id_buckets", "rolling_30d_revenue", "scalar_stats",
-    "scalar_subquery_small_qty", "shard_round_robin", "sql_passthrough",
+    "regex_extract_id_buckets", "rolling_30d_revenue",
     "stddev_exact_by_flag", "stratified_sample_docs", "topk_customers",
     "validation_summary",
+    # (scalar_stats / scalar_subquery_small_qty / shard_round_robin /
+    # sql_passthrough yield their slots to the batch-2 curation ops —
+    # same never-verified-first rationale; all four stay green in the
+    # local two-SF parity suite.)
     # (union_by_name / unique_key_check / unpivot_lineitem_measures,
     # the next-oldest candidates, yield their slots to the curation
     # batch — never-verified oracle rows buy more signal; all three

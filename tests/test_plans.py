@@ -109,6 +109,8 @@ def test_no_cartesian_products(plans):
             "semdedup_prune",  # 10-row centroid-table broadcast fan-out
             "margin_knn_scores",  # 20-row query-batch broadcast fan-out
             "dsir_importance_weights",  # 1-row broadcast of the corpus totals
+            "unimax_allocation",  # 1-row broadcasts of budget and waterline
+            "fisher_lda_quality",  # 1-row broadcasts of the fitted model
         ), f"{name} nested-loop joins"
 
 

@@ -196,3 +196,119 @@ def test_power_iteration_portable_scale_bound(spark, sf_dir):
     got = rows(spark, sf_dir, "power_iteration_portable")
     assert len(got) == _PI_DIMS
     assert all(abs(r.pc_fixed) <= _PI_SCALE * _PI_DIMS for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 2: UniMax, Fisher LDA, PQ encode, k-center greedy
+# ---------------------------------------------------------------------------
+def _documents(sf_dir):
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    return t.to_pydict()
+
+
+def test_unimax_vs_sequential_paper_loop(spark, sf_dir):
+    """The closed-form waterfill must equal the PAPER's sequential
+    allocation loop (ascending caps; quota_i = min(cap_i,
+    remaining/remaining_count)) replayed in python from raw parquet."""
+    d = _documents(sf_dir)
+    sizes = defaultdict(int)
+    for s, c in zip(d["source"], d["n_chars"]):
+        sizes[s] += int(c)
+    budget = (59 * sum(sizes.values())) // 20
+    order = sorted(sizes, key=lambda s: (3 * sizes[s], s))
+    remaining, m, quota = float(budget), len(order), {}
+    for s in order:
+        q = min(float(3 * sizes[s]), remaining / m)
+        quota[s] = q
+        remaining -= q
+        m -= 1
+    got = {r.source: r for r in rows(spark, sf_dir, "unimax_allocation")}
+    assert set(got) == set(sizes)
+    for s in sizes:
+        assert math.isclose(got[s].quota_chars, quota[s], rel_tol=1e-12), (
+            s, got[s].quota_chars, quota[s]
+        )
+        assert got[s].saturated == (quota[s] == 3 * sizes[s])
+    # budget is exactly exhausted (sum of quotas == budget, float-close)
+    assert math.isclose(
+        sum(r.quota_chars for r in got.values()), float(budget), rel_tol=1e-12
+    )
+
+
+def test_fisher_lda_vs_numpy(spark, sf_dir):
+    """Weights/threshold/confusion must match a dense numpy LDA fit
+    (pooled within-class scatter, 2x2 solve) on the raw parquet."""
+    d = _documents(sf_dir)
+    x1 = np.asarray(d["n_chars"], dtype=np.float64)
+    x2 = np.asarray([len(t.split(" ")) for t in d["text"]], dtype=np.float64)
+    y = np.asarray([l == "en" for l in d["lang"]])
+    X = np.stack([x1, x2], axis=1)
+    mu0, mu1 = X[~y].mean(axis=0), X[y].mean(axis=0)
+    S = (X[~y] - mu0).T @ (X[~y] - mu0) + (X[y] - mu1).T @ (X[y] - mu1)
+    w = np.linalg.solve(S, mu1 - mu0)
+    thr = float(w @ (mu0 + mu1) / 2)
+    proj = X @ w
+    (r,) = rows(spark, sf_dir, "fisher_lda_quality")
+    assert math.isclose(r.w1, w[0], rel_tol=1e-6)
+    assert math.isclose(r.w2, w[1], rel_tol=1e-6)
+    assert math.isclose(r.threshold, thr, rel_tol=1e-6)
+    pred = proj > thr
+    assert (r.tp, r.fp, r.fn, r.tn) == (
+        int((pred & y).sum()), int((pred & ~y).sum()),
+        int((~pred & y).sum()), int((~pred & ~y).sum()),
+    )
+    assert r.tp + r.fp + r.fn + r.tn == r.n_docs == len(x1)
+
+
+def test_pq_encode_vs_numpy(spark, sf_dir):
+    """Subspace codes must equal a dense numpy argmin against the same
+    fixed codebooks; reconstruction error matches the sum of mins."""
+    from dynaledger_spark.plans.queries_vector import (
+        _PQ_K, _PQ_M, _PQ_SUB, _pq_cent,
+    )
+
+    ids, V, _ = _embeddings(sf_dir)
+    books = np.asarray(
+        [
+            [[_pq_cent(sp, kc, j) for j in range(_PQ_SUB)] for kc in range(_PQ_K)]
+            for sp in range(_PQ_M)
+        ]
+    )
+    got = {r.vec_id: r for r in rows(spark, sf_dir, "pq_encode_fixed")}
+    assert set(got) == set(int(i) for i in ids)
+    for i, vid in enumerate(ids):
+        recon = 0.0
+        for sp in range(_PQ_M):
+            seg = V[i, sp * _PQ_SUB:(sp + 1) * _PQ_SUB]
+            d2 = ((seg[None, :] - books[sp]) ** 2).sum(axis=1)
+            code = int(d2.argmin())
+            assert got[int(vid)][f"code_{sp}"] == code, (vid, sp)
+            recon += float(d2.min())
+        assert math.isclose(got[int(vid)].recon_err, recon, rel_tol=1e-9)
+
+
+def test_kcenter_vs_numpy_and_radius_monotone(spark, sf_dir):
+    """Selection order must equal a numpy farthest-first replay over
+    the same pool; coverage radii are non-increasing by construction
+    (adding a center can only shrink every min-distance)."""
+    from dynaledger_spark.plans.queries_vector import _KC_K, _KC_MOD
+
+    ids, V, _ = _embeddings(sf_dir)
+    mask = ids % _KC_MOD == 0
+    pids, P = ids[mask], V[mask]
+    sel = [int(np.where(pids == 0)[0][0])]
+    radii = [None]
+    for _ in range(1, _KC_K):
+        d2 = ((P[:, None, :] - P[sel][None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        # argmax with ties to the smaller vec_id (pids is sorted asc)
+        best = int(np.lexsort((pids, -d2))[0])
+        sel.append(best)
+        radii.append(float(d2[best]))
+    got = sorted(rows(spark, sf_dir, "kcenter_coreset_greedy"),
+                 key=lambda r: r.order_idx)
+    assert [r.vec_id for r in got] == [int(pids[i]) for i in sel]
+    assert got[0].radius is None
+    for a, b in zip(got[1:], got[2:]):
+        assert a.radius >= b.radius
+    for r, want in zip(got[1:], radii[1:]):
+        assert math.isclose(r.radius, want, rel_tol=1e-9)

@@ -92,6 +92,11 @@ QUERIES = [
     "semdedup_prune",          # within-cell pairs grow ~100x, prune rate ~90%
     "margin_knn_scores",       # 20-query broadcast over the 10x corpus
     "dsir_importance_weights", # token explode + bucket stats at 10x docs
+    # round-7 batch 2
+    "unimax_allocation",       # one corpus agg; waterfill stays 20 rows at any SF
+    "fisher_lda_quality",      # two moment/score passes, 1-row model broadcast
+    "pq_encode_fixed",         # zero-exchange scan encode: must scale ~linearly
+    "kcenter_coreset_greedy",  # 7 rounds x pool scan; pool has 10x exact twins
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
