@@ -413,3 +413,155 @@ def ndcg_lexical_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("ndcg_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (round 7)
+# ---------------------------------------------------------------------------
+_MMR_POOL, _MMR_K, _MMR_LAMBDA = 20, 10, 0.7  # pool, picks, relevance weight
+
+
+def _mmr_cos_duck(a: str, b: str) -> str:
+    return (
+        f"{_duck_dot(a, b)}"
+        f" / (sqrt({_SQ_FOLD_DUCK.replace('embedding', a)})"
+        f" * sqrt({_SQ_FOLD_DUCK.replace('embedding', b)}))"
+    )
+
+
+def _mmr_oracle() -> str:
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 12)
+    parts = [
+        "q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""cands AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+                   {_mmr_cos_duck('e.embedding', 'q.qv')} AS rel
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL})""",
+        f"sel1 AS MATERIALIZED (SELECT vec_id, embedding, rel, 1 AS rk,"
+        f" ({lam} * rel) - ({mu} * 0.0) AS score"
+        " FROM cands ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    for t in range(2, _MMR_K + 1):
+        sim = _mmr_cos_duck("c.embedding", "s.embedding")
+        parts.append(
+            f"rem{t} AS MATERIALIZED (SELECT c.vec_id, c.embedding, c.rel,"
+            f" MAX({sim}) AS maxsim FROM cands c, sel{t - 1} s"
+            f" WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})"
+            " GROUP BY c.vec_id, c.embedding, c.rel)"
+        )
+        parts.append(
+            f"sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} UNION ALL"
+            f" SELECT * FROM (SELECT vec_id, embedding, rel, {t} AS rk,"
+            f" ({lam} * rel) - ({mu} * maxsim) AS score"
+            f" FROM rem{t}"
+            f" ORDER BY ({lam} * rel) - ({mu} * maxsim) DESC, vec_id"
+            " LIMIT 1))"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT rk - 1 AS mmr_rank, vec_id, rel AS relevance,"
+        f" score AS mmr_score FROM sel{_MMR_K} ORDER BY mmr_rank"
+    )
+
+
+@register(
+    "mmr_rerank",
+    doc=f"MMR diversified rerank: top-{_MMR_K} of the cosine top-{_MMR_POOL} (lambda={_MMR_LAMBDA})",
+    oracle=None,  # assembled below (unrolled greedy rounds)
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998, SIGIR):
+    rerank the dense top-20 for the vec_id=0 query so each pick
+    maximizes λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the standard
+    diversity-aware cut RAG retrieval and hard-negative mining apply
+    after ANN. First pick is pure relevance (empty-S max term = 0).
+
+    Exactness: relevance and pairwise similarity are the sequential
+    cosine folds; the greedy runs on the COLLECTED 20-row candidate
+    block in driver python whose IEEE ops (left-to-right dot folds,
+    sqrt, λ-weighted score) mirror the oracle's expression tree
+    verbatim, so the unrolled 10-round CTE chain replays the identical
+    argmax sequence bitwise. Ties break to the smaller vec_id.
+
+    Plan: the corpus-scale work is ONE scan + TakeOrdered(20) (the
+    same shape as ann_cosine_topk); the rerank itself touches 20 rows
+    — at 100 TB the pool would come from the partition-pruned IVF/LSH
+    probe and MMR's cost stays O(pool²·d), driver-bounded by
+    construction. reference: SURVEY §2.11 (retrieval tier).
+    """
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).head().embedding]
+    nq = 0.0
+    for v in q:
+        nq += v * v
+    dot_q = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(v) for v in q]),
+            lambda x, c: x.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda a, y: a + y,
+    )
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    rel = dot_q / (F.sqrt(sq) * F.lit(math.sqrt(nq)))
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_POOL)
+    )
+    block = cands.collect()  # bounded: exactly _MMR_POOL rows
+    vecs = {int(r.vec_id): [float(v) for v in r.embedding] for r in block}
+    rels = {int(r.vec_id): float(r.rel) for r in block}
+
+    def _cos(a, b):
+        d = n1 = n2 = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            n1 += x * x
+            n2 += y * y
+        return d / (math.sqrt(n1) * math.sqrt(n2))
+
+    lam, mu = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 12)
+    first = max(rels, key=lambda v: (rels[v], -v))
+    picked = [(first, (lam * rels[first]) - (mu * 0.0))]
+    chosen = {first}
+    for _ in range(1, _MMR_K):
+        best = None
+        for v in sorted(vecs):
+            if v in chosen:
+                continue
+            maxsim = max(_cos(vecs[v], vecs[s]) for s in chosen)
+            score = (lam * rels[v]) - (mu * maxsim)
+            if best is None or score > best[1]:
+                best = (v, score)
+        picked.append(best)
+        chosen.add(best[0])
+    rankm, scorem = F.lit(None), F.lit(None).cast("double")
+    for i, (vid, score) in enumerate(reversed(picked)):
+        rk = len(picked) - 1 - i
+        rankm = F.when(F.col("vec_id") == vid, rk).otherwise(rankm)
+        scorem = F.when(F.col("vec_id") == vid, F.lit(score)).otherwise(scorem)
+    return (
+        cands.filter(F.col("vec_id").isin([v for v, _ in picked]))
+        .select(
+            rankm.cast("int").alias("mmr_rank"),
+            "vec_id",
+            F.col("rel").alias("relevance"),
+            scorem.alias("mmr_score"),
+        )
+        .orderBy("mmr_rank")
+    )
+
+
+from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QRR  # noqa: E402
+
+_QRR["mmr_rerank"].oracle = _mmr_oracle()

@@ -1242,3 +1242,167 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-doc character-entropy quality filter (round 7)
+# ---------------------------------------------------------------------------
+_ENTROPY_KEEP = 2.85  # nats; ~corpus median, so the flag is non-vacuous
+
+
+@register(
+    "char_entropy_quality",
+    doc=f"per-doc character-distribution Shannon entropy + keep flag (>= {_ENTROPY_KEEP} nats)",
+    oracle=f"""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS ch
+            FROM documents
+        ),
+        cc AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS n
+            FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+        ),
+        g AS (
+            SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_chars_counted,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                   list(CAST(n AS DOUBLE) ORDER BY ch) AS ns
+            FROM cc GROUP BY doc_id
+        )
+        SELECT doc_id, n_chars_counted, n_distinct_chars,
+               round(-list_reduce(
+                   list_transform(ns,
+                       x -> round((x / CAST(n_chars_counted AS DOUBLE))
+                                  * ln(x / CAST(n_chars_counted AS DOUBLE)),
+                                  12)),
+                   (a, b) -> a + b), 9) + 0.0 AS entropy,
+               (round(-list_reduce(
+                   list_transform(ns,
+                       x -> round((x / CAST(n_chars_counted AS DOUBLE))
+                                  * ln(x / CAST(n_chars_counted AS DOUBLE)),
+                                  12)),
+                   (a, b) -> a + b), 9) + 0.0) >= {_ENTROPY_KEEP} AS keep
+        FROM g ORDER BY doc_id
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    classic gibberish/boilerplate screen (low entropy = repeated
+    characters / templates; RefinedWeb and MassiveText both gate on
+    natural-language entropy bands). Same exactness recipe as
+    l_diversity_audit: integer char counts, each −p·ln p term pinned
+    at 12 dp, folded over the per-doc char set SORTED by character
+    (bounded: |alphabet| ≈ 40), final round(9) + 0.0 to collapse -0.0.
+    Empty-string chars are filtered on both sides (Spark split('')
+    yields [''] where DuckDB yields [] — the filter makes the
+    explode shapes identical).
+
+    Plan: one char explode into a (doc_id, ch) map-side-combined hash
+    aggregate, then a doc_id-clustered re-aggregate (subset rule: one
+    exchange total); the entropy fold runs over ≤|alphabet| elements
+    per doc. At 100 TB this is the standard explode-reduce; no state
+    beyond the bounded per-doc char set. reference: SURVEY §2.11
+    (curation tier).
+    """
+    docs = _docs(spark, sf_dir)
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    g = cc.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_chars_counted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        F.array_sort(F.collect_list(F.struct("ch", "n"))).alias("_cells"),
+    )
+    p = "CAST(s.n AS DOUBLE) / CAST(n_chars_counted AS DOUBLE)"
+    ent = (
+        F.round(
+            -F.expr(
+                f"aggregate(_cells, CAST(0.0 AS DOUBLE),"
+                f" (acc, s) -> acc + round(({p}) * ln({p}), 12))"
+            ),
+            9,
+        )
+        + 0.0
+    )
+    return (
+        g.withColumn("entropy", ent)
+        .select(
+            "doc_id",
+            "n_chars_counted",
+            "n_distinct_chars",
+            "entropy",
+            (F.col("entropy") >= _ENTROPY_KEEP).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by source (round 7)
+# ---------------------------------------------------------------------------
+_FERT_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # the repo's BPE-ish pre-tokenizer
+
+
+@register(
+    "tokenizer_fertility_by_source",
+    doc="tokenizer fertility eval: BPE-regex tokens per word and chars per token, by source",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+               CAST(SUM(len(regexp_extract_all(text, '{_FERT_RE}')))
+                   AS BIGINT) AS n_tokens,
+               CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(len(regexp_extract_all(text, '{_FERT_RE}')))
+                    AS DOUBLE)
+                   / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                   AS fertility,
+               CAST(SUM(len(text)) AS DOUBLE)
+                   / CAST(SUM(len(regexp_extract_all(text, '{_FERT_RE}')))
+                          AS DOUBLE) AS chars_per_token
+        FROM documents
+        GROUP BY source ORDER BY source
+    """,
+)
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (Rust et al. 2021, ACL — 'How Good is Your
+    Tokenizer?'): tokens-per-word and chars-per-token per corpus
+    source, THE standard diagnostic for how well a tokenizer fits each
+    slice of a multilingual/multi-domain mixture (high fertility =
+    over-segmentation = wasted context window). Tokens use the repo's
+    BPE-ish regex pre-tokenizer (the text_quality convention); counts
+    are exact integer sums, the two ratios one IEEE division each.
+
+    Plan: ONE scan, all counting inside whole-stage codegen
+    (regexp_extract_all + size, no explode — the per-doc counts reduce
+    before the 20-group aggregate), one map-side-combined exchange.
+    Linear at any scale. reference: SURVEY §2.11 (curation tier).
+    """
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("w"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_FERT_RE), F.lit(0))
+        ).cast("bigint").alias("t"),
+        F.length("text").cast("bigint").alias("c"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("t").cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("n_chars"),
+            (F.sum("t").cast("double") / F.sum("w").cast("double")).alias(
+                "fertility"
+            ),
+            (F.sum("c").cast("double") / F.sum("t").cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )

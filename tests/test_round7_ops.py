@@ -312,3 +312,86 @@ def test_kcenter_vs_numpy_and_radius_monotone(spark, sf_dir):
         assert a.radius >= b.radius
     for r, want in zip(got[1:], radii[1:]):
         assert math.isclose(r.radius, want, rel_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 3: MMR rerank, char entropy, tokenizer fertility
+# ---------------------------------------------------------------------------
+def test_mmr_vs_numpy(spark, sf_dir):
+    """The MMR pick sequence must equal a numpy replay: cosine top-20
+    pool for the vec_id=0 query, then greedy argmax of
+    lambda*rel - (1-lambda)*max-sim-to-selected, ties to smaller id."""
+    from dynaledger_spark.plans.queries_retrieval import (
+        _MMR_K, _MMR_LAMBDA, _MMR_POOL,
+    )
+
+    ids, V, _ = _embeddings(sf_dir)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qi = int(np.where(ids == 0)[0][0])
+    rel = Vn @ Vn[qi]
+    cand = [i for i in np.lexsort((ids, -rel)) if ids[i] != 0][:_MMR_POOL]
+    sel = [max(cand, key=lambda i: (rel[i], -ids[i]))]
+    for _ in range(1, _MMR_K):
+        rest = [i for i in cand if i not in sel]
+        scores = {
+            i: _MMR_LAMBDA * rel[i]
+            - (1 - _MMR_LAMBDA) * max(float(Vn[i] @ Vn[s]) for s in sel)
+            for i in rest
+        }
+        sel.append(max(rest, key=lambda i: (scores[i], -ids[i])))
+    got = sorted(rows(spark, sf_dir, "mmr_rerank"), key=lambda r: r.mmr_rank)
+    assert [r.vec_id for r in got] == [int(ids[i]) for i in sel]
+    for r, i in zip(got, sel):
+        assert math.isclose(r.relevance, rel[i], rel_tol=1e-9)
+    # rank 0 is the pure-relevance argmax of the pool
+    assert got[0].vec_id == int(ids[max(cand, key=lambda i: (rel[i], -ids[i]))])
+
+
+def test_char_entropy_vs_python(spark, sf_dir):
+    """Entropy must match a Counter-based python recomputation; keep
+    flag mirrors the threshold; docs with empty text are absent."""
+    from dynaledger_spark.plans.queries_text import _ENTROPY_KEEP
+
+    d = _documents(sf_dir)
+    got = {r.doc_id: r for r in rows(spark, sf_dir, "char_entropy_quality")}
+    kept = dropped = 0
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        if not text:
+            assert doc_id not in got
+            continue
+        c = Counter(text)
+        n = sum(c.values())
+        h = -sum((k / n) * math.log(k / n) for k in c.values())
+        r = got[doc_id]
+        assert r.n_chars_counted == n and r.n_distinct_chars == len(c)
+        assert math.isclose(r.entropy, h, rel_tol=1e-8), (doc_id, r.entropy, h)
+        assert r.keep == (r.entropy >= _ENTROPY_KEEP)
+        kept += r.keep
+        dropped += not r.keep
+    assert kept and dropped  # threshold sits inside the distribution
+
+
+def test_fertility_vs_python(spark, sf_dir):
+    """Source-level token/word/char sums must match python re over the
+    raw parquet; ratios are the exact quotients."""
+    import re
+
+    from dynaledger_spark.plans.queries_text import _FERT_RE
+
+    d = _documents(sf_dir)
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for s, text in zip(d["source"], d["text"]):
+        a = agg[s]
+        a[0] += 1
+        a[1] += len(text.split(" "))
+        a[2] += len(re.findall(_FERT_RE, text))
+        a[3] += len(text)
+    got = {r.source: r for r in rows(spark, sf_dir, "tokenizer_fertility_by_source")}
+    assert set(got) == set(agg)
+    for s, (nd, w, t, c) in agg.items():
+        r = got[s]
+        assert (r.n_docs, r.n_words, r.n_tokens, r.n_chars) == (nd, w, t, c)
+        assert math.isclose(r.fertility, t / w, rel_tol=1e-12)
+        assert math.isclose(r.chars_per_token, c / t, rel_tol=1e-12)
+        # the regex can only split words further, never merge them
+        assert r.fertility >= 1.0

@@ -97,6 +97,9 @@ QUERIES = [
     "fisher_lda_quality",      # two moment/score passes, 1-row model broadcast
     "pq_encode_fixed",         # zero-exchange scan encode: must scale ~linearly
     "kcenter_coreset_greedy",  # 7 rounds x pool scan; pool has 10x exact twins
+    "mmr_rerank",              # scan+TakeOrdered(20) then bounded driver greedy
+    "char_entropy_quality",    # char explode with the 3000x hot doc
+    "tokenizer_fertility_by_source",  # regex counting inside codegen, no explode
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
