@@ -694,3 +694,229 @@ def bpe_portable_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged",
         "pair_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style excess-loss domain reweighting (round 7)
+# ---------------------------------------------------------------------------
+_DOREMI_ETA = 50.0
+
+
+@register(
+    "doremi_domain_weights",
+    doc="DoReMi-style domain reweighting: softmax over per-source excess unigram-LM loss",
+    oracle=f"""
+        WITH words AS (
+            SELECT source, u.w AS word
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        ),
+        vocab AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+        total AS (SELECT COUNT(*) AS t FROM words),
+        sw AS (
+            SELECT source, word, COUNT(*) AS cnt FROM words
+            GROUP BY source, word
+        ),
+        terms AS (
+            SELECT sw.source, sw.cnt,
+                   sw.cnt * round(ln(CAST(v.n AS DOUBLE) / t.t), 12) AS term
+            FROM sw JOIN vocab v USING (word) CROSS JOIN total t
+        ),
+        srcloss AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   round(-({_FOLD.format(x='term')}) / SUM(cnt), 12)
+                       AS proxy_loss
+            FROM terms GROUP BY source
+        ),
+        ref AS (
+            SELECT round(-({_FOLD.format(x='term')}) / SUM(cnt), 12)
+                       AS ref_loss
+            FROM terms
+        ),
+        scored AS (
+            SELECT s.source, s.n_tokens, s.proxy_loss,
+                   greatest(s.proxy_loss - r.ref_loss, 0.0) AS excess,
+                   round(exp({_DOREMI_ETA}
+                             * greatest(s.proxy_loss - r.ref_loss, 0.0)), 12)
+                       AS e
+            FROM srcloss s CROSS JOIN ref r
+        ),
+        norm AS (SELECT {_FOLD.format(x='e')} AS tot FROM scored)
+        SELECT s.source, s.n_tokens, s.proxy_loss, s.excess,
+               round(s.e / n.tot, 12) AS weight
+        FROM scored s CROSS JOIN norm n
+        ORDER BY s.source
+    """,
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429): upweight the domains where the proxy model's
+    loss EXCEEDS the reference — here one multiplicative-weights step
+    from uniform, which is exactly a softmax over η·excess. The proxy
+    loss is each source's mean unigram-LM surprisal (the repo's
+    perplexity-filter proxy, unigram_logprob_quality); the reference
+    is the corpus mean; excess clamps at 0 (the published
+    min-domain-weight guard). Full DoReMi retrains the proxy between
+    steps — with a static proxy, k unit-rate steps collapse to one
+    softmax at temperature 1/k, so η=50 here ≡ 50 MW steps; on this
+    near-homogeneous corpus (excess ≤ ~0.004 nats) that is what makes
+    the weight spread visible rather than ±0.2%.
+
+    Float discipline: ln terms round at 12 before sorted folds
+    (per-source term sets are vocab-bounded); exp(η·excess) lands in
+    [1, e^0.4] so round(…, 12) absorbs the cross-libm exp ulp the
+    repo's parity experiment measured; the 20-element normalizer is a
+    sorted fold.
+
+    Plan: ONE token explode feeds vocab/total/(source, word) hash
+    aggregates (all map-side-combined); everything after is
+    20-row/1-row broadcast combines. At 100 TB: two corpus-weight
+    exchanges, no driver state. reference: SURVEY §2.11 (sampling
+    tier).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = words.agg(F.count(F.lit(1)).alias("t"))
+    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    terms = (
+        sw.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "cnt",
+            (
+                F.col("cnt")
+                * F.round(F.log(F.col("n").cast("double") / F.col("t")), 12)
+            ).alias("term"),
+        )
+    )
+    srcloss = terms.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.round(-_fold("term") / F.sum("cnt"), 12).alias("proxy_loss"),
+    )
+    ref = terms.agg(
+        F.round(-_fold("term") / F.sum("cnt"), 12).alias("ref_loss")
+    )
+    scored = srcloss.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_tokens",
+        "proxy_loss",
+        F.greatest(F.col("proxy_loss") - F.col("ref_loss"), F.lit(0.0)).alias(
+            "excess"
+        ),
+        F.round(
+            F.exp(
+                _DOREMI_ETA
+                * F.greatest(F.col("proxy_loss") - F.col("ref_loss"), F.lit(0.0))
+            ),
+            12,
+        ).alias("e"),
+    )
+    norm = scored.agg(_fold("e").alias("tot"))
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            "proxy_loss",
+            "excess",
+            F.round(F.col("e") / F.col("tot"), 12).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n diversity metrics (round 7)
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_ngram_diversity",
+    doc="distinct-1/distinct-2 diversity ratios per source (generation-diversity eval)",
+    oracle="""
+        WITH toks AS (
+            SELECT source, string_split(text, ' ') AS t FROM documents
+        ),
+        unig AS (
+            SELECT source, unnest(t) AS g FROM toks
+        ),
+        big AS (
+            SELECT source,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                          i -> array_to_string(t[i:i+1], ' '))) AS g
+            FROM toks
+        ),
+        u AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS d_unigrams
+            FROM unig GROUP BY source
+        ),
+        b AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS d_bigrams
+            FROM big GROUP BY source
+        )
+        SELECT u.source, u.n_unigrams, u.d_unigrams,
+               CAST(u.d_unigrams AS DOUBLE) / u.n_unigrams AS distinct_1,
+               b.n_bigrams, b.d_bigrams,
+               CAST(b.d_bigrams AS DOUBLE) / b.n_bigrams AS distinct_2
+        FROM u JOIN b ON u.source = b.source
+        ORDER BY u.source
+    """,
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n (Li et al. 2016, arXiv:1510.03055; the Texygen
+    diversity metric): unique-to-total unigram and bigram ratios per
+    source — low distinct-n flags template/degenerate slices the way
+    it flags mode-collapsed generators, which is exactly the check a
+    pipeline runs on synthetic-data sources before mixing them in.
+    Counts are exact integers; each ratio is one IEEE division.
+
+    Plan: the token list is built ONCE per doc (scan-side split);
+    unigram and bigram streams each feed a (source, gram)
+    distinct+count aggregate — two map-side-combined exchanges over
+    gram keys, joined on the 20-row source dim. Linear at 100 TB; a
+    hot gram collapses in the map-side partial. reference: SURVEY
+    §2.11 (curation/eval tier).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split("text", " ").alias("t"))
+    unig = toks.select("source", F.explode("t").alias("g"))
+    big = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))
+                ),
+                lambda i: F.array_join(F.slice("t", i, 2), " "),
+            )
+        ).alias("g"),
+    )
+    u = unig.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unigrams"),
+        F.countDistinct("g").cast("bigint").alias("d_unigrams"),
+    )
+    b = big.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.countDistinct("g").cast("bigint").alias("d_bigrams"),
+    )
+    return (
+        u.join(b, "source")
+        .select(
+            "source",
+            "n_unigrams",
+            "d_unigrams",
+            (F.col("d_unigrams").cast("double") / F.col("n_unigrams")).alias(
+                "distinct_1"
+            ),
+            "n_bigrams",
+            "d_bigrams",
+            (F.col("d_bigrams").cast("double") / F.col("n_bigrams")).alias(
+                "distinct_2"
+            ),
+        )
+        .orderBy("source")
+    )

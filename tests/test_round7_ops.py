@@ -395,3 +395,59 @@ def test_fertility_vs_python(spark, sf_dir):
         assert math.isclose(r.chars_per_token, c / t, rel_tol=1e-12)
         # the regex can only split words further, never merge them
         assert r.fertility >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 4: DoReMi domain weights, distinct-n diversity
+# ---------------------------------------------------------------------------
+def test_doremi_vs_python(spark, sf_dir):
+    """Per-source proxy loss, excess, and softmax weight must match a
+    python recomputation of the unigram-LM surprisal pipeline."""
+    from dynaledger_spark.plans.queries_lm import _DOREMI_ETA
+
+    d = _documents(sf_dir)
+    vocab, per_src = Counter(), defaultdict(Counter)
+    for s, text in zip(d["source"], d["text"]):
+        ws = text.split(" ")
+        vocab.update(ws)
+        per_src[s].update(ws)
+    t = sum(vocab.values())
+    loss = {
+        s: -sum(c[w] * math.log(vocab[w] / t) for w in c) / sum(c.values())
+        for s, c in per_src.items()
+    }
+    ref = -sum(n * math.log(n / t) for n in vocab.values()) / t
+    es = {s: math.exp(_DOREMI_ETA * max(loss[s] - ref, 0.0)) for s in loss}
+    tot = sum(es.values())
+    got = {r.source: r for r in rows(spark, sf_dir, "doremi_domain_weights")}
+    assert set(got) == set(loss)
+    for s in loss:
+        assert got[s].n_tokens == sum(per_src[s].values())
+        assert math.isclose(got[s].proxy_loss, loss[s], rel_tol=1e-9)
+        assert math.isclose(got[s].excess, max(loss[s] - ref, 0.0), abs_tol=1e-9)
+        assert math.isclose(got[s].weight, es[s] / tot, rel_tol=1e-7)
+    # weights are a distribution and upweight only above-reference sources
+    assert math.isclose(sum(r.weight for r in got.values()), 1.0, rel_tol=1e-9)
+    base = min(r.weight for r in got.values())
+    for s in loss:
+        assert (got[s].excess > 0) == (got[s].weight > base + 1e-15)
+
+
+def test_distinct_ngram_vs_python(spark, sf_dir):
+    """distinct-1/2 counts must match python set/list recomputation."""
+    d = _documents(sf_dir)
+    uni, big = defaultdict(list), defaultdict(list)
+    for s, text in zip(d["source"], d["text"]):
+        ws = text.split(" ")
+        uni[s].extend(ws)
+        big[s].extend(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    got = {r.source: r for r in rows(spark, sf_dir, "distinct_ngram_diversity")}
+    assert set(got) == set(uni)
+    for s in uni:
+        r = got[s]
+        assert (r.n_unigrams, r.d_unigrams) == (len(uni[s]), len(set(uni[s])))
+        assert (r.n_bigrams, r.d_bigrams) == (len(big[s]), len(set(big[s])))
+        assert math.isclose(r.distinct_1, len(set(uni[s])) / len(uni[s]), rel_tol=1e-12)
+        assert math.isclose(r.distinct_2, len(set(big[s])) / len(big[s]), rel_tol=1e-12)
+        # bigrams are strictly more diverse than unigrams on natural-ish text
+        assert r.distinct_2 > r.distinct_1

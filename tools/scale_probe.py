@@ -100,6 +100,9 @@ QUERIES = [
     "mmr_rerank",              # scan+TakeOrdered(20) then bounded driver greedy
     "char_entropy_quality",    # char explode with the 3000x hot doc
     "tokenizer_fertility_by_source",  # regex counting inside codegen, no explode
+    # round-7 batch 4
+    "doremi_domain_weights",   # token explode + vocab/source aggregates at 10x
+    "distinct_ngram_diversity",  # two gram-key distinct aggregates, hot doc dups
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
