@@ -1406,3 +1406,113 @@ def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round 7)
+# ---------------------------------------------------------------------------
+_WIN_GRAM, _WIN_W = 3, 4  # 3-token grams, window of 4 consecutive hashes
+
+_WIN_HASH_DUCK = (
+    "list_reduce(list_transform(range(1, greatest(length(gram), 1) + 1),"
+    " i -> CAST(coalesce(ascii(gram[i:i]), 0) AS BIGINT)),"
+    " (acc, c) -> (acc * 31 + c) % 1000000007)"
+)
+
+
+@register(
+    "winnowing_fingerprints",
+    doc=f"winnowing fingerprint selection: rightmost-min hash per {_WIN_W}-window of {_WIN_GRAM}-gram hashes",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   array_to_string(t[u.i:u.i + {_WIN_GRAM - 1}], ' ') AS gram
+            FROM toks,
+                 unnest(range(1, greatest(len(t) - {_WIN_GRAM - 1}, 0) + 1))
+                     AS u(i)
+        ),
+        hs AS (
+            SELECT doc_id, pos, {_WIN_HASH_DUCK} AS h,
+                   CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS g
+            FROM grams
+        ),
+        sels AS (
+            SELECT doc_id, pos, g,
+                   min({{'h': h, 'np': -pos}})
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW
+                             AND {_WIN_W - 1} FOLLOWING) AS s
+            FROM hs
+        )
+        SELECT DISTINCT doc_id,
+               -struct_extract(s, 'np') AS gram_pos,
+               struct_extract(s, 'h') AS gram_hash
+        FROM sels WHERE pos <= g - {_WIN_W} + 1
+        ORDER BY doc_id, gram_pos
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson, Aiken 2003, SIGMOD — the MOSS
+    algorithm): slide a w=4 window over the per-doc stream of
+    3-gram rolling hashes and keep each window's minimum
+    (rightmost on ties — min over struct(h, -pos)); the selected set is
+    the document's local fingerprint, with the paper's guarantee that
+    any shared substring of length w+gram-1 yields a shared
+    fingerprint. This is the position-aware complement to MinHash
+    (whole-doc set similarity) and doc_fingerprint (whole-doc
+    identity): matching (hash) rows across docs localize WHERE the
+    overlap is. Hashes are the repo's portable mod-1e9+7 polynomial,
+    so the oracle replays the identical selection.
+
+    Plan: scan-side gram explode (map-only), one per-doc window pass
+    (partitionBy doc_id — never global), distinct on the selected
+    rows. At 100 TB: one exchange on doc_id; expected output density
+    is 2/(w+1) of gram positions, the paper's bound. reference:
+    SURVEY §2.11 (dedup/fingerprint tier).
+    """
+    from dynaledger_spark.functions.text import rolling_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("t") - (_WIN_GRAM - 1), F.lit(0)),
+                ),
+                lambda i: F.array_join(F.slice("t", i, _WIN_GRAM), " "),
+            )
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "gram"
+    )
+    hs = grams.select(
+        "doc_id",
+        "pos",
+        rolling_fingerprint(F.col("gram")).alias("h"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("doc_id"))
+        .cast("bigint")
+        .alias("g"),
+    )
+    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, _WIN_W - 1)
+    )
+    return (
+        hs.withColumn("s", sel)
+        .filter(F.col("pos") <= F.col("g") - _WIN_W + 1)
+        .select(
+            "doc_id",
+            (-F.col("s.np")).alias("gram_pos"),
+            F.col("s.h").alias("gram_hash"),
+        )
+        .distinct()
+        .orderBy("doc_id", "gram_pos")
+    )

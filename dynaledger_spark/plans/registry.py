@@ -239,8 +239,9 @@ _ROUND7_WINDOW = (
     "kcenter_coreset_greedy",
     # round-7 batch 3 (published-method ops, all oracle-exact)
     "mmr_rerank", "char_entropy_quality", "tokenizer_fertility_by_source",
-    # round-7 batch 4 (published-method ops, all oracle-exact)
+    # round-7 batch 4-5 (published-method ops, all oracle-exact)
     "doremi_domain_weights", "distinct_ngram_diversity",
+    "winnowing_fingerprints",
     # longest-unverified rotation (last green r1; date_rollup yields
     # its slot to power_iteration_portable — same never-verified-first
     # rationale as the other swaps)
@@ -248,14 +249,14 @@ _ROUND7_WINDOW = (
     "date_validity", "doc_assembly", "first_last_order_span",
     "flatten_explode", "hash_split_train_val", "lead_next_order_gap",
     "media_decode_meta", "media_features",
-    "ntile_acctbal_quartiles",
     "regex_extract_id_buckets",
     "stddev_exact_by_flag", "stratified_sample_docs", "topk_customers",
     "validation_summary",
     # (rolling_30d_revenue / media_frame_sample / median_disc_by_priority
     # yield their slots to the batch-3 ops; orc_roundtrip_revenue /
-    # media_resize_dims to the batch-4 ops — never-verified oracle
-    # rows buy more signal; all stay green in the local parity suite.)
+    # media_resize_dims to the batch-4 ops; ntile_acctbal_quartiles to
+    # batch 5 — never-verified oracle rows buy more signal; all stay
+    # green in the local parity suite.)
     # (scalar_stats / scalar_subquery_small_qty / shard_round_robin /
     # sql_passthrough yield their slots to the batch-2 curation ops —
     # same never-verified-first rationale; all four stay green in the

@@ -451,3 +451,41 @@ def test_distinct_ngram_vs_python(spark, sf_dir):
         assert math.isclose(r.distinct_2, len(set(big[s])) / len(big[s]), rel_tol=1e-12)
         # bigrams are strictly more diverse than unigrams on natural-ish text
         assert r.distinct_2 > r.distinct_1
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 5: winnowing fingerprints
+# ---------------------------------------------------------------------------
+def test_winnowing_vs_python(spark, sf_dir):
+    """The selected fingerprint set must equal a python replay of
+    winnowing (rightmost-min per window), and consecutive selections
+    within a doc can never be more than w positions apart — the
+    paper's coverage guarantee."""
+    from dynaledger_spark.plans.queries_text import _WIN_GRAM, _WIN_W
+
+    MOD = 1000000007
+    d = _documents(sf_dir)
+    expect = defaultdict(set)
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        ws = text.split(" ")
+        grams = [
+            " ".join(ws[i:i + _WIN_GRAM])
+            for i in range(len(ws) - _WIN_GRAM + 1)
+        ]
+        hs = []
+        for g in grams:
+            acc = 0
+            for c in (g or "\0"):
+                acc = (acc * 31 + ord(c)) % MOD
+            hs.append(acc)
+        for j in range(len(hs) - _WIN_W + 1):
+            win = [(hs[j + k], -(j + k + 1)) for k in range(_WIN_W)]
+            h, np_ = min(win)
+            expect[doc_id].add((-np_, h))
+    got = defaultdict(set)
+    for r in rows(spark, sf_dir, "winnowing_fingerprints"):
+        got[r.doc_id].add((r.gram_pos, r.gram_hash))
+    assert dict(got) == {k: v for k, v in expect.items() if v}
+    for doc_id, sels in got.items():
+        ps = sorted(p for p, _ in sels)
+        assert all(b - a <= _WIN_W for a, b in zip(ps, ps[1:])), doc_id

@@ -103,6 +103,7 @@ QUERIES = [
     # round-7 batch 4
     "doremi_domain_weights",   # token explode + vocab/source aggregates at 10x
     "distinct_ngram_diversity",  # two gram-key distinct aggregates, hot doc dups
+    "winnowing_fingerprints",  # per-doc window pass; 3000-dup hot doc = 3000 partitions
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
