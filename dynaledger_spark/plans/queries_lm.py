@@ -920,3 +920,105 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (round 7)
+# ---------------------------------------------------------------------------
+@register(
+    "ccnet_perplexity_buckets",
+    doc="CCNet head/middle/tail buckets: per-lang tertiles of unigram-LM quality",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, u.w AS word
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        ),
+        tf AS (
+            SELECT doc_id, word, COUNT(*) AS cnt FROM words
+            GROUP BY doc_id, word
+        ),
+        vocab AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+        total AS (SELECT COUNT(*) AS t FROM words),
+        terms AS (
+            SELECT tf.doc_id,
+                   tf.cnt,
+                   tf.cnt * round(ln(CAST(v.n AS DOUBLE) / t.t), 12) AS term
+            FROM tf JOIN vocab v USING (word) CROSS JOIN total t
+        ),
+        scores AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   round({_FOLD.format(x='term')} / SUM(cnt), 9) AS avg_logprob
+            FROM terms GROUP BY doc_id
+        ),
+        binned AS (
+            SELECT d.lang, s.n_tokens, s.avg_logprob,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.avg_logprob DESC, s.doc_id)
+                       AS tertile
+            FROM scores s JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               MAX(avg_logprob) AS best_logprob,
+               MIN(avg_logprob) AS worst_logprob
+        FROM binned GROUP BY lang, tertile
+        ORDER BY lang, tertile
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's signature curation step (Wenzek et al. 2020, LREC —
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document with a per-language LM and split each
+    language into HEAD / MIDDLE / TAIL perplexity tertiles — head is
+    Wikipedia-like text, tail is the gibberish/boilerplate cut.  The
+    score is the repo's oracle-exact perplexity proxy
+    (unigram_logprob_quality, reused verbatim so the 9-dp score bits are
+    identical in both engines); tertiles come from ntile(3) ordered by
+    (score DESC, doc_id), whose ceil/floor group-size split is identical
+    in Spark and DuckDB.
+
+    Plan: the scoring pass is unigram_logprob_quality's single
+    doc_id-clustered exchange + broadcast vocab; bucketing adds one
+    exchange on lang for the ntile window and the rollup reuses it.
+    This is the exactness-first miniature: at 100 TB the per-lang sort
+    behind ntile is replaced by CCNet's own design — tertile CUTOFFS
+    estimated once from a per-lang sample, broadcast, and applied as a
+    map-side comparison — with the same output contract.
+    reference: SURVEY §2.11 (quality/curation tier).
+    """
+    scores = unigram_logprob_quality(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    binned = scores.join(docs, "doc_id").withColumn(
+        "tertile",
+        F.ntile(3).over(
+            W.partitionBy("lang").orderBy(
+                F.col("avg_logprob").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return (
+        binned.groupBy("lang", "tertile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.max("avg_logprob").alias("best_logprob"),
+            F.min("avg_logprob").alias("worst_logprob"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("tertile") == 1, "head")
+            .when(F.col("tertile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "sum_tokens",
+            "best_logprob",
+            "worst_logprob",
+        )
+        .orderBy("lang", F.when(F.col("bucket") == "head", 1)
+                 .when(F.col("bucket") == "middle", 2).otherwise(3))
+    )

@@ -1871,3 +1871,118 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QR2  # noqa: E402
 
 _QR2["dsir_importance_weights"].oracle = _dsir_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Length-grouped batching (round 7)
+# ---------------------------------------------------------------------------
+_LGB_SHARDS, _LGB_BATCH = 8, 8
+
+
+@register(
+    "length_grouped_batching",
+    doc=f"length-grouped batching: per-shard padding waste, length-sorted vs arrival order",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, doc_id % {_LGB_SHARDS} AS shard,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        grouped AS (
+            SELECT shard, n_tokens,
+                   (row_number() OVER (PARTITION BY shard
+                                       ORDER BY n_tokens DESC, doc_id) - 1)
+                       // {_LGB_BATCH} AS batch
+            FROM toks
+        ),
+        arrival AS (
+            SELECT shard, n_tokens,
+                   (row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+                       // {_LGB_BATCH} AS batch
+            FROM toks
+        ),
+        gp AS (
+            SELECT shard, SUM(pad) AS padded FROM (
+                SELECT shard, batch, COUNT(*) * MAX(n_tokens) AS pad
+                FROM grouped GROUP BY shard, batch)
+            GROUP BY shard
+        ),
+        ap AS (
+            SELECT shard, SUM(pad) AS padded FROM (
+                SELECT shard, batch, COUNT(*) * MAX(n_tokens) AS pad
+                FROM arrival GROUP BY shard, batch)
+            GROUP BY shard
+        ),
+        base AS (
+            SELECT shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM toks GROUP BY shard
+        )
+        SELECT b.shard, b.n_docs, b.sum_tokens,
+               CAST(gp.padded AS BIGINT) AS grouped_padded,
+               CAST(ap.padded AS BIGINT) AS arrival_padded,
+               round(1.0 - CAST(gp.padded AS DOUBLE) / ap.padded, 9)
+                   AS padding_saved
+        FROM base b JOIN gp USING (shard) JOIN ap USING (shard)
+        ORDER BY b.shard
+    """,
+)
+def length_grouped_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching (the LengthGroupedSampler in standard
+    training stacks; "dynamic batching" in fairseq): batches of
+    near-equal sequence length waste far fewer pad tokens than
+    arrival-order batches, because a batch pads every member to its
+    max. Per shard (doc_id % {_LGB_SHARDS} — samplers group within
+    loader shards, which is what keeps the sort distributed), documents
+    sort by (n_tokens DESC, doc_id) into batches of {_LGB_BATCH}; the
+    padded-token bill COUNT(*)*MAX(len) per batch is compared against
+    the same documents batched in arrival order. All-integer arithmetic
+    except the final saving ratio (one division, 9 dp).
+
+    Plan: ONE exchange on shard serves both rank windows (same
+    partitioning, different orderBy) and all three rollups; output is
+    {_LGB_SHARDS} rows. At 100 TB shards map to loader files and the
+    per-shard sort is the sampler's own cost — no global ordering
+    anywhere. reference: SURVEY §2.11 (mlprep tier).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _LGB_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+
+    def _padded(order_cols, alias):
+        w = W.partitionBy("shard").orderBy(*order_cols)
+        return (
+            toks.withColumn(
+                "batch",
+                F.floor((F.row_number().over(w) - 1) / _LGB_BATCH),
+            )
+            .groupBy("shard", "batch")
+            .agg((F.count(F.lit(1)) * F.max("n_tokens")).alias("pad"))
+            .groupBy("shard")
+            .agg(F.sum("pad").cast("bigint").alias(alias))
+        )
+
+    gp = _padded([F.col("n_tokens").desc(), F.col("doc_id")], "grouped_padded")
+    ap = _padded([F.col("doc_id")], "arrival_padded")
+    base = toks.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    return (
+        base.join(gp, "shard")
+        .join(ap, "shard")
+        .select(
+            "shard", "n_docs", "sum_tokens", "grouped_padded",
+            "arrival_padded",
+            F.round(
+                1.0
+                - F.col("grouped_padded").cast("double")
+                / F.col("arrival_padded"),
+                9,
+            ).alias("padding_saved"),
+        )
+        .orderBy("shard")
+    )

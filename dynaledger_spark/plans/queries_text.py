@@ -1429,14 +1429,14 @@ _WIN_HASH_DUCK = (
         ),
         grams AS (
             SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                   CAST(greatest(len(t) - {_WIN_GRAM - 1}, 0) AS BIGINT) AS g,
                    array_to_string(t[u.i:u.i + {_WIN_GRAM - 1}], ' ') AS gram
             FROM toks,
                  unnest(range(1, greatest(len(t) - {_WIN_GRAM - 1}, 0) + 1))
                      AS u(i)
         ),
         hs AS (
-            SELECT doc_id, pos, {_WIN_HASH_DUCK} AS h,
-                   CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS g
+            SELECT doc_id, pos, g, {_WIN_HASH_DUCK} AS h
             FROM grams
         ),
         sels AS (
@@ -1467,38 +1467,44 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap is. Hashes are the repo's portable mod-1e9+7 polynomial,
     so the oracle replays the identical selection.
 
-    Plan: scan-side gram explode (map-only), one per-doc window pass
-    (partitionBy doc_id — never global), distinct on the selected
-    rows. At 100 TB: one exchange on doc_id; expected output density
-    is 2/(w+1) of gram positions, the paper's bound. reference:
-    SURVEY §2.11 (dedup/fingerprint tier).
+    Plan: scan-side gram explode (map-only; the gram count g is also
+    computed scan-side, BEFORE the explode — no count window), ONE
+    per-doc window pass (partitionBy doc_id — never global), then a
+    map-side-partial distinct on the selected rows and no terminal
+    global sort (the 10x probe showed the output is corpus-sized —
+    ~2/(w+1) of gram positions, the paper's density bound — so
+    ordering it is a scale-killer, not presentation). At 100 TB: one
+    exchange on doc_id for the window, one for the distinct.
+    reference: SURVEY §2.11 (dedup/fingerprint tier).
     """
     from dynaledger_spark.functions.text import rolling_fingerprint
 
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    grams = toks.select(
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size("t") - (_WIN_GRAM - 1), F.lit(0)),
-                ),
-                lambda i: F.array_join(F.slice("t", i, _WIN_GRAM), " "),
-            )
-        ).alias("p0", "gram"),
-    ).select(
-        "doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "gram"
-    )
-    hs = grams.select(
-        "doc_id",
-        "pos",
-        rolling_fingerprint(F.col("gram")).alias("h"),
-        F.count(F.lit(1))
-        .over(W.partitionBy("doc_id"))
+        "t",
+        F.greatest(F.size("t") - (_WIN_GRAM - 1), F.lit(0))
         .cast("bigint")
         .alias("g"),
+    )
+    grams = (
+        toks.filter(F.col("g") > 0)
+        .select(
+            "doc_id",
+            "g",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("g").cast("int")),
+                    lambda i: F.array_join(F.slice("t", i, _WIN_GRAM), " "),
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id", "g", (F.col("p0") + 1).cast("bigint").alias("pos"), "gram"
+        )
+    )
+    hs = grams.select(
+        "doc_id", "g", "pos", rolling_fingerprint(F.col("gram")).alias("h")
     )
     sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
         W.partitionBy("doc_id")
@@ -1514,5 +1520,4 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.h").alias("gram_hash"),
         )
         .distinct()
-        .orderBy("doc_id", "gram_pos")
     )

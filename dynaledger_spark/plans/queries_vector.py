@@ -1509,3 +1509,99 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QR["kcenter_coreset_greedy"].oracle = _kcenter_oracle()
+
+
+# ---------------------------------------------------------------------------
+# DPR-style hard-negative mining (round 7)
+# ---------------------------------------------------------------------------
+_HNM_NQ, _HNM_K = 20, 5
+
+
+@register(
+    "hard_negative_mining",
+    doc=f"DPR-style hard negatives: top-{_HNM_K} most-similar OTHER-label vectors per query",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, label AS q_label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < {_HNM_NQ}
+        ),
+        c AS (
+            SELECT vec_id AS neg_id, label AS neg_label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id >= {_HNM_NQ}
+        ),
+        pairs AS (
+            SELECT qid, q_label, neg_id, neg_label,
+                   {_duck_dot('qv', 'cv')}
+                   / (sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')))
+                   AS cos_sim
+            FROM q, c
+            WHERE q_label <> neg_label
+        ),
+        ranked AS (
+            SELECT qid, q_label, neg_id, neg_label, cos_sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos_sim DESC, neg_id) AS rank
+            FROM pairs
+        )
+        SELECT qid, q_label, neg_id, neg_label,
+               round(cos_sim, 9) AS cos_sim,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {_HNM_K}
+        ORDER BY qid, rank
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training
+    (Karpukhin et al. 2020, DPR; Xiong et al. 2021, ANCE): for each
+    query vector, the most-cosine-similar corpus vectors whose LABEL
+    differs — the near-misses that make the strongest negatives.
+    Queries are vec_id<{_HNM_NQ}, corpus the rest; the label-exclusion
+    predicate lands in the pair-generation join (never a post-rank
+    filter, which would under-fill the top-{_HNM_K}).
+
+    Plan: one broadcast fan-out of the {_HNM_NQ}-row query batch over
+    the corpus scan (pair grid O(queries x corpus), the published
+    algorithm's exhaustive form), then a rank window on qid.  At 100 TB
+    mining runs against the ANN index instead (ann_lsh_bucketed /
+    ann_ivf_topk supply the candidates, exactly how DPR mines with
+    FAISS) and this exhaustive pass becomes the recall oracle for that
+    index — same contract, candidate generation swapped.
+    reference: SURVEY §2.11 (similarity tier).
+    """
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _HNM_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= _HNM_NQ).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("q_label") != F.col("neg_label"))
+        .select(
+            "qid", "q_label", "neg_id", "neg_label",
+            (dot / (nrm("qv") * nrm("cv"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("neg_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= _HNM_K)
+        .select("qid", "q_label", "neg_id", "neg_label",
+                F.round("cos_sim", 9).alias("cos_sim"), "rank")
+        .orderBy("qid", "rank")
+    )

@@ -111,6 +111,9 @@ def test_no_cartesian_products(plans):
             "dsir_importance_weights",  # 1-row broadcast of the corpus totals
             "unimax_allocation",  # 1-row broadcasts of budget and waterline
             "fisher_lda_quality",  # 1-row broadcasts of the fitted model
+            "hard_negative_mining",  # 20-row query-batch broadcast fan-out
+            "doremi_domain_weights",  # 1-row broadcasts of corpus loss/normalizer
+            "ccnet_perplexity_buckets",  # unigram scorer's 1-row token-total broadcast
         ), f"{name} nested-loop joins"
 
 

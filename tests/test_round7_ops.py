@@ -489,3 +489,113 @@ def test_winnowing_vs_python(spark, sf_dir):
     for doc_id, sels in got.items():
         ps = sorted(p for p, _ in sels)
         assert all(b - a <= _WIN_W for a, b in zip(ps, ps[1:])), doc_id
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 6: CCNet buckets, hard negatives, length-grouped batching
+# ---------------------------------------------------------------------------
+def test_ccnet_buckets_vs_python(spark, sf_dir):
+    """Bucket rollups must equal a python replay: unigram-LM doc scores
+    (ln at 12dp, sorted-fold, /tokens at 9dp) ntile'd into per-lang
+    tertiles ordered by (score desc, doc_id). Also checks the CCNet
+    invariants: 3 buckets per lang, head's worst >= middle's best."""
+    d = _documents(sf_dir)
+    words_total = 0
+    vocab = Counter()
+    doc_words = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        ws = text.split(" ")
+        doc_words[doc_id] = ws
+        vocab.update(ws)
+        words_total += len(ws)
+    lang = dict(zip(d["doc_id"], d["lang"]))
+    scores = {}
+    for doc_id, ws in doc_words.items():
+        tf = Counter(ws)
+        terms = sorted(
+            cnt * round(math.log(vocab[w] / words_total), 12)
+            for w, cnt in tf.items()
+        )
+        s = 0.0
+        for t in terms:
+            s += t
+        scores[doc_id] = (round(s / len(ws), 9), len(ws))
+    per_lang = defaultdict(list)
+    for doc_id, (s, n) in scores.items():
+        per_lang[lang[doc_id]].append((-s, doc_id, n))
+    expect = {}
+    for lg, docs in per_lang.items():
+        docs.sort()
+        n = len(docs)
+        base, extra = divmod(n, 3)
+        sizes = [base + (1 if i < extra else 0) for i in range(3)]
+        pos = 0
+        for t, name in zip(range(3), ("head", "middle", "tail")):
+            chunk = docs[pos:pos + sizes[t]]
+            pos += sizes[t]
+            expect[(lg, name)] = (
+                len(chunk),
+                sum(c[2] for c in chunk),
+                -chunk[0][0],
+                -chunk[-1][0],
+            )
+    got = {
+        (r.lang, r.bucket): (r.n_docs, r.sum_tokens, r.best_logprob,
+                             r.worst_logprob)
+        for r in rows(spark, sf_dir, "ccnet_perplexity_buckets")
+    }
+    assert got == expect
+    for lg in per_lang:
+        assert got[(lg, "head")][3] >= got[(lg, "middle")][2]
+        assert got[(lg, "middle")][3] >= got[(lg, "tail")][2]
+
+
+def test_hard_negatives_vs_numpy(spark, sf_dir):
+    """Every mined negative must equal the numpy exhaustive answer:
+    top-5 cosine among OTHER-label corpus vectors, ties by neg_id —
+    and no returned negative may share the query's label."""
+    from dynaledger_spark.plans.queries_vector import _HNM_NQ, _HNM_K
+
+    ids, V, labels = _embeddings(sf_dir)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qm = ids < _HNM_NQ
+    got = defaultdict(list)
+    for r in rows(spark, sf_dir, "hard_negative_mining"):
+        assert r.q_label != r.neg_label
+        got[r.qid].append((r.rank, r.neg_id, r.cos_sim))
+    assert set(got) == set(ids[qm].tolist())
+    for qi in np.where(qm)[0]:
+        cm = (ids >= _HNM_NQ) & (labels != labels[qi])
+        sims = Vn[cm] @ Vn[qi]
+        cand = sorted(zip(-sims, ids[cm].tolist()))[:_HNM_K]
+        mine = sorted(got[ids[qi]])
+        assert [m[1] for m in mine] == [c[1] for c in cand]
+        for m, c in zip(mine, cand):
+            assert math.isclose(m[2], -c[0], abs_tol=1e-8)
+
+
+def test_length_grouped_batching_vs_python(spark, sf_dir):
+    """Per-shard padded-token bills must equal a python replay of both
+    batching orders, and length-grouping must never pad MORE than
+    arrival order (the sampler's raison d'etre)."""
+    d = _documents(sf_dir)
+    shards = defaultdict(list)
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        shards[doc_id % 8].append((doc_id, len(text.split(" "))))
+
+    def bill(docs, key):
+        docs = sorted(docs, key=key)
+        return sum(
+            len(b) * max(n for _, n in b)
+            for b in (docs[i:i + 8] for i in range(0, len(docs), 8))
+        )
+
+    for r in rows(spark, sf_dir, "length_grouped_batching"):
+        docs = shards[r.shard]
+        grouped = bill(docs, key=lambda x: (-x[1], x[0]))
+        arrival = bill(docs, key=lambda x: x[0])
+        assert (r.n_docs, r.sum_tokens) == (len(docs), sum(n for _, n in docs))
+        assert (r.grouped_padded, r.arrival_padded) == (grouped, arrival)
+        assert r.grouped_padded <= r.arrival_padded
+        assert math.isclose(r.padding_saved, round(1.0 - grouped / arrival, 9),
+                            rel_tol=1e-12)

@@ -104,6 +104,10 @@ QUERIES = [
     "doremi_domain_weights",   # token explode + vocab/source aggregates at 10x
     "distinct_ngram_diversity",  # two gram-key distinct aggregates, hot doc dups
     "winnowing_fingerprints",  # per-doc window pass; 3000-dup hot doc = 3000 partitions
+    # round-7 batch 6
+    "ccnet_perplexity_buckets",  # scoring exchange + per-lang ntile at 10x docs
+    "hard_negative_mining",    # 20-query label-filtered fan-out over 10x corpus
+    "length_grouped_batching",  # two per-shard rank windows, hot doc dups
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
