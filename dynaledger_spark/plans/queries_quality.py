@@ -892,3 +892,145 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("t_distance").desc(), "nation", "bal_band")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter agreement (Cohen's kappa), round 7
+# ---------------------------------------------------------------------------
+_KAPPA_FILTERS = ("len_gate", "stopword_gate", "alpha_gate", "wordlen_gate")
+
+
+@register(
+    "filter_agreement_kappa",
+    doc="pairwise Cohen's kappa between four integer-exact quality filters",
+    oracle="""
+        WITH flags AS (
+            SELECT doc_id,
+                   CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 90
+                        THEN 1 ELSE 0 END AS f1,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                             t -> list_contains(['the','a','of','and','to',
+                                                 'in','is','it','for','on'], t)))
+                             >= 2
+                        THEN 1 ELSE 0 END AS f2,
+                   CASE WHEN 500 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                             >= 411 * length(text)
+                        THEN 1 ELSE 0 END AS f3,
+                   CASE WHEN 2 * (length(text) - len(string_split(text, ' ')) + 1)
+                             <= 9 * len(string_split(text, ' '))
+                        THEN 1 ELSE 0 END AS f4
+            FROM documents
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+                   CAST(SUM(f3) AS BIGINT) AS s3, CAST(SUM(f4) AS BIGINT) AS s4,
+                   CAST(SUM(f1*f2) AS BIGINT) AS s12,
+                   CAST(SUM(f1*f3) AS BIGINT) AS s13,
+                   CAST(SUM(f1*f4) AS BIGINT) AS s14,
+                   CAST(SUM(f2*f3) AS BIGINT) AS s23,
+                   CAST(SUM(f2*f4) AS BIGINT) AS s24,
+                   CAST(SUM(f3*f4) AS BIGINT) AS s34
+            FROM flags
+        ),
+        pairs AS (
+            SELECT 'len_gate' AS filter_a, 'stopword_gate' AS filter_b,
+                   s1 AS sa, s2 AS sb, s12 AS sab, n FROM m
+            UNION ALL SELECT 'len_gate', 'alpha_gate', s1, s3, s13, n FROM m
+            UNION ALL SELECT 'len_gate', 'wordlen_gate', s1, s4, s14, n FROM m
+            UNION ALL SELECT 'stopword_gate', 'alpha_gate', s2, s3, s23, n FROM m
+            UNION ALL SELECT 'stopword_gate', 'wordlen_gate', s2, s4, s24, n FROM m
+            UNION ALL SELECT 'alpha_gate', 'wordlen_gate', s3, s4, s34, n FROM m
+        )
+        SELECT filter_a, filter_b,
+               sab AS n11, sa - sab AS n10, sb - sab AS n01,
+               n - sa - sb + sab AS n00,
+               round(CAST(sab + n - sa - sb + sab AS DOUBLE) / n, 9) AS po,
+               CASE WHEN CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE)
+                         / (n * n) = 1.0 THEN NULL
+                    ELSE round(
+                        (CAST(sab + n - sa - sb + sab AS DOUBLE) / n
+                         - CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE)
+                           / (n * n))
+                        / (1.0 - CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE)
+                                 / (n * n)), 9)
+               END AS kappa
+        FROM pairs
+        ORDER BY filter_a, filter_b
+    """,
+)
+def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (Cohen 1960) between quality filters —
+    the standard diagnostic when assembling a filter ensemble (raw
+    agreement is inflated when both filters pass almost everything;
+    kappa subtracts the chance term). Four filters, all integer-exact
+    so both engines agree bitwise on every flag: a Gopher-style token
+    length gate [20, 90]; a stopword gate (>= 2 stopword tokens from the
+    repo's 10-word list); an alphabetic-density gate (500*alpha_chars >=
+    411*total_chars — a 0.822 ratio as an integer cross-multiply, set at
+    this corpus's median so the gate discriminates); and a
+    mean-word-length gate (letters/word <= 4.5, cross-multiplied —
+    likewise the corpus median).
+    kappa = (po - pe)/(1 - pe) from the 2x2 contingency integers, one
+    rounding at 9 dp.
+
+    Plan: ONE map-side-combined aggregate produces every marginal and
+    joint count in a single corpus pass (no per-pair re-scan); the 6
+    pair rows are a driver-sized projection of that 1-row result. Scales
+    trivially. reference: SURVEY §2.11 (quality/eval tier).
+    """
+    from dynaledger_spark.plans.queries_text import _docs, _STOPWORDS
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_chars = F.length("text")
+    letters = n_chars - n_tok + 1
+    flags = docs.select(
+        F.when((n_tok >= 20) & (n_tok <= 90), 1).otherwise(0).alias("f1"),
+        F.when(n_stop >= 2, 1).otherwise(0).alias("f2"),
+        F.when(500 * n_alpha >= 411 * n_chars, 1).otherwise(0).alias("f3"),
+        F.when(2 * letters <= 9 * n_tok, 1).otherwise(0).alias("f4"),
+    )
+    m = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[F.sum(f"f{i}").cast("bigint").alias(f"s{i}") for i in (1, 2, 3, 4)],
+        *[
+            F.sum(F.col(f"f{i}") * F.col(f"f{j}")).cast("bigint").alias(f"s{i}{j}")
+            for i, j in ((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+        ],
+    )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(_KAPPA_FILTERS[i - 1]).alias("filter_a"),
+                F.lit(_KAPPA_FILTERS[j - 1]).alias("filter_b"),
+                F.col(f"s{i}").alias("sa"),
+                F.col(f"s{j}").alias("sb"),
+                F.col(f"s{i}{j}").alias("sab"),
+            )
+            for i, j in ((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+        ]
+    )
+    p = m.select(F.explode(pair_structs).alias("p"), "n").select("p.*", "n")
+    po = (F.col("sab") + F.col("n") - F.col("sa") - F.col("sb") + F.col("sab")).cast(
+        "double"
+    ) / F.col("n")
+    pe = (
+        F.col("sa") * F.col("sb")
+        + (F.col("n") - F.col("sa")) * (F.col("n") - F.col("sb"))
+    ).cast("double") / (F.col("n") * F.col("n"))
+    return p.select(
+        "filter_a",
+        "filter_b",
+        F.col("sab").alias("n11"),
+        (F.col("sa") - F.col("sab")).alias("n10"),
+        (F.col("sb") - F.col("sab")).alias("n01"),
+        (F.col("n") - F.col("sa") - F.col("sb") + F.col("sab")).alias("n00"),
+        F.round(po, 9).alias("po"),
+        F.when(pe == 1.0, F.lit(None).cast("double"))
+        .otherwise(F.round((po - pe) / (1.0 - pe), 9))
+        .alias("kappa"),
+    ).orderBy("filter_a", "filter_b")

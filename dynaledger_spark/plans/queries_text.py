@@ -1419,12 +1419,11 @@ _WIN_HASH_DUCK = (
     " (acc, c) -> (acc * 31 + c) % 1000000007)"
 )
 
-
-@register(
-    "winnowing_fingerprints",
-    doc=f"winnowing fingerprint selection: rightmost-min hash per {_WIN_W}-window of {_WIN_GRAM}-gram hashes",
-    oracle=f"""
-        WITH toks AS (
+# Shared CTE chain: per-doc winnowed fingerprint selection (used by the
+# winnowing_fingerprints oracle and re-derived wholesale by the
+# winnowing_overlap_pairs oracle).
+_WIN_FP_CTES = f"""
+        toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
         ),
         grams AS (
@@ -1446,11 +1445,21 @@ _WIN_HASH_DUCK = (
                              ROWS BETWEEN CURRENT ROW
                              AND {_WIN_W - 1} FOLLOWING) AS s
             FROM hs
-        )
-        SELECT DISTINCT doc_id,
-               -struct_extract(s, 'np') AS gram_pos,
-               struct_extract(s, 'h') AS gram_hash
-        FROM sels WHERE pos <= g - {_WIN_W} + 1
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id,
+                   -struct_extract(s, 'np') AS gram_pos,
+                   struct_extract(s, 'h') AS gram_hash
+            FROM sels WHERE pos <= g - {_WIN_W} + 1
+        )"""
+
+
+@register(
+    "winnowing_fingerprints",
+    doc=f"winnowing fingerprint selection: rightmost-min hash per {_WIN_W}-window of {_WIN_GRAM}-gram hashes",
+    oracle=f"""
+        WITH {_WIN_FP_CTES}
+        SELECT doc_id, gram_pos, gram_hash FROM fps
         ORDER BY doc_id, gram_pos
     """,
 )
@@ -1520,4 +1529,98 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.h").alias("gram_hash"),
         )
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing overlap pairs (round 7) — the MOSS match step
+# ---------------------------------------------------------------------------
+_WIN_CAP, _WIN_MIN_SHARED = 50, 3
+
+
+@register(
+    "winnowing_overlap_pairs",
+    doc=f"MOSS match step: doc pairs sharing >= {_WIN_MIN_SHARED} winnowed fingerprints (posting cap {_WIN_CAP})",
+    oracle=f"""
+        WITH {_WIN_FP_CTES},
+        fph AS (SELECT DISTINCT doc_id, gram_hash FROM fps),
+        hot AS (
+            SELECT gram_hash FROM fph GROUP BY gram_hash
+            HAVING COUNT(*) BETWEEN 2 AND {_WIN_CAP}
+        ),
+        kept AS (SELECT f.doc_id, f.gram_hash FROM fph f JOIN hot USING (gram_hash)),
+        tot AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               CAST(ta.n_fp AS BIGINT) AS fp_a,
+               CAST(tb.n_fp AS BIGINT) AS fp_b,
+               round(CAST(p.n_shared AS DOUBLE)
+                     / least(ta.n_fp, tb.n_fp), 9) AS containment
+        FROM pairs p
+        JOIN tot ta ON p.doc_a = ta.doc_id
+        JOIN tot tb ON p.doc_b = tb.doc_id
+        ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATCH step of MOSS (Schleimer et al. 2003 §4): two documents
+    that share winnowed fingerprints share actual text, and the count
+    of shared fingerprints ranks the pairs — this is the localized
+    complement to minhash_lsh_pairs (which estimates whole-document
+    set similarity). Fingerprint hashes whose posting list is a single
+    doc generate no pairs; hashes in MORE than {_WIN_CAP} docs are
+    boilerplate grams and are dropped BEFORE pair generation (the same
+    hot-bucket cap discipline as MinHash-LSH — never all-pairs; MOSS
+    itself culls fingerprints "shared by many documents"). Containment
+    = shared / min(|fp_a|, |fp_b|) over the capped vocabulary.
+
+    Plan: fingerprint selection is winnowing_fingerprints' plan
+    (scan-side explode, one per-doc window); pair generation is one
+    equi-join on gram_hash whose fan-out is bounded by the posting cap
+    ({_WIN_CAP}^2 pairs per hash worst-case); per-pair counts combine
+    map-side. At 100 TB fingerprints persist once (~20% of gram
+    positions) and re-pair from parquet, like the MinHash signature
+    table. reference: SURVEY §2.11 (dedup/fingerprint tier).
+    """
+    fps = winnowing_fingerprints(spark, sf_dir)
+    fph = fps.select("doc_id", "gram_hash").distinct()
+    hot = (
+        fph.groupBy("gram_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _WIN_CAP))
+        .select("gram_hash")
+    )
+    kept = fph.join(hot, "gram_hash")
+    tot = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "gram_hash")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "gram_hash")
+    pairs = (
+        a.join(b, "gram_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("fp_a"))
+    tb = tot.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("fp_b"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.col("fp_a").cast("bigint").alias("fp_a"),
+            F.col("fp_b").cast("bigint").alias("fp_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("fp_a", "fp_b"),
+                9,
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

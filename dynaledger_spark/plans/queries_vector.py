@@ -1605,3 +1605,98 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("cos_sim", 9).alias("cos_sim"), "rank")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic benchmark decontamination (round 7)
+# ---------------------------------------------------------------------------
+_DECON_TAU = 0.30  # cosine threshold; pseudo-benchmark = vec_id % 50 == 0
+
+
+@register(
+    "decontam_embedding_sim",
+    doc=f"semantic decontamination: nearest benchmark vector per corpus doc, flag cos > {_DECON_TAU}",
+    oracle=f"""
+        WITH bench AS (
+            SELECT vec_id AS bench_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+            FROM embeddings WHERE vec_id % 50 = 0
+        ),
+        corpus AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id % 50 <> 0
+        ),
+        scored AS (
+            SELECT vec_id, bench_id,
+                   {_duck_dot('cv', 'bv')}
+                   / (sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum'))
+                      * sqrt(list_aggregate(list_transform(bv, x -> x * x), 'sum')))
+                   AS cos_sim
+            FROM corpus, bench
+        ),
+        best AS (
+            SELECT vec_id, bench_id, cos_sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_sim DESC, bench_id) AS r
+            FROM scored
+        )
+        SELECT vec_id, bench_id AS nearest_bench_id,
+               round(cos_sim, 9) AS max_cos,
+               cos_sim > {_DECON_TAU} AS contaminated
+        FROM best WHERE r = 1
+        ORDER BY vec_id
+    """,
+)
+def decontam_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: the embedding-space complement to the
+    n-gram screen (decontam_ngram_overlap). Exact-substring overlap
+    misses PARAPHRASED benchmark leakage, so modern curation (e.g.
+    Yang et al. 2023, "Rethinking Benchmark and Contamination for
+    Language Models with Rephrased Samples"; the SemDeDup-style
+    embedding screens in DCLM) also flags training docs whose
+    embedding is too close to any eval-set embedding. Benchmark =
+    vec_id % 50 == 0 (a held-out pseudo eval set); every other vector
+    reports its nearest benchmark neighbor and a contaminated flag at
+    cos > {_DECON_TAU}.
+
+    Plan: the benchmark side is corpus/50 rows — a broadcast — so the
+    scan stays one fan-out pass (identical shape to the production
+    decontamination screens, where the eval set is always tiny relative
+    to the corpus); the per-vector argmax is a rank window on vec_id.
+    At 100 TB the window disappears: min_by/max_by over the broadcast
+    fan-out collapses map-side. reference: SURVEY §2.11
+    (decontamination tier).
+    """
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("bv"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("cv", "bv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id", "bench_id", (dot / (nrm("cv") * nrm("bv"))).alias("cos_sim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("bench_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "vec_id",
+            F.col("bench_id").alias("nearest_bench_id"),
+            F.round("cos_sim", 9).alias("max_cos"),
+            (F.col("cos_sim") > _DECON_TAU).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )

@@ -245,11 +245,14 @@ _ROUND7_WINDOW = (
     # round-7 batch 6 (published-method ops, all oracle-exact)
     "ccnet_perplexity_buckets", "hard_negative_mining",
     "length_grouped_batching",
+    # round-7 batch 7 (published-method ops, all oracle-exact)
+    "winnowing_overlap_pairs", "decontam_embedding_sim",
+    "filter_agreement_kappa",
     # longest-unverified rotation (last green r1; date_rollup yields
     # its slot to power_iteration_portable — same never-verified-first
     # rationale as the other swaps)
-    "doc_assembly", "first_last_order_span",
-    "flatten_explode", "hash_split_train_val", "lead_next_order_gap",
+    "first_last_order_span",
+    "lead_next_order_gap",
     "media_decode_meta", "media_features",
     "regex_extract_id_buckets",
     "stddev_exact_by_flag", "stratified_sample_docs", "topk_customers",
@@ -258,7 +261,8 @@ _ROUND7_WINDOW = (
     # yield their slots to the batch-3 ops; orc_roundtrip_revenue /
     # media_resize_dims to the batch-4 ops; ntile_acctbal_quartiles to
     # batch 5; bottomk_suppliers / cube_sales_priority / date_validity
-    # to batch 6 — never-verified oracle rows buy more signal; all stay
+    # to batch 6; doc_assembly / flatten_explode / hash_split_train_val
+    # to batch 7 — never-verified oracle rows buy more signal; all stay
     # green in the local parity suite.)
     # (scalar_stats / scalar_subquery_small_qty / shard_round_robin /
     # sql_passthrough yield their slots to the batch-2 curation ops —

@@ -599,3 +599,122 @@ def test_length_grouped_batching_vs_python(spark, sf_dir):
         assert r.grouped_padded <= r.arrival_padded
         assert math.isclose(r.padding_saved, round(1.0 - grouped / arrival, 9),
                             rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 7: winnowing pairs, semantic decontam, filter kappa
+# ---------------------------------------------------------------------------
+def _winnow_py(sf_dir):
+    from dynaledger_spark.plans.queries_text import _WIN_GRAM, _WIN_W
+
+    MOD = 1000000007
+    d = _documents(sf_dir)
+    fps = defaultdict(set)
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        ws = text.split(" ")
+        grams = [
+            " ".join(ws[i:i + _WIN_GRAM])
+            for i in range(len(ws) - _WIN_GRAM + 1)
+        ]
+        hs = []
+        for g in grams:
+            acc = 0
+            for c in (g or "\0"):
+                acc = (acc * 31 + ord(c)) % MOD
+            hs.append(acc)
+        for j in range(len(hs) - _WIN_W + 1):
+            win = [(hs[j + k], -(j + k + 1)) for k in range(_WIN_W)]
+            h, _ = min(win)
+            fps[doc_id].add(h)
+    return fps
+
+
+def test_winnowing_pairs_vs_python(spark, sf_dir):
+    """Pair counts must equal a python replay of the MOSS match step
+    (distinct-hash postings, cap, pair counting), and containment must
+    be shared/min(|fp|) over the capped vocabulary."""
+    from dynaledger_spark.plans.queries_text import _WIN_CAP, _WIN_MIN_SHARED
+
+    fps = _winnow_py(sf_dir)
+    postings = defaultdict(set)
+    for doc_id, hs in fps.items():
+        for h in hs:
+            postings[h].add(doc_id)
+    kept = {h: ds for h, ds in postings.items() if 2 <= len(ds) <= _WIN_CAP}
+    tot = Counter()
+    for ds in kept.values():
+        for d_ in ds:
+            tot[d_] += 1
+    pair_counts = Counter()
+    for ds in kept.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_counts[(ds[i], ds[j])] += 1
+    expect = {
+        p: c for p, c in pair_counts.items() if c >= _WIN_MIN_SHARED
+    }
+    got = {}
+    for r in rows(spark, sf_dir, "winnowing_overlap_pairs"):
+        got[(r.doc_a, r.doc_b)] = r.n_shared
+        assert (r.fp_a, r.fp_b) == (tot[r.doc_a], tot[r.doc_b])
+        assert math.isclose(
+            r.containment, round(r.n_shared / min(r.fp_a, r.fp_b), 9),
+            rel_tol=1e-12,
+        )
+        assert r.containment <= 1.0
+    assert got == expect
+
+
+def test_decontam_embedding_vs_numpy(spark, sf_dir):
+    """Every corpus vector's nearest benchmark neighbor and flag must
+    equal the numpy exhaustive answer at the operator's threshold."""
+    from dynaledger_spark.plans.queries_vector import _DECON_TAU
+
+    ids, V, _ = _embeddings(sf_dir)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    bm = ids % 50 == 0
+    got = {r.vec_id: r for r in rows(spark, sf_dir, "decontam_embedding_sim")}
+    assert set(got) == set(ids[~bm].tolist())
+    for ci in np.where(~bm)[0]:
+        sims = Vn[bm] @ Vn[ci]
+        best = min(zip(-sims, ids[bm].tolist()))
+        r = got[ids[ci]]
+        assert r.nearest_bench_id == best[1]
+        assert math.isclose(r.max_cos, -best[0], abs_tol=1e-8)
+        assert r.contaminated == (-best[0] > _DECON_TAU)
+
+
+def test_filter_kappa_vs_python(spark, sf_dir):
+    """Contingency integers and kappa must equal a python replay of the
+    four integer-exact gates; kappa must be chance-corrected (<= po
+    after rescaling) and inside [-1, 1]."""
+    STOP = {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"}
+    d = _documents(sf_dir)
+    flags = []
+    for text in d["text"]:
+        ws = text.split(" ")
+        n_tok, n_chars = len(ws), len(text)
+        n_alpha = sum(1 for c in text if c.isalpha() and c.isascii())
+        letters = n_chars - n_tok + 1
+        flags.append((
+            1 if 20 <= n_tok <= 90 else 0,
+            1 if sum(1 for w in ws if w in STOP) >= 2 else 0,
+            1 if 500 * n_alpha >= 411 * n_chars else 0,
+            1 if 2 * letters <= 9 * n_tok else 0,
+        ))
+    names = ("len_gate", "stopword_gate", "alpha_gate", "wordlen_gate")
+    n = len(flags)
+    for r in rows(spark, sf_dir, "filter_agreement_kappa"):
+        i, j = names.index(r.filter_a), names.index(r.filter_b)
+        sa = sum(f[i] for f in flags)
+        sb = sum(f[j] for f in flags)
+        sab = sum(f[i] * f[j] for f in flags)
+        assert (r.n11, r.n10, r.n01, r.n00) == (
+            sab, sa - sab, sb - sab, n - sa - sb + sab)
+        po = (sab + n - sa - sb + sab) / n
+        pe = (sa * sb + (n - sa) * (n - sb)) / (n * n)
+        assert math.isclose(r.po, round(po, 9), rel_tol=1e-12)
+        assert math.isclose(r.kappa, round((po - pe) / (1 - pe), 9),
+                            rel_tol=1e-12)
+        assert -1.0 <= r.kappa <= 1.0

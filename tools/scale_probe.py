@@ -108,6 +108,10 @@ QUERIES = [
     "ccnet_perplexity_buckets",  # scoring exchange + per-lang ntile at 10x docs
     "hard_negative_mining",    # 20-query label-filtered fan-out over 10x corpus
     "length_grouped_batching",  # two per-shard rank windows, hot doc dups
+    # round-7 batch 7
+    "winnowing_overlap_pairs",  # 3000-dup doc's fingerprints MUST drop at the posting cap
+    "decontam_embedding_sim",  # benchmark side grows with corpus/50 — still broadcast at 10x
+    "filter_agreement_kappa",  # one map-side aggregate; 6-row projection
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
