@@ -791,3 +791,131 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("std_shift").desc(), "dim")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank agreement between quality scores (round 7)
+# ---------------------------------------------------------------------------
+@register(
+    "spearman_quality_scores",
+    doc="per-source Spearman rho between unigram-LM quality and type-token ratio",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, u.w AS word
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        ),
+        tf AS (
+            SELECT doc_id, word, COUNT(*) AS cnt FROM words
+            GROUP BY doc_id, word
+        ),
+        vocab AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+        total AS (SELECT COUNT(*) AS t FROM words),
+        terms AS (
+            SELECT tf.doc_id,
+                   tf.cnt,
+                   tf.cnt * round(ln(CAST(v.n AS DOUBLE) / t.t), 12) AS term
+            FROM tf JOIN vocab v USING (word) CROSS JOIN total t
+        ),
+        lp AS (
+            SELECT doc_id,
+                   round({{fold}} / SUM(cnt), 9) AS avg_logprob
+            FROM terms GROUP BY doc_id
+        ),
+        ttr AS (
+            SELECT doc_id,
+                   CAST(COUNT(DISTINCT word) AS DOUBLE) / COUNT(*) AS ttr
+            FROM words GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.source, d.doc_id, lp.avg_logprob, ttr.ttr
+            FROM documents d JOIN lp USING (doc_id) JOIN ttr USING (doc_id)
+        ),
+        ranked AS (
+            SELECT source,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY avg_logprob, doc_id) AS BIGINT) AS ra,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY ttr, doc_id) AS BIGINT) AS rb
+            FROM scored
+        ),
+        sums AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ra) AS BIGINT) AS sa,
+                   CAST(SUM(rb) AS BIGINT) AS sb,
+                   CAST(SUM(ra * ra) AS BIGINT) AS saa,
+                   CAST(SUM(rb * rb) AS BIGINT) AS sbb,
+                   CAST(SUM(ra * rb) AS BIGINT) AS sab
+            FROM ranked GROUP BY source
+        )
+        SELECT source, n AS n_docs,
+               round(CAST(n * sab - sa * sb AS DOUBLE)
+                     / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                            * CAST(n * sbb - sb * sb AS DOUBLE)), 9)
+                   AS spearman_rho
+        FROM sums
+        ORDER BY source
+    """.replace("{fold}", _FOLD.format(x="term")),
+)
+def spearman_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank agreement (Spearman 1904) between two quality scores — the
+    rank-level complement to filter_agreement_kappa's binary agreement:
+    before ensembling quality filters, curation pipelines check whether
+    they ORDER documents the same way. Score A is the oracle-exact
+    unigram-LM quality (unigram_logprob_quality, reused verbatim);
+    score B is per-doc type-token ratio (lexical diversity, one exact
+    int division). Ranks are row_number over (score, doc_id) — unique
+    integer ranks, identical in both engines because the score bits
+    are — so every Spearman sum is an exact BIGINT and the rho is one
+    closed-form double expression rounded at 9.
+
+    Plan: the scoring pass is unigram_logprob_quality's plan plus one
+    (doc, word) distinct count riding the same exchange; ranking is two
+    row_number windows per SOURCE (shard-bounded, never global); the
+    sums collapse map-side to 20 rows. reference: SURVEY §2.11
+    (quality/eval tier).
+    """
+    from dynaledger_spark.plans.queries_lm import unigram_logprob_quality
+    from dynaledger_spark.plans.queries_pipeline import _docs_by_id
+
+    docs = _docs_by_id(spark, sf_dir)
+    lp = unigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_logprob")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    ttr = words.groupBy("doc_id").agg(
+        (
+            F.count_distinct("word").cast("double") / F.count(F.lit(1))
+        ).alias("ttr")
+    )
+    scored = (
+        docs.select("doc_id", "source")
+        .join(lp, "doc_id")
+        .join(ttr, "doc_id")
+    )
+    ra = F.row_number().over(
+        W.partitionBy("source").orderBy("avg_logprob", "doc_id")
+    ).cast("bigint")
+    rb = F.row_number().over(
+        W.partitionBy("source").orderBy("ttr", "doc_id")
+    ).cast("bigint")
+    ranked = scored.select("source", ra.alias("ra"), rb.alias("rb"))
+    sums = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ra").cast("bigint").alias("sa"),
+        F.sum("rb").cast("bigint").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).cast("bigint").alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).cast("bigint").alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("sab"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    return sums.select(
+        "source",
+        n.alias("n_docs"),
+        F.round(
+            (n * F.col("sab") - sa * sb).cast("double")
+            / F.sqrt(
+                (n * F.col("saa") - sa * sa).cast("double")
+                * (n * F.col("sbb") - sb * sb).cast("double")
+            ),
+            9,
+        ).alias("spearman_rho"),
+    ).orderBy("source")

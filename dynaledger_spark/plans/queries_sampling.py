@@ -625,3 +625,59 @@ def unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment (round 7)
+# ---------------------------------------------------------------------------
+_KFOLD = 5
+
+
+@register(
+    "stratified_kfold_assign",
+    doc=f"stratified {_KFOLD}-fold CV assignment: hash-ordered round-robin within each lang",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT lang,
+                   CAST((row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * {_H1}) % {_M32}, doc_id) - 1)
+                        % {_KFOLD} AS BIGINT) AS fold
+            FROM documents
+        )
+        SELECT lang, fold, COUNT(*) AS n_docs
+        FROM ranked GROUP BY lang, fold
+        ORDER BY lang, fold
+    """,
+)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold cross-validation assignment (the
+    StratifiedKFold contract): within every stratum (lang), documents
+    are dealt round-robin into {_KFOLD} folds, so each fold's class
+    mix mirrors the corpus and fold sizes differ by at most one per
+    stratum. Dealing order is the multiplicative doc_id hash (ties by
+    doc_id) — deterministic, append-stable in distribution, and free
+    of the temporal/source ordering the raw doc_id would leak into
+    folds. Output is the (lang, fold) census the balance property is
+    read off of.
+
+    Plan: one exchange on lang for the rank window (strata are the
+    shards), rollup rides the same partitioning. At 100 TB the window
+    is replaced by the pure-projection form fold = mhash(doc_id) % k
+    (hash_split_train_val's shape) at the cost of the exact
+    max-minus-min<=1 guarantee — this op is the exact-census miniature.
+    reference: SURVEY §2.11 (sampling/splits tier).
+    """
+    docs = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(
+        _mhash(F.col("doc_id"), _H1), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "lang",
+        ((F.row_number().over(w) - 1) % _KFOLD).cast("bigint").alias("fold"),
+    )
+    return (
+        ranked.groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "fold")
+    )

@@ -2992,3 +2992,84 @@ def fisher_lda_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (round 7)
+# ---------------------------------------------------------------------------
+_HILL_K = 50
+
+
+@register(
+    "hill_tail_index",
+    doc=f"Hill tail-index over doc token counts: top-{_HILL_K} order statistics",
+    oracle=f"""
+        WITH lens AS (
+            SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        top AS (
+            SELECT n_tokens FROM lens
+            ORDER BY n_tokens DESC LIMIT {_HILL_K + 1}
+        ),
+        thr AS (SELECT MIN(n_tokens) AS x_thr FROM top),
+        terms AS (
+            SELECT round(ln(CAST(t.n_tokens AS DOUBLE) / x.x_thr), 12) AS term
+            FROM top t CROSS JOIN thr x
+        ),
+        g AS (
+            SELECT round(
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_sort(list(term))), (a, b) -> a + b)
+                / {_HILL_K}, 9) AS hill_gamma
+            FROM terms
+        )
+        SELECT CAST({_HILL_K} AS BIGINT) AS k,
+               (SELECT x_thr FROM thr) AS x_threshold,
+               hill_gamma,
+               round(1.0 / hill_gamma, 9) AS hill_alpha
+        FROM g
+    """,
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator (Hill 1975) of the tail index of the document
+    length distribution — the companion diagnostic to zipf_fit_vocab:
+    web-corpus doc lengths are heavy-tailed, and the tail exponent
+    decides how length caps and packing bins should be sized.
+    gamma = (1/k) * sum_(i<=k) ln(X_(i) / X_(k+1)) over the descending
+    order statistics; alpha = 1/gamma. Rows TIED at the threshold
+    contribute ln(1)=0, so which tied row the LIMIT keeps cannot change
+    the sum — the estimate depends only on the top-(k+1) VALUE multiset,
+    which is deterministic. ln at 12 dp, sorted fold, gamma at 9,
+    alpha from the rounded gamma.
+
+    Plan: the corpus pass is a scan-side token count into a distributed
+    TakeOrdered(k+1) — partial top-k per partition, driver heap merge;
+    everything after runs on {_HILL_K + 1} rows with the threshold as a
+    1-row broadcast. At 100 TB the only corpus-sized work is the scan.
+    reference: SURVEY §2.11 (stats/eval tier).
+    """
+    docs_path = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    lens = docs.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    top = lens.orderBy(F.col("n_tokens").desc()).limit(_HILL_K + 1)
+    thr = top.agg(F.min("n_tokens").alias("x_thr"))
+    terms = top.crossJoin(F.broadcast(thr)).select(
+        F.round(
+            F.log(F.col("n_tokens").cast("double") / F.col("x_thr")), 12
+        ).alias("term")
+    )
+    fold = F.aggregate(
+        F.array_sort(F.collect_list("term")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    g = terms.agg(F.round(fold / _HILL_K, 9).alias("hill_gamma"))
+    return g.crossJoin(F.broadcast(thr)).select(
+        F.lit(_HILL_K).cast("bigint").alias("k"),
+        F.col("x_thr").alias("x_threshold"),
+        "hill_gamma",
+        F.round(1.0 / F.col("hill_gamma"), 9).alias("hill_alpha"),
+    )

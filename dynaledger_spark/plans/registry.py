@@ -248,13 +248,13 @@ _ROUND7_WINDOW = (
     # round-7 batch 7 (published-method ops, all oracle-exact)
     "winnowing_overlap_pairs", "decontam_embedding_sim",
     "filter_agreement_kappa",
+    # round-7 batch 8 (published-method ops, all oracle-exact)
+    "spearman_quality_scores", "hill_tail_index",
+    "stratified_kfold_assign",
     # longest-unverified rotation (last green r1; date_rollup yields
     # its slot to power_iteration_portable — same never-verified-first
     # rationale as the other swaps)
-    "first_last_order_span",
-    "lead_next_order_gap",
     "media_decode_meta", "media_features",
-    "regex_extract_id_buckets",
     "stddev_exact_by_flag", "stratified_sample_docs", "topk_customers",
     "validation_summary",
     # (rolling_30d_revenue / media_frame_sample / median_disc_by_priority
@@ -262,8 +262,9 @@ _ROUND7_WINDOW = (
     # media_resize_dims to the batch-4 ops; ntile_acctbal_quartiles to
     # batch 5; bottomk_suppliers / cube_sales_priority / date_validity
     # to batch 6; doc_assembly / flatten_explode / hash_split_train_val
-    # to batch 7 — never-verified oracle rows buy more signal; all stay
-    # green in the local parity suite.)
+    # to batch 7; first_last_order_span / lead_next_order_gap /
+    # regex_extract_id_buckets to batch 8 — never-verified oracle rows
+    # buy more signal; all stay green in the local parity suite.)
     # (scalar_stats / scalar_subquery_small_qty / shard_round_robin /
     # sql_passthrough yield their slots to the batch-2 curation ops —
     # same never-verified-first rationale; all four stay green in the

@@ -113,6 +113,8 @@ def test_no_cartesian_products(plans):
             "fisher_lda_quality",  # 1-row broadcasts of the fitted model
             "hard_negative_mining",  # 20-row query-batch broadcast fan-out
             "decontam_embedding_sim",  # corpus/50 benchmark-batch broadcast fan-out
+            "spearman_quality_scores",  # unigram scorer's 1-row token-total broadcast
+            "hill_tail_index",  # 1-row broadcast of the tail threshold over k+1 rows
             "doremi_domain_weights",  # 1-row broadcasts of corpus loss/normalizer
             "ccnet_perplexity_buckets",  # unigram scorer's 1-row token-total broadcast
         ), f"{name} nested-loop joins"

@@ -718,3 +718,92 @@ def test_filter_kappa_vs_python(spark, sf_dir):
         assert math.isclose(r.kappa, round((po - pe) / (1 - pe), 9),
                             rel_tol=1e-12)
         assert -1.0 <= r.kappa <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 8: Spearman, Hill tail index, stratified k-fold
+# ---------------------------------------------------------------------------
+def test_spearman_vs_scipy_style_python(spark, sf_dir):
+    """Per-source rho must equal a python replay (unigram-LM score +
+    TTR, unique ranks by (score, doc_id), closed-form Pearson over
+    ranks) and must live in [-1, 1]."""
+    d = _documents(sf_dir)
+    vocab = Counter()
+    total = 0
+    for text in d["text"]:
+        ws = text.split(" ")
+        vocab.update(ws)
+        total += len(ws)
+    per_source = defaultdict(list)
+    for doc_id, text, source in zip(d["doc_id"], d["text"], d["source"]):
+        ws = text.split(" ")
+        tf = Counter(ws)
+        terms = sorted(c * round(math.log(vocab[w] / total), 12)
+                       for w, c in tf.items())
+        s = 0.0
+        for t in terms:
+            s += t
+        lp = round(s / len(ws), 9)
+        ttr = len(set(ws)) / len(ws)
+        per_source[source].append((doc_id, lp, ttr))
+    got = {r.source: (r.n_docs, r.spearman_rho)
+           for r in rows(spark, sf_dir, "spearman_quality_scores")}
+    for source, docs in per_source.items():
+        n = len(docs)
+        ra = {doc: i + 1 for i, (doc, _, _) in enumerate(
+            sorted(docs, key=lambda x: (x[1], x[0])))}
+        rb = {doc: i + 1 for i, (doc, _, _) in enumerate(
+            sorted(docs, key=lambda x: (x[2], x[0])))}
+        sa = sum(ra.values()); sb = sum(rb.values())
+        saa = sum(v * v for v in ra.values())
+        sbb = sum(v * v for v in rb.values())
+        sab = sum(ra[doc] * rb[doc] for doc, _, _ in docs)
+        rho = round((n * sab - sa * sb)
+                    / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)), 9)
+        assert got[source][0] == n
+        assert math.isclose(got[source][1], rho, rel_tol=1e-12)
+        assert -1.0 <= got[source][1] <= 1.0
+
+
+def test_hill_vs_python(spark, sf_dir):
+    """gamma/alpha must equal a python replay of the Hill estimator
+    over the top-(k+1) doc-length order statistics."""
+    from dynaledger_spark.plans.queries_stats import _HILL_K
+
+    d = _documents(sf_dir)
+    lens = sorted((len(t.split(" ")) for t in d["text"]), reverse=True)
+    top = lens[:_HILL_K + 1]
+    thr = top[-1]
+    terms = sorted(round(math.log(x / thr), 12) for x in top)
+    s = 0.0
+    for t in terms:
+        s += t
+    gamma = round(s / _HILL_K, 9)
+    (r,) = rows(spark, sf_dir, "hill_tail_index")
+    assert (r.k, r.x_threshold) == (_HILL_K, thr)
+    assert math.isclose(r.hill_gamma, gamma, rel_tol=1e-12)
+    assert math.isclose(r.hill_alpha, round(1.0 / gamma, 9), rel_tol=1e-12)
+    assert r.hill_alpha > 0
+
+
+def test_stratified_kfold_balance(spark, sf_dir):
+    """Census must equal a python replay of the hash-ordered
+    round-robin deal, and per-stratum fold sizes must differ by <= 1
+    (the StratifiedKFold guarantee)."""
+    from dynaledger_spark.plans.queries_sampling import _H1, _KFOLD, _M32
+
+    d = _documents(sf_dir)
+    per_lang = defaultdict(list)
+    for doc_id, lang in zip(d["doc_id"], d["lang"]):
+        per_lang[lang].append(doc_id)
+    expect = Counter()
+    for lang, ids in per_lang.items():
+        ids.sort(key=lambda i: ((i * _H1) % _M32, i))
+        for pos in range(len(ids)):
+            expect[(lang, pos % _KFOLD)] += 1
+    got = {(r.lang, r.fold): r.n_docs
+           for r in rows(spark, sf_dir, "stratified_kfold_assign")}
+    assert got == dict(expect)
+    for lang in per_lang:
+        sizes = [got.get((lang, f), 0) for f in range(_KFOLD)]
+        assert max(sizes) - min(sizes) <= 1

@@ -112,6 +112,10 @@ QUERIES = [
     "winnowing_overlap_pairs",  # 3000-dup doc's fingerprints MUST drop at the posting cap
     "decontam_embedding_sim",  # benchmark side grows with corpus/50 — still broadcast at 10x
     "filter_agreement_kappa",  # one map-side aggregate; 6-row projection
+    # round-7 batch 8
+    "spearman_quality_scores",  # scoring exchange + two per-source rank windows
+    "hill_tail_index",         # corpus scan into TakeOrdered(51); rest is 51 rows
+    "stratified_kfold_assign",  # one lang exchange; rollup rides the window partitioning
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
