@@ -1022,3 +1022,107 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang", F.when(F.col("bucket") == "head", 1)
                  .when(F.col("bucket") == "middle", 2).otherwise(3))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bits-per-byte by source (round 7)
+# ---------------------------------------------------------------------------
+# ln(2) pinned to the nearest double in BOTH engines (Math.log/ln are only
+# 1-ulp-accurate and not guaranteed to agree across runtimes).
+_LN2 = "0.6931471805599453"
+
+
+@register(
+    "bits_per_byte_by_source",
+    doc="per-source bits-per-UTF8-byte under the corpus unigram LM (Pile metric)",
+    oracle=f"""
+        WITH words AS (
+            SELECT d.source, strlen(d.text) AS n_bytes, u.w AS word
+            FROM documents d, unnest(string_split(d.text, ' ')) AS u(w)
+        ),
+        vocab AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word),
+        total AS (SELECT COUNT(*) AS t FROM words),
+        bytes_per_source AS (
+            SELECT source, CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+            FROM documents GROUP BY source
+        ),
+        sw AS (
+            SELECT source, word, COUNT(*) AS cnt FROM words
+            GROUP BY source, word
+        ),
+        terms AS (
+            SELECT sw.source, sw.cnt,
+                   sw.cnt * round(ln(CAST(v.n AS DOUBLE) / t.t), 12) AS term
+            FROM sw JOIN vocab v USING (word) CROSS JOIN total t
+        ),
+        nats AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   round(-({_FOLD.format(x='term')}), 9) AS total_nats
+            FROM terms GROUP BY source
+        )
+        SELECT n.source, n.n_tokens, b.n_bytes,
+               round(n.total_nats / ({_LN2} * b.n_bytes), 9)
+                   AS bits_per_byte
+        FROM nats n JOIN bytes_per_source b USING (source)
+        ORDER BY n.source
+    """,
+)
+def bits_per_byte_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bits per UTF-8 byte (Gao et al. 2020, The Pile §4 — the
+    tokenizer-independent LM metric): per-token log-probabilities are
+    incomparable across tokenizers, so corpus evaluation normalizes
+    total negative log-likelihood by the RAW BYTE length instead.
+    Under the repo's oracle-exact unigram LM, each source's BPB =
+    -sum(ln p) / (ln2 * n_bytes); ln2 is a PINNED double literal in
+    both engines (library ln is only 1-ulp accurate and differs across
+    runtimes — found by the round-7 exp() parity experiment). Byte
+    length via octet_length/strlen, not character length.
+
+    Plan: one token explode into the map-side (source, word) aggregate,
+    broadcast vocab join (unigram_logprob_quality's plan at source
+    grain), plus a byte rollup on the same scan; 20 rows out.
+    reference: SURVEY §2.11 (LM/eval tier).
+    """
+    from dynaledger_spark.plans.queries_pipeline import _docs_by_id
+
+    docs = _docs_by_id(spark, sf_dir)
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = words.agg(F.count(F.lit(1)).alias("t"))
+    bytes_per_source = docs.groupBy("source").agg(
+        F.sum(F.octet_length("text")).cast("bigint").alias("n_bytes")
+    )
+    sw = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    terms = (
+        sw.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "cnt",
+            (
+                F.col("cnt")
+                * F.round(F.log(F.col("n").cast("double") / F.col("t")), 12)
+            ).alias("term"),
+        )
+    )
+    nats = terms.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.round(-_fold("term"), 9).alias("total_nats"),
+    )
+    return (
+        nats.join(bytes_per_source, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_bytes",
+            F.round(
+                F.col("total_nats")
+                / (F.lit(float(_LN2)) * F.col("n_bytes")),
+                9,
+            ).alias("bits_per_byte"),
+        )
+        .orderBy("source")
+    )

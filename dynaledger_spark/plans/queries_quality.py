@@ -899,13 +899,11 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _KAPPA_FILTERS = ("len_gate", "stopword_gate", "alpha_gate", "wordlen_gate")
 
-
-@register(
-    "filter_agreement_kappa",
-    doc="pairwise Cohen's kappa between four integer-exact quality filters",
-    oracle="""
-        WITH flags AS (
-            SELECT doc_id,
+# The four integer-exact gates, shared by filter_agreement_kappa and
+# quality_ensemble_gate (SQL side; the Spark twin is _gate_flags below).
+_GATES_SQL = """
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 90
                         THEN 1 ELSE 0 END AS f1,
                    CASE WHEN len(list_filter(string_split(text, ' '),
@@ -920,7 +918,35 @@ _KAPPA_FILTERS = ("len_gate", "stopword_gate", "alpha_gate", "wordlen_gate")
                              <= 9 * len(string_split(text, ' '))
                         THEN 1 ELSE 0 END AS f4
             FROM documents
-        ),
+"""
+
+
+def _gate_flags(docs: DataFrame) -> DataFrame:
+    """Spark twin of _GATES_SQL: the four integer-exact quality gates."""
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    from dynaledger_spark.plans.queries_text import _STOPWORDS
+
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_chars = F.length("text")
+    letters = n_chars - n_tok + 1
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.when((n_tok >= 20) & (n_tok <= 90), 1).otherwise(0).alias("f1"),
+        F.when(n_stop >= 2, 1).otherwise(0).alias("f2"),
+        F.when(500 * n_alpha >= 411 * n_chars, 1).otherwise(0).alias("f3"),
+        F.when(2 * letters <= 9 * n_tok, 1).otherwise(0).alias("f4"),
+    )
+
+
+@register(
+    "filter_agreement_kappa",
+    doc="pairwise Cohen's kappa between four integer-exact quality filters",
+    oracle=f"""
+        WITH flags AS ({_GATES_SQL}),
         m AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
@@ -979,21 +1005,9 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair rows are a driver-sized projection of that 1-row result. Scales
     trivially. reference: SURVEY §2.11 (quality/eval tier).
     """
-    from dynaledger_spark.plans.queries_text import _docs, _STOPWORDS
+    from dynaledger_spark.plans.queries_text import _docs
 
-    docs = _docs(spark, sf_dir)
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
-    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-    n_chars = F.length("text")
-    letters = n_chars - n_tok + 1
-    flags = docs.select(
-        F.when((n_tok >= 20) & (n_tok <= 90), 1).otherwise(0).alias("f1"),
-        F.when(n_stop >= 2, 1).otherwise(0).alias("f2"),
-        F.when(500 * n_alpha >= 411 * n_chars, 1).otherwise(0).alias("f3"),
-        F.when(2 * letters <= 9 * n_tok, 1).otherwise(0).alias("f4"),
-    )
+    flags = _gate_flags(_docs(spark, sf_dir)).select("f1", "f2", "f3", "f4")
     m = flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         *[F.sum(f"f{i}").cast("bigint").alias(f"s{i}") for i in (1, 2, 3, 4)],
@@ -1034,3 +1048,77 @@ def filter_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((po - pe) / (1.0 - pe), 9))
         .alias("kappa"),
     ).orderBy("filter_a", "filter_b")
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ensemble gate (round 7)
+# ---------------------------------------------------------------------------
+_ENSEMBLE_MIN_VOTES = 3
+
+
+@register(
+    "quality_ensemble_gate",
+    doc=f"ensemble quality gate: per-source yield when >= {_ENSEMBLE_MIN_VOTES} of 4 gates pass",
+    oracle=f"""
+        WITH flags AS ({_GATES_SQL}),
+        voted AS (
+            SELECT source, n_tokens, f1 + f2 + f3 + f4 AS votes,
+                   CASE WHEN f1 + f2 + f3 + f4 >= {_ENSEMBLE_MIN_VOTES}
+                        THEN 1 ELSE 0 END AS pass
+            FROM flags
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pass) AS BIGINT) AS n_pass,
+               round(CAST(SUM(pass) AS DOUBLE) / COUNT(*), 9) AS pass_rate,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+               CAST(SUM(pass * n_tokens) AS BIGINT) AS tokens_kept,
+               round(CAST(SUM(pass * n_tokens) AS DOUBLE)
+                     / SUM(n_tokens), 9) AS token_yield
+        FROM voted GROUP BY source
+        ORDER BY source
+    """,
+)
+def quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote quality filtering — the ensemble pattern modern
+    curation pipelines use (FineWeb/RefinedWeb stack several heuristic
+    gates; a doc survives when most agree) reported as the per-source
+    YIELD sheet a pipeline owner actually reads: docs in, docs kept,
+    tokens kept. Gates are the four integer-exact filters shared with
+    filter_agreement_kappa (that op measures whether the ensemble's
+    members agree; this one applies the vote). All-integer except the
+    two final ratios (one division each, 9 dp).
+
+    Plan: scan-side gate flags + one map-side-combined rollup on
+    source — ONE corpus pass, 20 rows out. Scales trivially.
+    reference: SURVEY §2.11 (quality/curation tier).
+    """
+    from dynaledger_spark.plans.queries_text import _docs
+
+    flags = _gate_flags(_docs(spark, sf_dir))
+    votes = F.col("f1") + F.col("f2") + F.col("f3") + F.col("f4")
+    voted = flags.select(
+        "source",
+        "n_tokens",
+        F.when(votes >= _ENSEMBLE_MIN_VOTES, 1).otherwise(0).alias("pass"),
+    )
+    return (
+        voted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pass").cast("bigint").alias("n_pass"),
+            F.round(
+                F.sum("pass").cast("double") / F.count(F.lit(1)), 9
+            ).alias("pass_rate"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_in"),
+            F.sum(F.col("pass") * F.col("n_tokens"))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.round(
+                F.sum(F.col("pass") * F.col("n_tokens")).cast("double")
+                / F.sum("n_tokens"),
+                9,
+            ).alias("token_yield"),
+        )
+        .orderBy("source")
+    )

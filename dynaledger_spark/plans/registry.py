@@ -251,11 +251,13 @@ _ROUND7_WINDOW = (
     # round-7 batch 8 (published-method ops, all oracle-exact)
     "spearman_quality_scores", "hill_tail_index",
     "stratified_kfold_assign",
+    # round-7 batch 9 (published-method ops, all oracle-exact)
+    "quality_ensemble_gate", "bits_per_byte_by_source",
     # longest-unverified rotation (last green r1; date_rollup yields
     # its slot to power_iteration_portable — same never-verified-first
     # rationale as the other swaps)
     "media_decode_meta", "media_features",
-    "stddev_exact_by_flag", "stratified_sample_docs", "topk_customers",
+    "topk_customers",
     "validation_summary",
     # (rolling_30d_revenue / media_frame_sample / median_disc_by_priority
     # yield their slots to the batch-3 ops; orc_roundtrip_revenue /
@@ -263,8 +265,9 @@ _ROUND7_WINDOW = (
     # batch 5; bottomk_suppliers / cube_sales_priority / date_validity
     # to batch 6; doc_assembly / flatten_explode / hash_split_train_val
     # to batch 7; first_last_order_span / lead_next_order_gap /
-    # regex_extract_id_buckets to batch 8 — never-verified oracle rows
-    # buy more signal; all stay green in the local parity suite.)
+    # regex_extract_id_buckets to batch 8; stratified_sample_docs /
+    # stddev_exact_by_flag to batch 9 — never-verified oracle rows buy
+    # more signal; all stay green in the local parity suite.)
     # (scalar_stats / scalar_subquery_small_qty / shard_round_robin /
     # sql_passthrough yield their slots to the batch-2 curation ops —
     # same never-verified-first rationale; all four stay green in the

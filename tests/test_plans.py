@@ -115,6 +115,7 @@ def test_no_cartesian_products(plans):
             "decontam_embedding_sim",  # corpus/50 benchmark-batch broadcast fan-out
             "spearman_quality_scores",  # unigram scorer's 1-row token-total broadcast
             "hill_tail_index",  # 1-row broadcast of the tail threshold over k+1 rows
+            "bits_per_byte_by_source",  # 1-row broadcast of the corpus token total
             "doremi_domain_weights",  # 1-row broadcasts of corpus loss/normalizer
             "ccnet_perplexity_buckets",  # unigram scorer's 1-row token-total broadcast
         ), f"{name} nested-loop joins"

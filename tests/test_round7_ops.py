@@ -807,3 +807,65 @@ def test_stratified_kfold_balance(spark, sf_dir):
     for lang in per_lang:
         sizes = [got.get((lang, f), 0) for f in range(_KFOLD)]
         assert max(sizes) - min(sizes) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 9: ensemble gate, bits-per-byte
+# ---------------------------------------------------------------------------
+def test_ensemble_gate_vs_python(spark, sf_dir):
+    """Per-source yields must equal a python replay of the 3-of-4
+    majority vote over the same integer gates as the kappa test."""
+    STOP = {"the", "a", "of", "and", "to", "in", "is", "it", "for", "on"}
+    d = _documents(sf_dir)
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, n_pass, tok_in, tok_kept
+    for text, source in zip(d["text"], d["source"]):
+        ws = text.split(" ")
+        n_tok, n_chars = len(ws), len(text)
+        n_alpha = sum(1 for c in text if c.isalpha() and c.isascii())
+        letters = n_chars - n_tok + 1
+        votes = (
+            (20 <= n_tok <= 90)
+            + (sum(1 for w in ws if w in STOP) >= 2)
+            + (500 * n_alpha >= 411 * n_chars)
+            + (2 * letters <= 9 * n_tok)
+        )
+        a = agg[source]
+        a[0] += 1; a[2] += n_tok
+        if votes >= 3:
+            a[1] += 1; a[3] += n_tok
+    for r in rows(spark, sf_dir, "quality_ensemble_gate"):
+        n, np_, ti, tk = agg[r.source]
+        assert (r.n_docs, r.n_pass, r.tokens_in, r.tokens_kept) == (n, np_, ti, tk)
+        assert math.isclose(r.pass_rate, round(np_ / n, 9), rel_tol=1e-12)
+        assert math.isclose(r.token_yield, round(tk / ti, 9), rel_tol=1e-12)
+
+
+def test_bits_per_byte_vs_python(spark, sf_dir):
+    """Per-source BPB must equal a python replay (nats from the unigram
+    LM with 12dp ln terms and sorted folds, divided by pinned-ln2 *
+    UTF-8 bytes), and must be positive."""
+    d = _documents(sf_dir)
+    vocab = Counter()
+    total = 0
+    for text in d["text"]:
+        ws = text.split(" ")
+        vocab.update(ws)
+        total += len(ws)
+    per_source = defaultdict(lambda: [Counter(), 0])
+    for text, source in zip(d["text"], d["source"]):
+        per_source[source][0].update(text.split(" "))
+        per_source[source][1] += len(text.encode("utf-8"))
+    LN2 = 0.6931471805599453
+    for r in rows(spark, sf_dir, "bits_per_byte_by_source"):
+        cnts, n_bytes = per_source[r.source]
+        terms = sorted(c * round(math.log(vocab[w] / total), 12)
+                       for w, c in cnts.items())
+        s = 0.0
+        for t in terms:
+            s += t
+        nats = round(-s, 9)
+        assert r.n_tokens == sum(cnts.values())
+        assert r.n_bytes == n_bytes
+        assert math.isclose(r.bits_per_byte, round(nats / (LN2 * n_bytes), 9),
+                            rel_tol=1e-12)
+        assert r.bits_per_byte > 0

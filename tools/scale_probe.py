@@ -116,6 +116,9 @@ QUERIES = [
     "spearman_quality_scores",  # scoring exchange + two per-source rank windows
     "hill_tail_index",         # corpus scan into TakeOrdered(51); rest is 51 rows
     "stratified_kfold_assign",  # one lang exchange; rollup rides the window partitioning
+    # round-7 batch 9
+    "quality_ensemble_gate",   # scan-side gates + one source rollup
+    "bits_per_byte_by_source",  # token explode + (source,word) agg + byte rollup
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
