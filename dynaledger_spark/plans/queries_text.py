@@ -1624,3 +1624,262 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation (round 7) — the dedup rollout gate as a query
+# ---------------------------------------------------------------------------
+# (1-(1-j^4)^4, the 4-band x 4-row S-curve, with powers as explicit
+# multiplications — pow() is not bitwise-portable across engines)
+_LSH_THEO_SQL = (
+    "round(1.0 - ((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j))))"
+    " * ((1.0 - ((j*j)*(j*j))) * (1.0 - ((j*j)*(j*j)))), 12)"
+)
+_FOLD_TXT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list({x}))),"
+    " (a, b) -> a + b)"
+)
+
+
+def _lsh_recall_oracle() -> str:
+    found = _portable_minhash_oracle()
+    return f"""
+        WITH groups AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS rep,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM documents GROUP BY md5(text)
+        ),
+        rep_toks AS (
+            SELECT g.rep AS doc_id, g.m,
+                   string_split_regex(d.text, '\\s+') AS t
+            FROM groups g JOIN documents d ON d.doc_id = g.rep
+        ),
+        sh AS (
+            SELECT doc_id, m,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+            FROM rep_toks
+        ),
+        cross_pairs AS (
+            SELECT a.doc_id AS rep_a, b.doc_id AS rep_b,
+                   a.m * b.m AS w,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))) AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE 2 * len(list_intersect(a.grams, b.grams))
+                  >= len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))
+        ),
+        within AS (
+            SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT)
+                       AS n_within
+            FROM groups WHERE m > 1
+        ),
+        t_agg AS (
+            SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS n_cross,
+                   {_FOLD_TXT.format(x=_LSH_THEO_SQL + " * CAST(w AS DOUBLE)")}
+                       AS theo_sum
+            FROM cross_pairs
+        ),
+        found AS (SELECT id_a, id_b FROM ({found}) f),
+        d2r AS (
+            SELECT d.doc_id, g.rep
+            FROM documents d JOIN groups g ON md5(d.text) = g.h
+        ),
+        f_reps AS (
+            SELECT ra.rep AS rep_a, rb.rep AS rep_b
+            FROM found
+            JOIN d2r ra ON found.id_a = ra.doc_id
+            JOIN d2r rb ON found.id_b = rb.doc_id
+        ),
+        h_agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM f_reps
+            WHERE rep_a = rep_b
+               OR EXISTS (SELECT 1 FROM cross_pairs c
+                          WHERE c.rep_a = least(f_reps.rep_a, f_reps.rep_b)
+                            AND c.rep_b = greatest(f_reps.rep_a, f_reps.rep_b))
+        ),
+        f_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM found)
+        SELECT t.n_cross + w.n_within AS n_true,
+               f.n_found, h.n_hit,
+               round(CAST(h.n_hit AS DOUBLE) / (t.n_cross + w.n_within), 9)
+                   AS recall,
+               round((t.theo_sum + CAST(w.n_within AS DOUBLE) * 1.0)
+                     / (t.n_cross + w.n_within), 9)
+                   AS mean_theoretical_recall
+        FROM t_agg t CROSS JOIN within w CROSS JOIN f_agg f CROSS JOIN h_agg h
+    """
+
+
+@register(
+    "lsh_recall_eval",
+    doc="MinHash-LSH recall vs EXACT Jaccard>=0.5 ground truth (dup-collapsed PPJoin) + banding theory",
+    oracle=None,  # attached below (composes the portable-minhash oracle)
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup rollout gate as a query (the ann_recall_eval pattern
+    applied to near-dup detection): the portable MinHash-LSH pipeline's
+    RECALL against an exact, complete ground truth — every doc pair
+    with 3-gram-shingle Jaccard >= 0.5 — reported beside the banding
+    S-curve's prediction E[recall | j] = 1 - (1 - j^4)^4.
+
+    The ground truth composes the two production tricks in order:
+    (1) EXACT-DUP COLLAPSE — identical texts form groups (md5); every
+    within-group pair is J=1 truth, counted as C(m,2) without being
+    materialized. This is what makes the gate skew-proof: the probe's
+    3000-dup cluster otherwise explodes the similarity join into
+    C(3000,2) candidate pairs (measured: the un-collapsed draft blew
+    past 600 s at 10x+skew; collapsed, group representatives pair
+    once and the cluster contributes ONE integer).
+    (2) PPJOIN PREFIX FILTER at t=1/2 over group REPRESENTATIVES —
+    100% recall by theorem, so truth is complete, not probabilistic.
+    Cross-group rep pairs expand combinatorially (w = m_a*m_b) in the
+    counts; the theory fold weights each rep term by its exact integer
+    w (one IEEE multiply — bitwise-portable).
+
+    A found pair is a hit when its docs share a group (within-group
+    truth) or its normalized rep pair is in the cross-group truth —
+    found ⊆ truth by construction, so n_hit = n_found unless the LSH
+    bucket cap drops a true pair; the join makes that visible.
+
+    Plan: one md5 group pass; shingle/prefix work runs on distinct
+    texts only (broadcast df table, rarity window per rep); the LSH
+    side is minhash_portable_pairs' plan; hits are two broadcast-sized
+    rep lookups + a semi join; the 1-row metric combines broadcast. At
+    100 TB the gate runs on a deterministic hash-sample of docs — same
+    contract, bounded cost. reference: SURVEY §2.11 (dedup/eval tier).
+    """
+    from dynaledger_spark.operators.dedup import _shingles, portable_minhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    rep_docs = docs.join(
+        groups.select("rep", "m"), docs.doc_id == F.col("rep")
+    ).select(F.col("rep").alias("doc_id"), "m", "text")
+    shingled = rep_docs.select(
+        "doc_id", "m", _shingles(F.col("text")).alias("sh")
+    ).persist()
+    ex = shingled.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g")
+    )
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "g")
+    # prefix length for t = 1/2: n - ceil(n/2) + 1, all-integer
+    prefix_len = F.col("n") - F.floor((F.col("n") + 1) / 2).cast("long") + 1
+    prefix = (
+        ex.join(F.broadcast(dfreq), "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
+        )
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("rep_a"),
+        F.col("m").alias("m_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("rep_b"),
+        F.col("m").alias("m_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    cross_pairs = (
+        cands.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .filter(2 * inter >= union)
+        .select(
+            "rep_a",
+            "rep_b",
+            (F.col("m_a") * F.col("m_b")).alias("w"),
+            (inter.cast("double") / union).alias("j"),
+        )
+    )
+    jj = (F.col("j") * F.col("j")) * (F.col("j") * F.col("j"))
+    q = 1.0 - jj
+    theo = F.round(1.0 - (q * q) * (q * q), 12)
+    term = theo * F.col("w").cast("double")
+    t_fold = F.aggregate(
+        F.array_sort(F.collect_list(term)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    t_agg = cross_pairs.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("n_cross"),
+        t_fold.alias("theo_sum"),
+    )
+    within = groups.filter(F.col("m") > 1).agg(
+        F.coalesce(
+            F.sum((F.col("m") * (F.col("m") - 1) / 2).cast("bigint")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_within")
+    )
+    found = portable_minhash_pairs(docs).select("id_a", "id_b")
+    d2r = docs.select(
+        "doc_id", F.md5("text").alias("h")
+    ).join(groups.select("h", "rep"), "h").select("doc_id", "rep")
+    f_reps = (
+        found.join(
+            d2r.select(F.col("doc_id").alias("id_a"), F.col("rep").alias("rep_a")),
+            "id_a",
+        )
+        .join(
+            d2r.select(F.col("doc_id").alias("id_b"), F.col("rep").alias("rep_b")),
+            "id_b",
+        )
+        .select("rep_a", "rep_b")
+    )
+    hits_within = f_reps.filter(F.col("rep_a") == F.col("rep_b"))
+    hits_cross = (
+        f_reps.filter(F.col("rep_a") != F.col("rep_b"))
+        .select(
+            F.least("rep_a", "rep_b").alias("rep_a"),
+            F.greatest("rep_a", "rep_b").alias("rep_b"),
+        )
+        .join(cross_pairs.select("rep_a", "rep_b"), ["rep_a", "rep_b"], "left_semi")
+    )
+    h_agg = hits_within.select(F.lit(1).alias("one")).unionByName(
+        hits_cross.select(F.lit(1).alias("one"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    f_agg = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+    n_true = (F.col("n_cross") + F.col("n_within")).alias("n_true")
+    return (
+        t_agg.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(f_agg))
+        .crossJoin(F.broadcast(h_agg))
+        .select(
+            n_true,
+            "n_found",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / (F.col("n_cross") + F.col("n_within")),
+                9,
+            ).alias("recall"),
+            F.round(
+                (F.col("theo_sum") + F.col("n_within").cast("double") * 1.0)
+                / (F.col("n_cross") + F.col("n_within")),
+                9,
+            ).alias("mean_theoretical_recall"),
+        )
+    )
+
+
+from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QRT  # noqa: E402
+
+_QRT["lsh_recall_eval"].oracle = _lsh_recall_oracle()

@@ -116,6 +116,7 @@ def test_no_cartesian_products(plans):
             "spearman_quality_scores",  # unigram scorer's 1-row token-total broadcast
             "hill_tail_index",  # 1-row broadcast of the tail threshold over k+1 rows
             "bits_per_byte_by_source",  # 1-row broadcast of the corpus token total
+            "lsh_recall_eval",  # 1-row truth/found/hit metric combines
             "doremi_domain_weights",  # 1-row broadcasts of corpus loss/normalizer
             "ccnet_perplexity_buckets",  # unigram scorer's 1-row token-total broadcast
         ), f"{name} nested-loop joins"
@@ -696,3 +697,13 @@ def test_tpch_plan_shapes(plans):
     assert "LeftSemi" in q21 and "LeftAnti" in q21
     assert "TakeOrderedAndProject" in q21
     assert "EqualTo(o_orderstatus,F)" in q21
+
+
+def test_lsh_recall_eval_broadcasts_df_table(plans):
+    """lsh_recall_eval: the shingle document-frequency table joins as a
+    broadcast (the corpus-wide shingle stream must not shuffle on the
+    gram for the rarity lookup), and the final metric combine is
+    broadcast-sized."""
+    plan = plans["lsh_recall_eval"]
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan

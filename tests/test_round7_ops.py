@@ -869,3 +869,50 @@ def test_bits_per_byte_vs_python(spark, sf_dir):
         assert math.isclose(r.bits_per_byte, round(nats / (LN2 * n_bytes), 9),
                             rel_tol=1e-12)
         assert r.bits_per_byte > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 10: LSH recall eval
+# ---------------------------------------------------------------------------
+def test_lsh_recall_vs_python(spark, sf_dir):
+    """Truth/found/hit counts must equal a python replay: naive exact
+    Jaccard>=0.5 over distinct word-3-gram shingle sets as truth,
+    the op's own found count as a subset of truth (n_hit == n_found,
+    i.e. LSH never invents a pair), and the theoretical S-curve mean
+    recomputed from the true pairs' similarities."""
+    d = _documents(sf_dir)
+    import re as _re
+
+    sh = {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        ws = _re.split(r"\s+", text)
+        n = len(ws)
+        sh[doc_id] = {
+            " ".join(ws[i:i + 3]) for i in range(max(n - 3, 0) + 1)
+        }
+    ids = sorted(sh)
+    true_pairs = {}
+    for i, a_ in enumerate(ids):
+        for b_ in ids[i + 1:]:
+            inter = len(sh[a_] & sh[b_])
+            union = len(sh[a_]) + len(sh[b_]) - inter
+            if 2 * inter >= union:
+                true_pairs[(a_, b_)] = inter / union
+    theos = sorted(
+        round(1.0 - ((1.0 - ((j * j) * (j * j))) * (1.0 - ((j * j) * (j * j))))
+              * ((1.0 - ((j * j) * (j * j))) * (1.0 - ((j * j) * (j * j)))), 12)
+        for j in true_pairs.values()
+    )
+    s = 0.0
+    for t in theos:
+        s += t
+    (r,) = rows(spark, sf_dir, "lsh_recall_eval")
+    assert r.n_true == len(true_pairs)
+    assert r.n_hit == r.n_found  # LSH verified pairs are a subset of truth
+    assert r.n_hit <= r.n_true
+    assert math.isclose(r.mean_theoretical_recall,
+                        round(s / len(true_pairs), 9), rel_tol=1e-12)
+    assert math.isclose(r.recall, round(r.n_hit / r.n_true, 9), rel_tol=1e-12)
+    # the 4x4 banding S-curve should be a decent predictor: achieved
+    # recall within 0.25 of the mean theoretical prediction
+    assert abs(r.recall - r.mean_theoretical_recall) < 0.25

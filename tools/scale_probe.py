@@ -119,6 +119,8 @@ QUERIES = [
     # round-7 batch 9
     "quality_ensemble_gate",   # scan-side gates + one source rollup
     "bits_per_byte_by_source",  # token explode + (source,word) agg + byte rollup
+    # round-7 batch 10
+    "lsh_recall_eval",  # 3000-dup cluster MUST collapse to one md5 group before the PPJoin
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
