@@ -517,7 +517,11 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent O(total shingles) — not the quadratic tail.)
 
     The DuckDB oracle is the NAIVE all-pairs join, so the parity check
-    doubles as a proof that the prefix filter dropped nothing.
+    doubles as a proof that the prefix filter dropped nothing — and,
+    since round 7, that the exact-dup collapse (md5 groups pair once as
+    representatives; member pairs expand as id-only joins at the end)
+    is output-equivalent. The collapse is what makes the op skew-safe:
+    see the inline comment and SCALE.md's lsh_recall_eval post-mortem.
 
     Plan: shingle df join clusters on the shingle; the per-doc rarity
     ranking window clusters on doc_id; candidates come from the
@@ -529,10 +533,27 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.dedup import _shingles
 
     docs = _t(spark, sf_dir, "documents")
+    # EXACT-DUP COLLAPSE first (the lsh_recall_eval redesign, found by
+    # the 10x+skew probe): identical texts form md5 groups, the shingle
+    # and prefix work runs on group REPRESENTATIVES only, and member
+    # pairs expand from verified rep pairs at the end. Without this, a
+    # 3000-dup hot cluster collides in every prefix shingle and the
+    # candidate join goes past C(3000,2) WITH shingle arrays attached
+    # (measured: >600 s at 10x+skew); collapsed, the cluster is one
+    # representative and the expansion joins carry only ids.
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("rep")
+    )
+    members = docs.select("doc_id", F.md5("text").alias("h")).join(
+        groups, "h"
+    ).select("doc_id", "rep")
+    rep_docs = docs.join(groups.select("rep"), docs.doc_id == F.col("rep")).select(
+        F.col("rep").alias("doc_id"), "text"
+    )
     # persisted: the shingle arrays feed the explode, BOTH verification
     # sides, and the bench's second run — computing the regex split +
     # 5-gram assembly once instead of four times is most of the wall
-    shingled = docs.select(
+    shingled = rep_docs.select(
         "doc_id", _shingles(F.col("text"), 5).alias("sh")
     ).persist()
     ex = shingled.select(
@@ -555,26 +576,64 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
         )
         .distinct()
     )
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = shingled.select(F.col("doc_id").alias("rep_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("rep_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    verified_cross = (
+        cands.join(sa, "rep_a")
+        .join(sb, "rep_b")
         .filter(5 * inter >= 4 * union)
         .select(
-            "doc_a",
-            "doc_b",
-            F.size("sh_a").cast("bigint").alias("n_sh_a"),
-            F.size("sh_b").cast("bigint").alias("n_sh_b"),
+            "rep_a",
+            "rep_b",
+            F.size("sh_a").cast("bigint").alias("ns_a"),
+            F.size("sh_b").cast("bigint").alias("ns_b"),
             F.round(inter.cast("double") / union, 12).alias("jaccard"),
         )
     )
+    # expand rep pairs to member pairs (ids only — no shingle arrays)
+    ma = members.select(F.col("doc_id").alias("id_a"), F.col("rep").alias("rep_a"))
+    mb = members.select(F.col("doc_id").alias("id_b"), F.col("rep").alias("rep_b"))
+    cross = (
+        verified_cross.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            # stats follow the doc order: swap when the member ids flipped
+            F.when(F.col("id_a") <= F.col("id_b"), F.col("ns_a"))
+            .otherwise(F.col("ns_b"))
+            .alias("n_sh_a"),
+            F.when(F.col("id_a") <= F.col("id_b"), F.col("ns_b"))
+            .otherwise(F.col("ns_a"))
+            .alias("n_sh_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs: identical texts, Jaccard exactly 1
+    g1 = members.select("rep", F.col("doc_id").alias("id_a"))
+    g2 = members.select("rep", F.col("doc_id").alias("id_b"))
+    n_sh = shingled.select(
+        F.col("doc_id").alias("rep"), F.size("sh").cast("bigint").alias("ns")
+    )
+    within = (
+        g1.join(g2, "rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(n_sh, "rep")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("ns").alias("n_sh_a"),
+            F.col("ns").alias("n_sh_b"),
+            F.round(F.lit(1.0), 12).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

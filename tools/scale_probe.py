@@ -121,6 +121,7 @@ QUERIES = [
     "bits_per_byte_by_source",  # token explode + (source,word) agg + byte rollup
     # round-7 batch 10
     "lsh_recall_eval",  # 3000-dup cluster MUST collapse to one md5 group before the PPJoin
+    "jaccard_prefix_filter_join",  # same collapse; output itself is C(3001,2) pairs for the cluster
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
