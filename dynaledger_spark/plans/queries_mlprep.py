@@ -415,18 +415,26 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Common-neighbor link prediction on the co-purchase graph
 # ---------------------------------------------------------------------------
+_LP_DEG_CAP = 128  # middle-vertex degree cap (max observed at any test SF: 51)
+
+
 @register(
     "link_prediction_common_neighbors",
-    doc="top-30 unlinked part pairs by common co-purchase neighbors",
+    doc="top-30 unlinked part pairs by common co-purchase neighbors (hub cap 128)",
     oracle=f"""
         WITH {_EDGES_DUCK},
         arcs AS (
             SELECT pa AS s, pb AS d FROM edges
             UNION ALL SELECT pb, pa FROM edges
         ),
+        mid AS (
+            SELECT s FROM arcs GROUP BY s
+            HAVING COUNT(*) <= {_LP_DEG_CAP}
+        ),
+        arcs_ok AS (SELECT a.* FROM arcs a JOIN mid USING (s)),
         cand AS (
             SELECT a.d AS pa, b.d AS pb, COUNT(*) AS common_neighbors
-            FROM arcs a JOIN arcs b ON a.s = b.s AND a.d < b.d
+            FROM arcs_ok a JOIN arcs_ok b ON a.s = b.s AND a.d < b.d
             GROUP BY a.d, b.d
         )
         SELECT pa, pb, common_neighbors
@@ -446,15 +454,29 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     included), so the two-hop join is over the pruned edge set.
 
     Plan: wedge generation is one self-equi-join of the arc list on the
-    middle vertex (cost Σ deg² — bounded by the support threshold and
-    basket cap; at web scale also cap per-vertex degree like the LSH
-    buckets), one hash aggregate, a left-anti join against existing
-    edges, and TakeOrderedAndProject for the top-30.
-    """
+    middle vertex (cost Σ deg²), one hash aggregate, a left-anti join
+    against existing edges, and TakeOrderedAndProject for the top-30.
+    Σ deg² is only bounded if no super-hub survives: middle vertices
+    with degree > {cap} are dropped BEFORE the wedge join (the LSH
+    hot-bucket discipline — the 10x+skew probe measured 72x wall from
+    one hot vertex before the cap). The cap is far above any test-SF
+    degree (max observed 51) so it never engages there, and the ORACLE
+    applies the identical cap, so the query stays exact when it does.
+    Dropping hub intermediaries is also statistically principled:
+    common-neighbor evidence through a hub is weak (Adamic-Adar
+    downweights it 1/log deg for the same reason).
+    """.format(cap=_LP_DEG_CAP)
     edges = _edges(spark, sf_dir)
     arcs = edges.select(
         F.col("pa").alias("s"), F.col("pb").alias("d")
     ).unionAll(edges.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
+    mid = (
+        arcs.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") <= _LP_DEG_CAP)
+        .select("s")
+    )
+    arcs = arcs.join(mid, "s")
     a, b = arcs.alias("a"), arcs.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")))
