@@ -312,6 +312,53 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 # Engine-portable MinHash (oracle-exact miniature of the xxhash64 path)
 # ---------------------------------------------------------------------------
+def portable_minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Engine-portable MinHash signatures: (id, shingles, sig) with the
+    polynomial rolling base hash and (a*h+b) mod p permutations — the
+    signature stage shared by portable_minhash_pairs and the
+    estimation-error calibration query. Persisted: callers fan the
+    table into banding AND verification branches."""
+    params = _perm_params(n_hashes, seed)
+
+    rolling = lambda s: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: F.coalesce(F.ascii(s.substr(i, F.lit(1))), F.lit(0)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _P,
+    )
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_base"), perm(a, b)))
+            for a, b in params
+        ]
+    )
+    sigs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            _shingles(F.col(text_col)).alias("shingles"),
+        )
+        .withColumn("_base", F.transform(F.col("shingles"), rolling))
+        .select("id", "shingles", sig.alias("sig"))
+    )
+    from pyspark import StorageLevel
+
+    return sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def portable_minhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -348,40 +395,10 @@ def portable_minhash_pairs(
     The ORACLE applies the identical cap, so the query stays exact
     even when the guard engages — the hot-basket precedent.
     """
-    params = _perm_params(n_hashes, seed)
     rows_per_band = n_hashes // n_bands
-
-    rolling = lambda s: F.aggregate(  # noqa: E731
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
-            lambda i: F.coalesce(F.ascii(s.substr(i, F.lit(1))), F.lit(0)).cast(
-                "long"
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + c) % _P,
+    sigs = portable_minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes, seed=seed
     )
-
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_base"), perm(a, b)))
-            for a, b in params
-        ]
-    )
-    sigs = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            _shingles(F.col(text_col)).alias("shingles"),
-        )
-        .withColumn("_base", F.transform(F.col("shingles"), rolling))
-        .select("id", "shingles", sig.alias("sig"))
-    )
-    from pyspark import StorageLevel
-
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         "id",
         F.posexplode(

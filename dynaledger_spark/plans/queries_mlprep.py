@@ -476,7 +476,8 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("deg") <= _LP_DEG_CAP)
         .select("s")
     )
-    arcs = arcs.join(mid, "s")
+    # vocabulary-sized -> broadcast (see adamic_adar's degs note)
+    arcs = arcs.join(F.broadcast(mid), "s")
     a, b = arcs.alias("a"), arcs.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")))
@@ -774,4 +775,118 @@ def triplet_sample_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("anchor_id", "anchor_label", "pos_id", "neg_id", "neg_label")
         .orderBy("anchor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (round 7)
+# ---------------------------------------------------------------------------
+@register(
+    "adamic_adar_link_prediction",
+    doc=f"top-30 unlinked part pairs by Adamic-Adar score (1/ln deg per common neighbor)",
+    oracle=f"""
+        WITH {_EDGES_DUCK},
+        arcs AS (
+            SELECT pa AS s, pb AS d FROM edges
+            UNION ALL SELECT pb, pa FROM edges
+        ),
+        degs AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM arcs GROUP BY s
+        ),
+        arcs_ok AS (
+            SELECT a.s, a.d, g.deg FROM arcs a JOIN degs g USING (s)
+            WHERE g.deg BETWEEN 2 AND {_LP_DEG_CAP}
+        ),
+        cand AS (
+            SELECT a.d AS pa, b.d AS pb,
+                   CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                   CAST(SUM(CAST(round(
+                       round(1.0 / ln(CAST(a.deg AS DOUBLE)), 12)
+                       * 1000000000000.0) AS BIGINT)) AS BIGINT) AS aa_scaled
+            FROM arcs_ok a JOIN arcs_ok b ON a.s = b.s AND a.d < b.d
+            GROUP BY a.d, b.d
+        )
+        SELECT pa, pb, common_neighbors,
+               round(CAST(aa_scaled AS DOUBLE) / 1000000000000.0, 9)
+                   AS aa_score
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.pa = c.pa AND e.pb = c.pb
+        )
+        ORDER BY aa_score DESC, pa ASC, pb ASC LIMIT 30
+    """,
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
+    neighbors on the Web") — the principled upgrade to raw common-
+    neighbor counting: each shared neighbor z contributes 1/ln(deg(z)),
+    so evidence through a promiscuous hub counts for little and a rare
+    shared neighbor counts for a lot. This is the weighting that
+    justifies the hub CAP in link_prediction_common_neighbors; here the
+    downweighting is explicit and the cap only bounds the wedge join's
+    worst case (deg in [2, {cap}] — a degree-1 vertex cannot be
+    a common neighbor, and ln(1)=0 would divide by zero). Per-neighbor
+    terms are FIXED-POINT integers: round(1/ln deg, 12) has twelve
+    decimals, so scaling by 1e12 gives an exact BIGINT (every product
+    is far below 2^53, so the double arithmetic is exact in both
+    engines) — the decimal-cents discipline applied to AA weights. The
+    per-pair score is then an order-independent integer SUM, descaled
+    and rounded at 9 only at the end.
+
+    Plan: degree table broadcast onto arcs (vocabulary-sized), one
+    wedge self-join on the middle vertex, then ONE hash aggregate
+    carrying the count and the integer score sum — both map-side
+    combinable, exactly link_prediction_common_neighbors' shape. (The
+    first draft folded one sorted-array element PER WEDGE: the
+    10x+skew probe measured 33.5x over 73M wedges, and a (pa,pb,deg)
+    pre-aggregate didn't help because wedge pairs are almost all
+    distinct — the fixed-point integer sum is what restores the
+    single-exchange shape.) Anti join against existing edges,
+    TakeOrderedAndProject(30).
+    reference: SURVEY §2.11 (graph tier).
+    """.format(cap=_LP_DEG_CAP)
+    edges = _edges(spark, sf_dir)
+    arcs = edges.select(
+        F.col("pa").alias("s"), F.col("pb").alias("d")
+    ).unionAll(edges.select(F.col("pb").alias("s"), F.col("pa").alias("d")))
+    degs = arcs.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # degs is vocabulary-sized (one row per part) -> broadcast, so the
+    # arc stream never shuffles for the degree lookup (the dfreq
+    # precedent in jaccard_prefix_filter_join). The fixed-point term is
+    # computed per ARC (1.4M rows at the probe), not per wedge (73M):
+    # the wedge join then just carries the ready-made integer.
+    degs_ok = F.broadcast(
+        degs.filter((F.col("deg") >= 2) & (F.col("deg") <= _LP_DEG_CAP))
+    )
+    term_scaled = F.round(
+        F.round(1.0 / F.log(F.col("deg").cast("double")), 12)
+        * 1000000000000.0,
+        0,
+    ).cast("bigint")
+    # both join sides are the IDENTICAL subplan so the self-join reuses
+    # one exchange (ReusedExchange) instead of sorting the arc stream
+    # twice — the b side's ts column is projected away after the join
+    arcs_ok = arcs.join(degs_ok, "s").select("s", "d", term_scaled.alias("ts"))
+    a, b = arcs_ok.alias("a"), arcs_ok.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")))
+        .select(
+            F.col("a.d").alias("pa"), F.col("b.d").alias("pb"), F.col("a.ts").alias("ts"),
+        )
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum("ts").cast("bigint").alias("aa_scaled"),
+        )
+    )
+    return (
+        cand.join(_edges(spark, sf_dir), ["pa", "pb"], "left_anti")
+        .select(
+            "pa", "pb", "common_neighbors",
+            F.round(
+                F.col("aa_scaled").cast("double") / 1000000000000.0, 9
+            ).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(30)
     )

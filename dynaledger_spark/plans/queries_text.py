@@ -1883,3 +1883,139 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QRT  # noqa: E402
 
 _QRT["lsh_recall_eval"].oracle = _lsh_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (round 7)
+# ---------------------------------------------------------------------------
+def _minhash_calibration_oracle(
+    n_hashes: int = 16, n_bands: int = 4, seed: int = 7, max_bucket_size: int = 200
+) -> str:
+    from dynaledger_spark.operators.dedup import _P, _perm_params
+
+    params = _perm_params(n_hashes, seed)
+    rows = n_hashes // n_bands
+    mins = ",\n               ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {_P}))"
+        for a, b in params
+    )
+    jac = (
+        "CAST(len(list_intersect(ga, gb)) AS DOUBLE)"
+        " / greatest(len(ga) + len(gb) - len(list_intersect(ga, gb)), 1)"
+    )
+    est = (
+        f"CAST(len(list_filter(range(1, {n_hashes} + 1),"
+        f" i -> sa[i] = sb[i])) AS DOUBLE) / {n_hashes}"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 2, 1) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+            FROM toks
+        ),
+        hb AS (
+            SELECT doc_id, grams,
+                   list_transform(grams, s -> list_reduce(
+                       list_transform(range(1, greatest(length(s), 1) + 1),
+                                      i -> CAST(coalesce(ascii(s[i:i]), 0) AS BIGINT)),
+                       (acc, c) -> (acc * 31 + c) % {_P})) AS base
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id, grams,
+               [{mins}] AS sig
+            FROM hb
+        ),
+        banded AS (
+            SELECT doc_id, grams, sig, band,
+                   array_to_string(sig[band * {rows} + 1 : band * {rows} + {rows}], ',')
+                     AS band_key
+            FROM sig, (SELECT unnest(range(0, {n_bands})) AS band)
+            QUALIFY COUNT(*) OVER (PARTITION BY band, band_key)
+                    <= {max_bucket_size}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                            a.grams AS ga, b.grams AS gb,
+                            a.sig AS sa, b.sig AS sb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT {est} AS est, {jac} AS jaccard
+            FROM pairs WHERE {jac} >= 0.5
+        ),
+        errs AS (
+            SELECT round(est - jaccard, 12) AS err,
+                   round(abs(est - jaccard), 12) AS aerr
+            FROM scored
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               round({_FOLD_TXT.format(x='err')} / COUNT(*), 9) AS bias,
+               round({_FOLD_TXT.format(x='aerr')} / COUNT(*), 9) AS mae,
+               round(MAX(aerr), 9) AS max_abs_err
+        FROM errs
+    """
+
+
+@register(
+    "minhash_estimation_error",
+    doc="MinHash estimator calibration: sig-agreement estimate vs exact Jaccard on verified pairs",
+    oracle=_minhash_calibration_oracle(),
+)
+def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the MinHash similarity ESTIMATOR (Broder 1997:
+    P[min-hash collision] = Jaccard, so the fraction of agreeing
+    signature components is an unbiased estimate with variance
+    j(1-j)/k): for every LSH-verified pair, the 16-component agreement
+    fraction vs the exact shingle Jaccard, rolled up into bias, MAE,
+    and worst-case error. This is the estimator-quality gate next to
+    lsh_recall_eval's candidate-recall gate — together they justify a
+    signature-only dedup rollout (skip exact verification) by MEASURED
+    error, not by the textbook formula alone. est is an exact integer
+    /16; errors round at 12 dp, means at 9.
+
+    Plan: signatures come from the shared portable signature pass
+    (persisted once, feeding banding, verification AND this estimate);
+    the rollup is one 1-row aggregate over the verified-pair table.
+    reference: SURVEY §2.11 (dedup/eval tier).
+    """
+    from dynaledger_spark.operators.dedup import (
+        portable_minhash_pairs,
+        portable_minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    found = portable_minhash_pairs(docs)
+    sigs = portable_minhash_signatures(docs).select("id", "sig")
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    )
+    est = matches.cast("double") / 16
+    scored = (
+        found.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.round(est - F.col("jaccard"), 12).alias("err"),
+            F.round(F.abs(est - F.col("jaccard")), 12).alias("aerr"),
+        )
+    )
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(fold("err") / F.count(F.lit(1)), 9).alias("bias"),
+        F.round(fold("aerr") / F.count(F.lit(1)), 9).alias("mae"),
+        F.round(F.max("aerr"), 9).alias("max_abs_err"),
+    )

@@ -255,11 +255,12 @@ _ROUND7_WINDOW = (
     "quality_ensemble_gate", "bits_per_byte_by_source",
     # round-7 batch 10 (the dedup rollout gate as a query)
     "lsh_recall_eval",
+    # round-7 batch 11 (published-method ops, all oracle-exact)
+    "adamic_adar_link_prediction", "minhash_estimation_error",
     # longest-unverified rotation (last green r1; date_rollup yields
     # its slot to power_iteration_portable — same never-verified-first
     # rationale as the other swaps)
-    "media_decode_meta", "media_features",
-    "validation_summary",
+    "media_decode_meta",
     # (rolling_30d_revenue / media_frame_sample / median_disc_by_priority
     # yield their slots to the batch-3 ops; orc_roundtrip_revenue /
     # media_resize_dims to the batch-4 ops; ntile_acctbal_quartiles to
@@ -267,9 +268,10 @@ _ROUND7_WINDOW = (
     # to batch 6; doc_assembly / flatten_explode / hash_split_train_val
     # to batch 7; first_last_order_span / lead_next_order_gap /
     # regex_extract_id_buckets to batch 8; stratified_sample_docs /
-    # stddev_exact_by_flag to batch 9; topk_customers to batch 10 —
-    # never-verified oracle rows buy more signal; all stay green in
-    # the local parity suite (and topk_customers in every bench run).)
+    # stddev_exact_by_flag to batch 9; topk_customers to batch 10;
+    # media_features / validation_summary to batch 11 — never-verified
+    # oracle rows buy more signal; all stay green in the local parity
+    # suite (and topk_customers in every bench run).)
     # (scalar_stats / scalar_subquery_small_qty / shard_round_robin /
     # sql_passthrough yield their slots to the batch-2 curation ops —
     # same never-verified-first rationale; all four stay green in the

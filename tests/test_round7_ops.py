@@ -916,3 +916,102 @@ def test_lsh_recall_vs_python(spark, sf_dir):
     # the 4x4 banding S-curve should be a decent predictor: achieved
     # recall within 0.25 of the mean theoretical prediction
     assert abs(r.recall - r.mean_theoretical_recall) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 11: Adamic-Adar, MinHash estimator calibration
+# ---------------------------------------------------------------------------
+def test_adamic_adar_vs_python(spark, sf_dir):
+    """Top-30 must equal a python replay over the SAME edge cache:
+    capped-degree wedges, fixed-point integer AA terms
+    (round(1/ln deg, 12) * 1e12 as exact ints), non-edge filter,
+    (score desc, pa, pb) order."""
+    from dynaledger_spark.plans.queries_graph import _edges
+    from dynaledger_spark.plans.queries_mlprep import _LP_DEG_CAP
+
+    edges = {(r.pa, r.pb) for r in _edges(spark, sf_dir).collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    scaled = defaultdict(int)
+    ncn = Counter()
+    for s, nbrs in adj.items():
+        deg = len(nbrs)
+        if not (2 <= deg <= _LP_DEG_CAP):
+            continue
+        ts = round(round(1.0 / math.log(deg), 12) * 1e12)
+        ns = sorted(nbrs)
+        for i, pa in enumerate(ns):
+            for pb in ns[i + 1:]:
+                scaled[(pa, pb)] += ts
+                ncn[(pa, pb)] += 1
+    expect = []
+    for (pa, pb), sc in scaled.items():
+        if (pa, pb) in edges:
+            continue
+        expect.append((-round(sc / 1e12, 9), pa, pb, ncn[(pa, pb)]))
+    expect.sort()
+    expect = expect[:30]
+    got = [(-r.aa_score, r.pa, r.pb, r.common_neighbors)
+           for r in rows(spark, sf_dir, "adamic_adar_link_prediction")]
+    assert got == expect
+
+
+def test_minhash_calibration_vs_python(spark, sf_dir):
+    """bias/MAE/max must equal a full python MinHash replay (shingles,
+    rolling hashes, 16 permutations, 4-band bucketing with the 200
+    cap, exact Jaccard, agreement-fraction estimate), and MAE must be
+    within the Broder variance ballpark (< 3 * sqrt(0.25/16))."""
+    import re as _re
+    from dynaledger_spark.operators.dedup import _P, _perm_params
+
+    params = _perm_params(16, 7)
+    d = _documents(sf_dir)
+    grams_of, sig_of = {}, {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        ws = _re.split(r"\s+", text)
+        gs = list(dict.fromkeys(
+            " ".join(ws[i:i + 3]) for i in range(max(len(ws) - 3, 0) + 1)
+        ))
+        grams_of[doc_id] = set(gs)
+        base = []
+        for g in gs:
+            acc = 0
+            for c in (g or "\0"):
+                acc = (acc * 31 + ord(c)) % _P
+            base.append(acc)
+        sig_of[doc_id] = [min((a * h + b) % _P for h in base) for a, b in params]
+    buckets = defaultdict(list)
+    for doc_id, sig in sig_of.items():
+        for band in range(4):
+            key = ",".join(str(v) for v in sig[band * 4:band * 4 + 4])
+            buckets[(band, key)].append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) > 200:
+            continue
+        ids = sorted(ids)
+        for i, a_ in enumerate(ids):
+            for b_ in ids[i + 1:]:
+                pairs.add((a_, b_))
+    errs, aerrs = [], []
+    for a_, b_ in pairs:
+        inter = len(grams_of[a_] & grams_of[b_])
+        union = max(len(grams_of[a_]) + len(grams_of[b_]) - inter, 1)
+        j = inter / union
+        if j < 0.5:
+            continue
+        est = sum(x == y for x, y in zip(sig_of[a_], sig_of[b_])) / 16
+        errs.append(round(est - j, 12))
+        aerrs.append(round(abs(est - j), 12))
+    (r,) = rows(spark, sf_dir, "minhash_estimation_error")
+    assert r.n_pairs == len(errs)
+    for col, vals in (("bias", errs), ("mae", aerrs)):
+        s = 0.0
+        for v in sorted(vals):
+            s += v
+        assert math.isclose(getattr(r, col), round(s / len(vals), 9),
+                            rel_tol=1e-12), col
+    assert math.isclose(r.max_abs_err, round(max(aerrs), 9), rel_tol=1e-12)
+    assert r.mae < 3 * math.sqrt(0.25 / 16)

@@ -123,6 +123,9 @@ QUERIES = [
     "lsh_recall_eval",  # 3000-dup cluster MUST collapse to one md5 group before the PPJoin
     "jaccard_prefix_filter_join",  # same collapse; output itself is C(3001,2) pairs for the cluster
     "link_prediction_common_neighbors",  # hot middle vertex MUST drop at the 128-degree cap
+    # round-7 batch 11
+    "adamic_adar_link_prediction",  # same capped wedge join + per-pair fold
+    "minhash_estimation_error",  # verified pairs x sig agreement; bucket cap bounds pairs
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
