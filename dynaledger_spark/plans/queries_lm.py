@@ -1126,3 +1126,119 @@ def bits_per_byte_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Novel n-gram rate (round 7)
+# ---------------------------------------------------------------------------
+_NOV_N = 3  # token n-gram order
+
+
+@register(
+    "ngram_novelty_rate",
+    doc=f"val-split {_NOV_N}-gram novelty vs the train split (instance + distinct rates)",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                        THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                        THEN 'val' ELSE 'test' END AS split
+            FROM documents
+        ),
+        grams AS (
+            SELECT split,
+                   array_to_string(t[u.i:u.i + {_NOV_N - 1}], ' ') AS gram
+            FROM labeled,
+                 unnest(range(1, greatest(len(t) - {_NOV_N - 1}, 0) + 1))
+                     AS u(i)
+        ),
+        train_set AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+        val_grams AS (SELECT gram FROM grams WHERE split = 'val'),
+        flags AS (
+            SELECT v.gram,
+                   CASE WHEN t.gram IS NULL THEN 1 ELSE 0 END AS novel
+            FROM val_grams v LEFT JOIN train_set t USING (gram)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_val_grams,
+               CAST(SUM(novel) AS BIGINT) AS n_novel,
+               round(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 9)
+                   AS novelty_rate,
+               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_val_distinct,
+               CAST(COUNT(DISTINCT CASE WHEN novel = 1 THEN gram END)
+                    AS BIGINT) AS n_novel_distinct,
+               round(CAST(COUNT(DISTINCT CASE WHEN novel = 1 THEN gram END)
+                          AS DOUBLE)
+                     / COUNT(DISTINCT gram), 9) AS distinct_novelty_rate
+        FROM flags
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel n-gram rate of the validation split against the training
+    split — the memorization/generalization screen (GPT-2's eval
+    reported 8-gram overlap with WebText for exactly this reason;
+    novelty = 1 - overlap): what fraction of val {_NOV_N}-gram
+    INSTANCES (and distinct {_NOV_N}-grams) never appear in train. A
+    low rate means the split boundary is porous at phrase level even
+    when exact/near-dup audits (split_leakage_check,
+    near_dup_split_leakage) pass. Splits are the repo's deterministic
+    hash assignment.
+
+    Plan: one scan-side gram explode with the split label attached; the
+    train DISTINCT set and the val stream meet in ONE left join on the
+    gram (both sides shuffle on the gram key once — at 100 TB swap the
+    join for the bloom-filter probe, bloom_filter_probe's shape, and
+    the val side never shuffles). All-integer except two final
+    divisions at 9 dp. reference: SURVEY §2.11 (LM/eval tier).
+    """
+    from dynaledger_spark.plans.queries_sampling import _H1, _M32, _mhash
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        (_mhash(F.col("doc_id"), _H1) % 100).alias("b"),
+    ).select(
+        "t",
+        F.when(F.col("b") < 80, "train")
+        .when(F.col("b") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.greatest(F.size("t") - (_NOV_N - 1), F.lit(0)).alias("g"),
+    )
+    grams = toks.filter(F.col("g") > 0).select(
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("g").cast("int")),
+                lambda i: F.array_join(F.slice("t", i, _NOV_N), " "),
+            )
+        ).alias("gram"),
+    )
+    train_set = (
+        grams.filter(F.col("split") == "train").select("gram").distinct()
+    )
+    val_grams = grams.filter(F.col("split") == "val").select("gram")
+    flags = val_grams.join(
+        train_set.withColumn("_hit", F.lit(1)), "gram", "left"
+    ).select(
+        "gram",
+        F.when(F.col("_hit").isNull(), 1).otherwise(0).alias("novel"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_val_grams"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        F.round(F.sum("novel").cast("double") / F.count(F.lit(1)), 9).alias(
+            "novelty_rate"
+        ),
+        F.count_distinct("gram").cast("bigint").alias("n_val_distinct"),
+        F.count_distinct(
+            F.when(F.col("novel") == 1, F.col("gram"))
+        ).cast("bigint").alias("n_novel_distinct"),
+        F.round(
+            F.count_distinct(F.when(F.col("novel") == 1, F.col("gram")))
+            .cast("double")
+            / F.count_distinct("gram"),
+            9,
+        ).alias("distinct_novelty_rate"),
+    )

@@ -681,3 +681,94 @@ def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup split leakage (round 7) — contamination the exact audit misses
+# ---------------------------------------------------------------------------
+def _ndl_oracle() -> str:
+    from dynaledger_spark.plans.queries_text import _portable_minhash_oracle
+
+    split_of = (
+        "CASE WHEN ({id} * " + str(_H1) + ") % " + str(_M32) + " % 100 < 80 "
+        "THEN 'train' WHEN ({id} * " + str(_H1) + ") % " + str(_M32)
+        + " % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+        WITH found AS (
+            SELECT id_a, id_b FROM ({_portable_minhash_oracle()}) f
+        ),
+        labeled AS (
+            SELECT {split_of.format(id='id_a')} AS split_a,
+                   {split_of.format(id='id_b')} AS split_b
+            FROM found
+        ),
+        norm AS (
+            SELECT least(split_a, split_b) AS split_lo,
+                   greatest(split_a, split_b) AS split_hi
+            FROM labeled
+        )
+        SELECT split_lo, split_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CASE WHEN split_lo = split_hi THEN 0 ELSE 1 END AS is_leak
+        FROM norm GROUP BY split_lo, split_hi
+        ORDER BY split_lo, split_hi
+    """
+
+
+@register(
+    "near_dup_split_leakage",
+    doc="near-dup pairs crossing the train/val/test boundary (the audit exact hashes miss)",
+    oracle=None,  # attached below (composes the portable-minhash oracle)
+)
+def near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination split_leakage_check cannot see: NEAR-duplicate
+    pairs (MinHash-LSH verified, Jaccard >= 0.5) whose members landed
+    in different splits — paraphrase-level leakage that inflates eval
+    exactly like exact duplicates do, which is why modern eval
+    protocols dedup test sets against train with fuzzy matching (the
+    GPT-3 appendix's 13-gram overlap screen is the same idea at n-gram
+    grain; this is the MinHash grain). Splits are the repo's
+    deterministic hash assignment (hash_split_train_val), so the whole
+    audit is replayable.
+
+    Plan: the pair table is minhash_portable_pairs' bucketed plan; the
+    split label is a scan-side expression on each id; the rollup is a
+    9-cell-max aggregate. reference: SURVEY §2.11 (sampling/eval tier).
+    """
+    from dynaledger_spark.operators.dedup import portable_minhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    found = portable_minhash_pairs(docs).select("id_a", "id_b")
+
+    def split_of(col):
+        b = _mhash(F.col(col), _H1) % 100
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    labeled = found.select(
+        split_of("id_a").alias("split_a"), split_of("id_b").alias("split_b")
+    )
+    return (
+        labeled.select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            F.when(F.col("split_lo") == F.col("split_hi"), 0)
+            .otherwise(1)
+            .alias("is_leak"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QRS  # noqa: E402
+
+_QRS["near_dup_split_leakage"].oracle = _ndl_oracle()

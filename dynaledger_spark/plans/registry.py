@@ -239,9 +239,11 @@ _ROUND7_WINDOW = (
     "kcenter_coreset_greedy",
     # round-7 batch 3 (published-method ops, all oracle-exact)
     "mmr_rerank", "char_entropy_quality", "tokenizer_fertility_by_source",
-    # round-7 batch 4-5 (published-method ops, all oracle-exact)
+    # round-7 batch 4-5 (published-method ops, all oracle-exact;
+    # winnowing_fingerprints yields its slot to batch 12 — its entire
+    # selection pipeline is re-derived inside winnowing_overlap_pairs'
+    # oracle, which stays in the window)
     "doremi_domain_weights", "distinct_ngram_diversity",
-    "winnowing_fingerprints",
     # round-7 batch 6 (published-method ops, all oracle-exact)
     "ccnet_perplexity_buckets", "hard_negative_mining",
     "length_grouped_batching",
@@ -257,10 +259,13 @@ _ROUND7_WINDOW = (
     "lsh_recall_eval",
     # round-7 batch 11 (published-method ops, all oracle-exact)
     "adamic_adar_link_prediction", "minhash_estimation_error",
-    # longest-unverified rotation (last green r1; date_rollup yields
-    # its slot to power_iteration_portable — same never-verified-first
-    # rationale as the other swaps)
-    "media_decode_meta",
+    # round-7 batch 12 (published-method ops, all oracle-exact)
+    "near_dup_split_leakage", "ngram_novelty_rate",
+    # (the r1 rotation tier is now fully yielded: media_decode_meta,
+    # its final member, gave its slot to batch 12 — it stays green in
+    # every bench run, the local parity suite, and the media pytest
+    # family. The window is 3 flagships + 47 never-verified oracle
+    # rows.)
     # (rolling_30d_revenue / media_frame_sample / median_disc_by_priority
     # yield their slots to the batch-3 ops; orc_roundtrip_revenue /
     # media_resize_dims to the batch-4 ops; ntile_acctbal_quartiles to

@@ -1015,3 +1015,95 @@ def test_minhash_calibration_vs_python(spark, sf_dir):
                             rel_tol=1e-12), col
     assert math.isclose(r.max_abs_err, round(max(aerrs), 9), rel_tol=1e-12)
     assert r.mae < 3 * math.sqrt(0.25 / 16)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 12: near-dup split leakage, n-gram novelty
+# ---------------------------------------------------------------------------
+def _minhash_pairs_py(sf_dir):
+    """Python replay of the portable MinHash-LSH verified pairs."""
+    import re as _re
+    from dynaledger_spark.operators.dedup import _P, _perm_params
+
+    params = _perm_params(16, 7)
+    d = _documents(sf_dir)
+    grams_of, sig_of = {}, {}
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        ws = _re.split(r"\s+", text)
+        gs = list(dict.fromkeys(
+            " ".join(ws[i:i + 3]) for i in range(max(len(ws) - 3, 0) + 1)
+        ))
+        grams_of[doc_id] = set(gs)
+        base = []
+        for g in gs:
+            acc = 0
+            for c in (g or "\0"):
+                acc = (acc * 31 + ord(c)) % _P
+            base.append(acc)
+        sig_of[doc_id] = [min((a * h + b) % _P for h in base) for a, b in params]
+    buckets = defaultdict(list)
+    for doc_id, sig in sig_of.items():
+        for band in range(4):
+            key = ",".join(str(v) for v in sig[band * 4:band * 4 + 4])
+            buckets[(band, key)].append(doc_id)
+    out = set()
+    for ids in buckets.values():
+        if len(ids) > 200:
+            continue
+        ids = sorted(ids)
+        for i, a_ in enumerate(ids):
+            for b_ in ids[i + 1:]:
+                inter = len(grams_of[a_] & grams_of[b_])
+                union = max(len(grams_of[a_]) + len(grams_of[b_]) - inter, 1)
+                if inter / union >= 0.5:
+                    out.add((a_, b_))
+    return out
+
+
+def _split_py(doc_id):
+    b = (doc_id * 2654435761) % 4294967296 % 100
+    return "train" if b < 80 else ("val" if b < 90 else "test")
+
+
+def test_near_dup_split_leakage_vs_python(spark, sf_dir):
+    """The (split_lo, split_hi) census must equal the python MinHash
+    replay labeled with the hash splits, and is_leak must flag exactly
+    the off-diagonal cells."""
+    expect = Counter()
+    for a_, b_ in _minhash_pairs_py(sf_dir):
+        sa, sb = sorted((_split_py(a_), _split_py(b_)))
+        expect[(sa, sb)] += 1
+    got = {}
+    for r in rows(spark, sf_dir, "near_dup_split_leakage"):
+        got[(r.split_lo, r.split_hi)] = r.n_pairs
+        assert r.is_leak == (0 if r.split_lo == r.split_hi else 1)
+    assert got == dict(expect)
+
+
+def test_ngram_novelty_vs_python(spark, sf_dir):
+    """Instance and distinct novelty must equal a python replay of the
+    3-gram screen over the hash splits; novelty must be a proper
+    fraction and distinct rate >= instance rate is NOT implied, but
+    both must be in [0, 1]."""
+    d = _documents(sf_dir)
+    train, val = set(), []
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        ws = text.split(" ")
+        gs = [" ".join(ws[i:i + 3]) for i in range(max(len(ws) - 3, 0) + 1)] \
+            if len(ws) >= 3 else []
+        sp = _split_py(doc_id)
+        if sp == "train":
+            train.update(gs)
+        elif sp == "val":
+            val.extend(gs)
+    n_novel = sum(1 for g in val if g not in train)
+    vd = set(val)
+    nd = {g for g in vd if g not in train}
+    (r,) = rows(spark, sf_dir, "ngram_novelty_rate")
+    assert (r.n_val_grams, r.n_novel) == (len(val), n_novel)
+    assert (r.n_val_distinct, r.n_novel_distinct) == (len(vd), len(nd))
+    assert math.isclose(r.novelty_rate, round(n_novel / len(val), 9),
+                        rel_tol=1e-12)
+    assert math.isclose(r.distinct_novelty_rate, round(len(nd) / len(vd), 9),
+                        rel_tol=1e-12)
+    assert 0.0 <= r.novelty_rate <= 1.0 and 0.0 <= r.distinct_novelty_rate <= 1.0

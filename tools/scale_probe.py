@@ -126,6 +126,9 @@ QUERIES = [
     # round-7 batch 11
     "adamic_adar_link_prediction",  # same capped wedge join + per-pair fold
     "minhash_estimation_error",  # verified pairs x sig agreement; bucket cap bounds pairs
+    # round-7 batch 12
+    "near_dup_split_leakage",  # bucket-capped pairs + scan-side split labels
+    "ngram_novelty_rate",  # gram explode + one gram-key left join; 3000-dup doc collapses in train_set
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
