@@ -707,3 +707,15 @@ def test_lsh_recall_eval_broadcasts_df_table(plans):
     plan = plans["lsh_recall_eval"]
     assert "BroadcastExchange" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_adamic_adar_single_wedge_exchange(plans):
+    """adamic_adar: the degree table joins as a BROADCAST (the arc
+    stream never shuffles for the lookup), the per-pair score is a
+    hash aggregate with a partial (map-side) phase — never a per-wedge
+    collect_list — and the top-30 is a TakeOrdered, not a global sort."""
+    plan = plans["adamic_adar_link_prediction"]
+    assert "BroadcastHashJoin" in plan
+    assert "collect_list" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
