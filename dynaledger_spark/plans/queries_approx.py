@@ -92,6 +92,137 @@ def value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable GK quantile summary (oracle-exact miniature of the GK scale path)
+# ---------------------------------------------------------------------------
+# `value_quantiles_sketch` (percentile_approx) is rows-only because
+# Spark's GK implementation details (compression schedule, interpolation)
+# are engine-specific. This miniature replays the SEMANTICS that matter —
+# a bounded eps-approximate summary + the GK query rule "smallest summary
+# element whose rank reaches ceil(phi*n)" — with a deterministic
+# rank-stride compression both engines reproduce bitwise.
+_GK_EPS_DEN = 64  # eps = 1/64 → summary keeps ~64 elements per group
+
+
+@register(
+    "gk_portable_quantiles",
+    doc="portable eps=1/64 rank-stride quantile summary beside exact rank quantiles",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+            WHERE value IS NOT NULL
+        ),
+        strided AS (
+            SELECT event_type, value, rn, n,
+                   GREATEST(1, CAST(floor(CAST(n AS DOUBLE) / {_GK_EPS_DEN}) AS BIGINT)) AS k
+            FROM base
+        ),
+        kept AS (
+            SELECT * FROM strided WHERE (rn - 1) % k = 0 OR rn = n
+        ),
+        gk AS (
+            SELECT event_type, n, k,
+                   CAST(COUNT(*) AS BIGINT) AS summary_size,
+                   MIN(CASE WHEN CAST(rn AS DOUBLE) >= ceil(0.50 * n) THEN value END) AS p50_gk,
+                   MIN(CASE WHEN CAST(rn AS DOUBLE) >= ceil(0.95 * n) THEN value END) AS p95_gk,
+                   MIN(CASE WHEN CAST(rn AS DOUBLE) >= ceil(0.99 * n) THEN value END) AS p99_gk
+            FROM kept GROUP BY event_type, n, k
+        ),
+        exact AS (
+            SELECT event_type,
+                   MIN(CASE WHEN CAST(rn AS DOUBLE) >= ceil(0.50 * n) THEN value END) AS p50_exact,
+                   MIN(CASE WHEN CAST(rn AS DOUBLE) >= ceil(0.95 * n) THEN value END) AS p95_exact,
+                   MIN(CASE WHEN CAST(rn AS DOUBLE) >= ceil(0.99 * n) THEN value END) AS p99_exact
+            FROM base GROUP BY event_type
+        )
+        SELECT gk.event_type,
+               CAST(gk.n AS BIGINT) AS n,
+               gk.k AS stride,
+               gk.summary_size,
+               gk.p50_gk, exact.p50_exact,
+               gk.p95_gk, exact.p95_exact,
+               gk.p99_gk, exact.p99_exact
+        FROM gk JOIN exact ON gk.event_type = exact.event_type
+    """,
+)
+def gk_portable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE Greenwald-Khanna miniature (GK 2001), oracle-exact: the
+    checkable twin of `value_quantiles_sketch` (whose percentile_approx
+    interpolation is engine-native → rows-only). Summary = deterministic
+    rank-stride compression at stride k = max(1, floor(n/64)): the kept
+    element at each rank is the rank-th smallest value, so the summary is
+    tiebreak-independent; g_i = k, Delta_i = 0 in GK terms. Query = the GK
+    rule "smallest summary element with rank >= ceil(phi*n)", whose rank
+    error is < k <= eps*n by construction — the boundary semantics
+    (phi*n landing exactly on / just past a stride point, duplicate
+    values straddling a stride) are exactly what this exercises. Exact
+    rank quantiles from the uncompressed ranks sit beside the sketch so
+    the eps bound is visible in the output.
+
+    Scale: the stride summary is what a mergeable quantile state looks
+    like — ~64 rows per group regardless of n (here built via one window
+    pass for oracle parity; the production path is percentile_approx's
+    single-pass mergeable state). Quantile values pass through
+    unmodified, so both engines agree bitwise.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    base = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    strided = base.withColumn(
+        "k",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.col("n").cast("double") / _GK_EPS_DEN).cast("bigint"),
+        ),
+    )
+    kept = strided.where(((F.col("rn") - 1) % F.col("k") == 0) | (F.col("rn") == F.col("n")))
+
+    def _q(phi: float):
+        return F.min(
+            F.when(
+                F.col("rn").cast("double") >= F.ceil(F.lit(phi) * F.col("n")),
+                F.col("value"),
+            )
+        )
+
+    gk = kept.groupBy("event_type", "n", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("summary_size"),
+        _q(0.50).alias("p50_gk"),
+        _q(0.95).alias("p95_gk"),
+        _q(0.99).alias("p99_gk"),
+    )
+    exact = base.groupBy("event_type").agg(
+        _q(0.50).alias("p50_exact"),
+        _q(0.95).alias("p95_exact"),
+        _q(0.99).alias("p99_exact"),
+    )
+    return gk.join(exact, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").alias("stride"),
+        "summary_size",
+        "p50_gk", "p50_exact",
+        "p95_gk", "p95_exact",
+        "p99_gk", "p99_exact",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Portable Bloom filter: build + probe + false-positive accounting (round-4)
 # ---------------------------------------------------------------------------
 # m = 4096 bits in 63-bit words; k = 3 seeded multiplicative hashes.

@@ -291,6 +291,46 @@ _ROUND7_WINDOW = (
     # the r2 tier stays covered by the local two-SF parity suite.)
 )
 
+# CORRECTNESS_r07.json: the round-7 window, 50/50 green.
+_ROUND7_DRIVER_GREEN = _ROUND7_WINDOW
+
+# The round-8 verification window (VERDICT r7 item 1): cumulative
+# driver-green now covers 294/295 oracle-backed entries; the single
+# never-green oracle row (winnowing_fingerprints — its oracle has
+# existed since round 7 but never made a window) goes first, followed
+# by this round's new oracle-exact additions, then the 13 rows-only
+# entries — none of which has EVER been inside a driver window, so the
+# official artifact has no record of them even running; a driver
+# rows-only row is weaker than an oracle row but stronger than
+# nothing. The remaining slots re-verify the longest-unverified green
+# rows (last green in round 1, aged out of every window since).
+_ROUND8_WINDOW = (
+    # the one oracle-backed entry with no driver-green row anywhere
+    "winnowing_fingerprints",
+    # round-8 additions (oracle-exact, never driver-verified)
+    "gk_portable_quantiles",
+    # rows-only entries, never windowed: record official rows-only runs
+    "minhash_lsh_pairs", "simhash_fingerprints", "simhash_near_dup_pairs",
+    "ann_ivf_topk", "ann_ivf_persisted_topk", "pagerank_copurchase",
+    "power_iteration_top_pc", "bpe_learn_merges", "bpe_segment_words",
+    "stream_sessionization", "approx_distinct_users",
+    "value_quantiles_sketch", "compression_ratio_quality",
+    # rotation: longest-unverified green rows (last green r1), oldest
+    # tier first, alphabetical within the tier — 50 minus the above
+    # minus the 3 pinned flagships
+    "bottomk_suppliers", "cube_sales_priority", "date_rollup",
+    "date_validity", "doc_assembly", "first_last_order_span",
+    "flatten_explode", "hash_split_train_val", "lead_next_order_gap",
+    "media_decode_meta", "media_features", "media_frame_sample",
+    "media_resize_dims", "median_disc_by_priority",
+    "ntile_acctbal_quartiles", "orc_roundtrip_revenue",
+    "regex_extract_id_buckets", "rolling_30d_revenue", "scalar_stats",
+    "scalar_subquery_small_qty", "shard_round_robin", "sql_passthrough",
+    "stddev_exact_by_flag", "stratified_sample_docs", "topk_customers",
+    "union_by_name", "unique_key_check", "unpivot_lineitem_measures",
+    "validation_summary",
+)
+
 # Twice-green simple relational queries: verified in both r1 and r2 (or
 # structurally equivalent to still-windowed queries) — demoted below the
 # rest of the green set so new queries fit in the 50-entry window without
@@ -325,10 +365,11 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
     r4_rank = {n: i for i, n in enumerate(_ROUND4_DRIVER_GREEN)}
     r5_rank = {n: i for i, n in enumerate(_ROUND5_DRIVER_GREEN)}
     r6_rank = {n: i for i, n in enumerate(_ROUND6_DRIVER_GREEN)}
-    r7_rank = {n: i for i, n in enumerate(_ROUND7_WINDOW)}
+    r7_rank = {n: i for i, n in enumerate(_ROUND7_DRIVER_GREEN)}
+    r8_rank = {n: i for i, n in enumerate(_ROUND8_WINDOW)}
     green = (
         set(r2_rank) | set(r3_rank) | set(r4_rank) | set(r5_rank)
-        | set(r6_rank) | _ROUND1_DRIVER_GREEN
+        | set(r6_rank) | set(r7_rank) | _ROUND1_DRIVER_GREEN
     )
     names = list(registry)
 
@@ -336,7 +377,7 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
         spec = registry[name]
         if name in _PINNED:
             tier = 0
-        elif name in r7_rank:
+        elif name in r8_rank:
             tier = 1  # this round's fixed verification window
         elif spec.oracle is None:
             tier = 5
@@ -347,11 +388,19 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
         else:
             tier = 2  # newer never-verified: next round's window
         if tier == 1:
-            return (tier, r7_rank[name], names.index(name))
+            return (tier, r8_rank[name], names.index(name))
         # among green rows, re-verify the most recent round's set first
-        # (it contains this round's behavior-touched queries), then r5,
-        # r4, r3, r2
-        rank = r6_rank.get(
+        # (it contains this round's behavior-touched queries), then r6,
+        # r5, r4, r3, r2
+        rank = r7_rank.get(
+            name,
+            len(r7_rank)
+            + _rank6(name),
+        )
+        return (tier, rank, names.index(name))
+
+    def _rank6(name: str) -> int:
+        return r6_rank.get(
             name,
             len(r6_rank)
             + r5_rank.get(
@@ -366,7 +415,6 @@ def driver_order(registry: dict[str, QuerySpec]) -> list[str]:
                 ),
             ),
         )
-        return (tier, rank, names.index(name))
 
     return sorted(names, key=key)
 
