@@ -7,6 +7,7 @@ Reference: backend/main.py (FastAPI + Snowflake). Routes reproduced:
   POST /execute-custom-query?data_source=   {"query"}  (main.py:109-134)
   GET  /get-financial-data?year=&quarter=&data_type=&source=
                                                        (main.py:137-221)
+  GET  /query-data?query=                              (main.py:224-252)
 
 The reference's handlers template Snowflake SQL per request; here each
 route delegates to the in-process :class:`~dynaledger_spark.api.SecEngine`
@@ -117,6 +118,20 @@ def _make_handler(engine: SecEngine):
                 return engine.get_financial_data(
                     int(p["year"]), p["quarter"], p["data_type"], p["source"]
                 )
+            if route == "/query-data":
+                # GET twin of POST /execute-custom-query (main.py:224-252):
+                # same spark.sql pass-through + float sanitize, query in the
+                # query string. FastAPI's Query(..., min_length=1) rejects a
+                # missing/empty param with 422 before the handler runs.
+                query = p.get("query", "")
+                if not query:
+                    raise _ApiError(422, "query parameter required (min_length=1)")
+                try:
+                    return engine.execute_custom_query(query)
+                except Exception as e:
+                    # main.py:247 wraps ANY query failure as 500/str(e)
+                    # (unlike POST's generic message).
+                    raise _ApiError(500, str(e))
             raise _ApiError(404, f"Not found: {route}")
 
         def _post(self, route: str, p: dict[str, str], body: dict):

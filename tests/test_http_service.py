@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -85,6 +86,35 @@ def test_custom_query_bad_sql_is_500(service):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(svc, "/execute-custom-query?data_source=Raw", {"query": "SELEC nope"})
     assert e.value.code == 500
+
+
+def test_query_data_get_roundtrip(service):
+    # GET /query-data (backend/main.py:224-252): the unparameterized GET
+    # twin of POST /execute-custom-query — same payload shape ({"data": …},
+    # no execution_time key), query URL-encoded in the query string.
+    svc, eng = service
+    sql = "SELECT name, COUNT(*) AS n FROM sec_sub GROUP BY name ORDER BY name"
+    status, out = _get(svc, "/query-data?query=" + urllib.parse.quote(sql))
+    assert status == 200
+    direct = eng.execute_custom_query(sql)
+    assert out == json.loads(json.dumps(direct, default=str))
+    assert set(out) == {"data"}
+
+
+def test_query_data_missing_param_is_422(service):
+    svc, _ = service
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(svc, "/query-data")
+    assert e.value.code == 422
+
+
+def test_query_data_bad_sql_is_500_with_detail(service):
+    svc, _ = service
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(svc, "/query-data?query=" + urllib.parse.quote("SELEC nope"))
+    # main.py:247: detail=str(e), not the POST route's generic message
+    assert e.value.code == 500
+    assert json.loads(e.value.read())["detail"]
 
 
 def test_table_info_raw(service):
