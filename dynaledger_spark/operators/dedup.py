@@ -318,12 +318,19 @@ def portable_minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     seed: int = 7,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Engine-portable MinHash signatures: (id, shingles, sig) with the
     polynomial rolling base hash and (a*h+b) mod p permutations — the
     signature stage shared by portable_minhash_pairs and the
     estimation-error calibration query. Persisted: callers fan the
-    table into banding AND verification branches."""
+    table into banding AND verification branches.
+
+    `shingled` (optional, columns (id, shingles)) skips the
+    tokenize/shingle pass — exact-dup-collapsed callers hand in the
+    shingle table they already built for group REPRESENTATIVES, so the
+    16-permutation fold runs once per distinct text, not once per doc
+    (identical text ⇒ identical signature)."""
     params = _perm_params(n_hashes, seed)
 
     rolling = lambda s: F.aggregate(  # noqa: E731
@@ -346,14 +353,14 @@ def portable_minhash_signatures(
             for a, b in params
         ]
     )
-    sigs = (
-        docs.select(
+    if shingled is None:
+        shingled = docs.select(
             F.col(id_col).alias("id"),
             _shingles(F.col(text_col)).alias("shingles"),
         )
-        .withColumn("_base", F.transform(F.col("shingles"), rolling))
-        .select("id", "shingles", sig.alias("sig"))
-    )
+    sigs = shingled.select("id", "shingles").withColumn(
+        "_base", F.transform(F.col("shingles"), rolling)
+    ).select("id", "shingles", sig.alias("sig"))
     from pyspark import StorageLevel
 
     return sigs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -369,6 +376,7 @@ def portable_minhash_pairs(
     seed: int = 7,
     new_cutoff: DataFrame | None = None,
     max_bucket_size: int = 200,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH where every hash is engine-portable arithmetic.
 
@@ -394,11 +402,17 @@ def portable_minhash_pairs(
     (the 10×+skew probe measured 24.7× from one 3,000-dup cluster).
     The ORACLE applies the identical cap, so the query stays exact
     even when the guard engages — the hot-basket precedent.
+
+    `sigs` (optional, columns (id, shingles, sig)) substitutes a
+    precomputed signature table — lsh_recall_eval hands in signatures
+    expanded from dup-group representatives so the fold runs once per
+    distinct text.
     """
     rows_per_band = n_hashes // n_bands
-    sigs = portable_minhash_signatures(
-        docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes, seed=seed
-    )
+    if sigs is None:
+        sigs = portable_minhash_signatures(
+            docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes, seed=seed
+        )
     banded = sigs.select(
         "id",
         F.posexplode(

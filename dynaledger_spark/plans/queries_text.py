@@ -1746,19 +1746,29 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one md5 group pass; shingle/prefix work runs on distinct
     texts only (broadcast df table, rarity window per rep); the LSH
-    side is minhash_portable_pairs' plan; hits are two broadcast-sized
-    rep lookups + a semi join; the 1-row metric combines broadcast. At
-    100 TB the gate runs on a deterministic hash-sample of docs — same
-    contract, bounded cost. reference: SURVEY §2.11 (dedup/eval tier).
+    side REUSES the rep shingle table — MinHash signatures fold once
+    per distinct text and expand to all docs through the group map
+    (identical text ⇒ identical signature), so banding semantics
+    (bucket caps count per-doc rows) are unchanged while the
+    16-permutation fold and a second shingle pass disappear; hits are
+    two broadcast-sized rep lookups + a semi join against the persisted
+    truth; the 1-row metric combines broadcast. At 100 TB the gate runs
+    on a deterministic hash-sample of docs — same contract, bounded
+    cost. reference: SURVEY §2.11 (dedup/eval tier).
     """
-    from dynaledger_spark.operators.dedup import _shingles, portable_minhash_pairs
+    from dynaledger_spark.operators.dedup import (
+        _shingles,
+        portable_minhash_pairs,
+        portable_minhash_signatures,
+    )
 
     docs = _docs(spark, sf_dir)
-    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+    h_docs = docs.select("doc_id", "text", F.md5("text").alias("h")).persist()
+    groups = h_docs.groupBy("h").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).cast("bigint").alias("m")
-    )
-    rep_docs = docs.join(
-        groups.select("rep", "m"), docs.doc_id == F.col("rep")
+    ).persist()
+    rep_docs = h_docs.join(
+        groups.select("rep", "m"), h_docs.doc_id == F.col("rep")
     ).select(F.col("rep").alias("doc_id"), "m", "text")
     shingled = rep_docs.select(
         "doc_id", "m", _shingles(F.col("text")).alias("sh")
@@ -1810,6 +1820,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_a") * F.col("m_b")).alias("w"),
             (inter.cast("double") / union).alias("j"),
         )
+        .persist()  # consumed twice: theory fold + the hit semi join
     )
     jj = (F.col("j") * F.col("j")) * (F.col("j") * F.col("j"))
     q = 1.0 - jj
@@ -1829,10 +1840,20 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_within")
     )
-    found = portable_minhash_pairs(docs).select("id_a", "id_b")
-    d2r = docs.select(
-        "doc_id", F.md5("text").alias("h")
-    ).join(groups.select("h", "rep"), "h").select("doc_id", "rep")
+    d2r = h_docs.select("doc_id", "h").join(
+        groups.select("h", "rep"), "h"
+    ).select("doc_id", "rep")
+    rep_sigs = portable_minhash_signatures(
+        docs=None,
+        shingled=shingled.select(
+            F.col("doc_id").alias("id"), F.col("sh").alias("shingles")
+        ),
+    )
+    sigs_all = (
+        d2r.join(rep_sigs.withColumnRenamed("id", "rep"), "rep")
+        .select(F.col("doc_id").alias("id"), "shingles", "sig")
+    )
+    found = portable_minhash_pairs(docs, sigs=sigs_all).select("id_a", "id_b")
     f_reps = (
         found.join(
             d2r.select(F.col("doc_id").alias("id_a"), F.col("rep").alias("rep_a")),
