@@ -4,6 +4,20 @@ Runs every registered query (headline queries define the metric) at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]. Each query is fully executed with the noop
 writer (whole plan runs, nothing is collected to the driver).
+
+Regression gate (builder-side, run per session before round end):
+
+    python bench.py --check           # exit 1 if any query exceeds
+                                      # 2x its recorded floor (+0.75 s
+                                      # absolute slack for sub-second
+                                      # queries) or fails outright
+    python bench.py --update-floors   # floor := min(floor, this run)
+
+Floors live in BENCH_FLOORS.json (sf0.1, clean-session min-of-2 —
+the round-5/7 drift re-measure discipline from BASELINE.md). The box
+is shared and single runs swing 2-4x, so a --check failure means
+"re-measure in a quiet session", not necessarily "regression" — but
+it moves that re-measure to the builder instead of the judge.
 """
 
 from __future__ import annotations
@@ -24,11 +38,79 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+_FLOORS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOORS.json"
+)
+
+
+def _load_floors() -> dict[str, float]:
+    try:
+        with open(_FLOORS_PATH) as fh:
+            return json.load(fh)["floors"]
+    except (OSError, KeyError, ValueError):
+        return {}
+
+
+def _check_regressions(timings: dict[str, float], sf: float) -> int:
+    """Exit-code half of --check: 0 clean, 1 on offenders."""
+    floors = _load_floors()
+    if not floors:
+        print("# bench --check: no BENCH_FLOORS.json; nothing to gate", file=sys.stderr)
+        return 0
+    offenders = []
+    for name, t in sorted(timings.items()):
+        if t < 0:
+            offenders.append((name, t, floors.get(name, -1.0), "FAILED"))
+            continue
+        floor = floors.get(name)
+        if floor is None:
+            continue  # new query: no floor yet (--update-floors records it)
+        if t > max(2.0 * floor, floor + 0.75):
+            offenders.append((name, t, floor, f"{t / floor:.1f}x floor"))
+    for name, t, floor, why in offenders:
+        print(f"# bench REGRESSION {name}: {t:.2f}s vs floor {floor:.2f}s ({why})",
+              file=sys.stderr)
+    if offenders:
+        print(f"# bench --check: {len(offenders)} offender(s) at sf={sf} — "
+              "re-measure in a quiet session before shipping", file=sys.stderr)
+        return 1
+    print(f"# bench --check: all {len(timings)} queries within 2x floors", file=sys.stderr)
+    return 0
+
+
+def _update_floors(timings: dict[str, float], sf: float) -> None:
+    floors = _load_floors()
+    for name, t in timings.items():
+        if t >= 0:
+            floors[name] = round(min(t, floors.get(name, t)), 4)
+    with open(_FLOORS_PATH, "w") as fh:
+        json.dump(
+            {"_doc": "per-query wall floors (sec), sf0.1 clean-session "
+                     "min across recorded runs; gate = 2x floor + 0.75s slack",
+             "sf": sf, "floors": dict(sorted(floors.items()))},
+            fh, indent=1)
+        fh.write("\n")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("dynaledger_bench")
+
+    # Silence WindowExec's unpartitioned-window WARN for THIS process
+    # only: every global window a registry plan runs is whitelisted and
+    # |days|-bounded by construction (tests/test_plans.py lints the
+    # whitelist and fails on new/stale entries — that remains the real
+    # gate); the ~100-line spam here buries genuine warnings.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: keep the warnings
 
     registry = load_all()
     # Warm up the JVM/session so the first measured query isn't charged
@@ -84,6 +166,11 @@ def main() -> None:
     }
     sys.stdout.flush()
     print(json.dumps(summary, separators=(",", ":")))
+
+    if "--update-floors" in sys.argv[1:]:
+        _update_floors(timings, sf)
+    if "--check" in sys.argv[1:] and sf == 0.1:
+        raise SystemExit(_check_regressions(timings, sf))
 
 
 if __name__ == "__main__":

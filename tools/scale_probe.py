@@ -129,6 +129,15 @@ QUERIES = [
     # round-7 batch 12
     "near_dup_split_leakage",  # bucket-capped pairs + scan-side split labels
     "ngram_novelty_rate",  # gram explode + one gram-key left join; 3000-dup doc collapses in train_set
+    # round-8: the remaining unprobed featurestore/incremental/retrieval queries
+    "acf_daily_revenue",          # |days|-bounded lag frame over a 10x daily rollup
+    "basket_association_rules",   # pair explode within orders; hot 50k-line order MUST hit the basket cap
+    "km_churn_curve",             # per-user span agg then |users|-row risk table
+    "quantile_normalize_by_type", # two per-type rank windows; hot user adds 100k rows to one type
+    "mad_outlier_days",           # exact medians over 10x day groups (documented sketch-at-scale caveat)
+    "ivm_daily_revenue_refresh",  # delta-partition refresh: cost tracks the delta, not the 10x base
+    "cdc_chunk_dedup",            # chunk-hash anti join; 3000-dup doc collapses to one chunk set
+    "ndcg_lexical_vs_dense",      # two bounded top-k lists over the 10x corpus, then a 20-row join
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
@@ -152,7 +161,11 @@ if len(sys.argv) > 1:
     QUERIES = list(dict.fromkeys(sys.argv[1:]))
 
 
-def build_probe(spark, dest: str, mult: int = 10) -> None:
+def build_probe(spark, dest: str, mult: int = 10, skew: bool = True) -> None:
+    """10x dataset under `dest`. skew=True injects the adversarial hot
+    keys (hot order / hot customer / hot user / 3000-dup doc) for the
+    guard-path probes; skew=False builds the CLEAN 10x corpus — the
+    "sf1" whole-suite scaling datapoint (BASELINE.md)."""
     os.makedirs(dest, exist_ok=True)
     scaled = (
         "events.parquet", "documents.parquet", "lineitem.parquet",
@@ -196,7 +209,8 @@ def build_probe(spark, dest: str, mult: int = 10) -> None:
             "timestamp'1997-06-01 00:00:00' + make_interval(0,0,0,0,0,0, id % 31536000)"
         ).alias("l_shipdate"),
     )
-    li_big = li_big.unionByName(hot_li.select(*li.columns))
+    if skew:
+        li_big = li_big.unionByName(hot_li.select(*li.columns))
     li_big.write.mode("overwrite").parquet(os.path.join(dest, "lineitem.parquet"))
 
     odcopies = [
@@ -222,13 +236,14 @@ def build_probe(spark, dest: str, mult: int = 10) -> None:
         "'O' AS o_orderstatus, CAST(123456.78 AS DOUBLE) AS o_totalprice, "
         "timestamp'1997-05-01 00:00:00' AS o_orderdate, '1-URGENT' AS o_orderpriority"
     )
-    od_big = od_big.unionByName(hot_orders.select(*od.columns)).unionByName(
-        hot_one.select(*od.columns)
-    )
+    if skew:
+        od_big = od_big.unionByName(hot_orders.select(*od.columns)).unionByName(
+            hot_one.select(*od.columns)
+        )
     od_big.write.mode("overwrite").parquet(os.path.join(dest, "orders.parquet"))
     print(
-        f"probe built: lineitem {n_li} -> {mult}x+50k hot order, "
-        f"orders {n_od} -> {mult}x+20k hot customer"
+        f"probe built: lineitem {n_li} -> {mult}x, orders {n_od} -> {mult}x"
+        + (" (+50k-line hot order, +20k-order hot customer)" if skew else "")
     )
 
     ev = spark.read.parquet(os.path.join(SF1, "events.parquet"))
@@ -253,8 +268,9 @@ def build_probe(spark, dest: str, mult: int = 10) -> None:
             F.lit('{"k":"v"}').alias("props"),
         )
     )
-    ev_cols = [f.name for f in ev.schema.fields]
-    big = big.unionByName(hot.select(*[c for c in ev_cols if c in hot.columns]), allowMissingColumns=True)
+    if skew:
+        ev_cols = [f.name for f in ev.schema.fields]
+        big = big.unionByName(hot.select(*[c for c in ev_cols if c in hot.columns]), allowMissingColumns=True)
     big.write.mode("overwrite").parquet(os.path.join(dest, "events.parquet"))
 
     docs = spark.read.parquet(os.path.join(SF1, "documents.parquet"))
@@ -266,17 +282,21 @@ def build_probe(spark, dest: str, mult: int = 10) -> None:
     dbig = dcopies[0]
     for c in dcopies[1:]:
         dbig = dbig.unionByName(c)
-    one = docs.limit(1).collect()[0]
-    boiler = (
-        spark.range(3000)
-        .select(
-            (F.col("id") + 900_000_000).alias("doc_id"),
-            *[F.lit(one[c]).alias(c) for c in docs.columns if c not in ("doc_id",)],
+    if skew:
+        one = docs.limit(1).collect()[0]
+        boiler = (
+            spark.range(3000)
+            .select(
+                (F.col("id") + 900_000_000).alias("doc_id"),
+                *[F.lit(one[c]).alias(c) for c in docs.columns if c not in ("doc_id",)],
+            )
         )
-    )
-    dbig = dbig.unionByName(boiler.select(*docs.columns))
+        dbig = dbig.unionByName(boiler.select(*docs.columns))
     dbig.write.mode("overwrite").parquet(os.path.join(dest, "documents.parquet"))
-    print(f"probe built: events {n_ev} -> {mult}x+100k hot, docs {n_docs} -> {mult}x+3000 dups")
+    print(
+        f"probe built: events {n_ev} -> {mult}x, docs {n_docs} -> {mult}x"
+        + (" (+100k-event hot user, +3000-dup doc)" if skew else "")
+    )
 
     # --- embeddings: 10x with the VECTORS UNCHANGED (ids shifted) —
     # the adversarial case for semantic dedup: every vector now has 9

@@ -1,0 +1,79 @@
+"""Whole-suite scaling datapoint: headline + TPC-H at a clean 10x of
+sf0.1 ("sf1"-scale facts: ~6M lineitem rows, 2M events, 500k docs).
+
+The 100 TB posture otherwise rests on sf0.1 plus per-operator 10x+skew
+probes (tools/scale_probe.py); this run confirms the SUITE scales with
+shuffle volume, not constants — the pass bar is wall(sf1) <= 2x the
+row-count-scaled sf0.1 floor, i.e. ratio <= 20 per query, with the
+expected profile being far below (fixed per-query overheads amortize;
+scan-bound queries land near the I/O ratio).
+
+Run: python tools/sf1_bench.py          (clean box; ~10 min)
+     python tools/sf1_bench.py q1 q2    (named queries only)
+Results are transcribed into BASELINE.md ("sf1" section).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dynaledger_spark.plans.registry import load_all
+from dynaledger_spark.session import get_spark
+from tools.scale_probe import SF1, build_probe
+
+
+def main() -> None:
+    spark = get_spark("sf1_bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    reg = load_all()
+    names = sys.argv[1:] or (
+        [n for n, s in reg.items() if s.headline]
+        + sorted(n for n in reg if n.startswith("tpch_"))
+    )
+    bad = [n for n in names if n not in reg]
+    if bad:
+        sys.exit(f"sf1_bench: unrecognized query names: {bad}")
+
+    dest = tempfile.mkdtemp(prefix="dl_sf1_")
+    try:
+        build_probe(spark, dest, mult=10, skew=False)
+
+        def run(sf_dir: str) -> dict[str, float]:
+            out = {}
+            for name in names:
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    reg[name].build(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    if dt <= 2.0:
+                        break
+                out[name] = best
+            return out
+
+        base = run(SF1)
+        big = run(dest)
+        print(f"\n{'query':38s} {'sf0.1':>7s} {'sf1':>8s} {'ratio':>6s}")
+        worst = 0.0
+        for name in names:
+            r = big[name] / base[name]
+            worst = max(worst, r)
+            flag = "  <-- over 20x row-scaled bar" if r > 20 else ""
+            print(f"{name:38s} {base[name]:7.2f} {big[name]:8.2f} {r:6.1f}{flag}")
+        print(f"\nworst ratio: {worst:.1f}x (bar: 20x = 2x per-row floor at 10x rows)")
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
