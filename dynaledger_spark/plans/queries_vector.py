@@ -1700,3 +1700,190 @@ def decontam_embedding_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Lloyd k-means (round 8): the FULL-CORPUS distributed fit,
+# integer-exact — upgrades the IVF evidence one level (ann_ivf_* fit on
+# a bounded driver sample; centroid_assign_fixed pinned the assignment
+# half; this pins assignment AND update over the whole corpus).
+# ---------------------------------------------------------------------------
+# k=8 clusters over the first 8 dims, T=3 Lloyd rounds. Coordinates are
+# floor-quantized at scale 1e3 (the power_iteration_portable discipline),
+# so every distance, sum, and trunc-div centroid update is exact BIGINT
+# arithmetic both engines replay bitwise. Seed centroids are
+# data-independent mod-formula constants (the pq_encode_fixed pattern):
+# c0[kc][j] = (((kc*3 + j*5) % 8) - 4) * 100 — spread across the
+# quantized coordinate range [-500, 375].
+_KM_K, _KM_D, _KM_T, _KM_SCALE = 8, 8, 3, 1000
+
+
+def _km_seed(kc: int, j: int) -> int:
+    return (((kc * 3 + j * 5) % 8) - 4) * 100
+
+
+def _km_oracle() -> str:
+    head = f"""
+        WITH x AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding[1:{_KM_D}],
+                       e -> CAST(floor(CAST(e AS DOUBLE) * {_KM_SCALE}.0)
+                                 AS BIGINT)) AS xv
+            FROM embeddings
+        ),
+        c0(cl, {", ".join(f"e{j}" for j in range(_KM_D))}) AS (VALUES {", ".join(
+            "(" + ", ".join(
+                ["CAST(%d AS BIGINT)" % kc]
+                + [f"CAST({_km_seed(kc, j)} AS BIGINT)" for j in range(_KM_D)]
+            ) + ")"
+            for kc in range(_KM_K)
+        )})"""
+    dist = " + ".join(
+        f"(x.xv[{j + 1}] - c.e{j}) * (x.xv[{j + 1}] - c.e{j})"
+        for j in range(_KM_D)
+    )
+    rounds = []
+    for r in range(1, _KM_T + 1):
+        rounds.append(f"""
+        a{r} AS MATERIALIZED (
+            SELECT vec_id, xv, cl, dist FROM (
+                SELECT x.vec_id, x.xv, c.cl, {dist} AS dist,
+                       row_number() OVER (PARTITION BY x.vec_id
+                                          ORDER BY {dist}, c.cl) AS rn
+                FROM x, c{r - 1} c
+            ) WHERE rn = 1
+        ),
+        s{r} AS (
+            SELECT cl, CAST(COUNT(*) AS BIGINT) AS n,
+                   {", ".join(f"CAST(SUM(xv[{j + 1}]) AS BIGINT) AS d{j}" for j in range(_KM_D))}
+            FROM a{r} GROUP BY cl
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT p.cl,
+                   {", ".join(f"CASE WHEN s{r}.n IS NULL THEN p.e{j} ELSE s{r}.d{j} // s{r}.n END AS e{j}" for j in range(_KM_D))}
+            FROM c{r - 1} p LEFT JOIN s{r} ON s{r}.cl = p.cl
+        )""")
+    return (
+        head + "," + ",".join(rounds)
+        + f"""
+        SELECT CAST(a.cl AS INT) AS centroid_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(a.dist) AS BIGINT) AS inertia,
+               CAST({" + ".join(f"c.e{j}" for j in range(_KM_D))} AS BIGINT)
+                   AS centroid_sum
+        FROM (
+            SELECT vec_id, cl, dist FROM (
+                SELECT x.vec_id, c.cl, {dist} AS dist,
+                       row_number() OVER (PARTITION BY x.vec_id
+                                          ORDER BY {dist}, c.cl) AS rn
+                FROM x, c{_KM_T} c
+            ) WHERE rn = 1
+        ) a JOIN c{_KM_T} c ON c.cl = a.cl
+        GROUP BY a.cl, {" + ".join(f"c.e{j}" for j in range(_KM_D))}
+    """
+    )
+
+
+@register(
+    "kmeans_portable_lloyd",
+    doc=f"integer fixed-point Lloyd k-means: k={_KM_K}, {_KM_D} dims, {_KM_T} full-corpus rounds — assignment AND update oracle-exact",
+    oracle=None,  # assembled below (unrolled rounds)
+)
+def kmeans_portable_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's algorithm (1982) with EXACT integer arithmetic end to
+    end: coordinates floor-quantized at 1e3, squared distances and
+    per-cluster coordinate sums as BIGINT, centroid update = trunc-div
+    sum // count (Spark `div` == DuckDB `//`, the
+    power_iteration_portable precedent), empty clusters keep their
+    previous centroid. T=3 rounds, then final-assignment stats
+    (count, exact integer inertia, centroid checksum) per cluster.
+
+    This is the FULL-CORPUS distributed fit the rows-only ann_ivf_*
+    queries approximate with a driver sample: each round is one
+    map-side assignment expression (8 inlined centroid literals — no
+    join, no shuffle on the corpus side) plus ONE hash aggregate to
+    k x (d+1) integers; driver traffic per round is those 72 integers,
+    from which the next round's literals are computed. At 100 TB
+    that is T sequential scan+combine jobs — the canonical Spark
+    k-means shape (MLlib's own loop), here with every intermediate
+    bitwise-pinned against an independent engine.
+    """
+    emb = _emb(spark, sf_dir)
+    xv = F.transform(
+        F.slice(F.col("embedding"), 1, _KM_D),
+        lambda e: F.floor(e.cast("double") * _KM_SCALE).cast("bigint"),
+    )
+    x = emb.select("vec_id", xv.alias("xv")).persist()
+
+    def _dists(cents: list[list[int]]):
+        return [
+            F.aggregate(
+                F.zip_with(
+                    F.col("xv"),
+                    F.array(*[F.lit(int(v)).cast("bigint") for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc + d,
+            ).alias(f"d{i}")
+            for i, c in enumerate(cents)
+        ]
+
+    def _assign(cents: list[list[int]]) -> DataFrame:
+        scored = x.select("vec_id", "xv", *_dists(cents))
+        least = F.least(*[F.col(f"d{i}") for i in range(_KM_K)])
+        cl = F.lit(None).cast("int")
+        for i in reversed(range(_KM_K)):  # first index attaining the min
+            cl = F.when(F.col(f"d{i}") == least, F.lit(i)).otherwise(cl)
+        return scored.select("vec_id", "xv", cl.alias("cl"), least.alias("dist"))
+
+    def _trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    cents = [[_km_seed(kc, j) for j in range(_KM_D)] for kc in range(_KM_K)]
+    for _ in range(_KM_T):
+        sums = (
+            _assign(cents)
+            .groupBy("cl")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("xv"), j + 1)).alias(f"d{j}")
+                    for j in range(_KM_D)
+                ],
+            )
+            .collect()
+        )
+        by_cl = {int(r["cl"]): r for r in sums}
+        cents = [
+            [
+                _trunc_div(int(by_cl[kc][f"d{j}"]), int(by_cl[kc]["n"]))
+                if kc in by_cl
+                else cents[kc][j]
+                for j in range(_KM_D)
+            ]
+            for kc in range(_KM_K)
+        ]
+
+    return (
+        _assign(cents)
+        .groupBy(F.col("cl").alias("centroid_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .withColumn("centroid_id", F.col("centroid_id").cast("int"))
+        .withColumn(
+            "centroid_sum",
+            F.coalesce(
+                *[
+                    F.when(F.col("centroid_id") == kc, F.lit(int(sum(cents[kc]))))
+                    for kc in range(_KM_K)
+                ]
+            ).cast("bigint"),
+        )
+    )
+
+
+_QR["kmeans_portable_lloyd"].oracle = _km_oracle()

@@ -308,7 +308,7 @@ _ROUND8_WINDOW = (
     # the one oracle-backed entry with no driver-green row anywhere
     "winnowing_fingerprints",
     # round-8 additions (oracle-exact, never driver-verified)
-    "gk_portable_quantiles",
+    "gk_portable_quantiles", "kmeans_portable_lloyd",
     # rows-only entries, never windowed: record official rows-only runs
     "minhash_lsh_pairs", "simhash_fingerprints", "simhash_near_dup_pairs",
     "ann_ivf_topk", "ann_ivf_persisted_topk", "pagerank_copurchase",
