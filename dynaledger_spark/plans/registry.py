@@ -309,6 +309,7 @@ _ROUND8_WINDOW = (
     "winnowing_fingerprints",
     # round-8 additions (oracle-exact, never driver-verified)
     "gk_portable_quantiles", "kmeans_portable_lloyd",
+    "fastss_edit1_pairs", "tfidf_cosine_pairs",
     # rows-only entries, never windowed: record official rows-only runs
     "minhash_lsh_pairs", "simhash_fingerprints", "simhash_near_dup_pairs",
     "ann_ivf_topk", "ann_ivf_persisted_topk", "pagerank_copurchase",
@@ -455,6 +456,7 @@ def load_all() -> dict[str, QuerySpec]:
         # window is already full, so they enter the driver window in
         # round 6; locally parity-proven at both SFs like every batch
         queries_tpch,  # round-6 batch-1: TPC-H Q3/Q5/Q6/Q10/Q14
+        queries_sparse,  # round-8: FastSS edit join + sparse TF-IDF cosine
     )
 
     return {name: QUERY_REGISTRY[name] for name in driver_order(QUERY_REGISTRY)}

@@ -138,6 +138,9 @@ QUERIES = [
     "ivm_daily_revenue_refresh",  # delta-partition refresh: cost tracks the delta, not the 10x base
     "cdc_chunk_dedup",            # chunk-hash anti join; 3000-dup doc collapses to one chunk set
     "ndcg_lexical_vs_dense",      # two bounded top-k lists over the 10x corpus, then a 20-row join
+    # round-8 sparse-similarity additions
+    "fastss_edit1_pairs",   # vocab-sized deletion-key join; 3000-dup doc only inflates counts, not keys
+    "tfidf_cosine_pairs",   # rare-gram blocking: the hot doc's grams go ubiquitous (df>8) and LEAVE the blocking set
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
