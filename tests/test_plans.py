@@ -119,6 +119,7 @@ def test_no_cartesian_products(plans):
             "lsh_recall_eval",  # 1-row truth/found/hit metric combines
             "doremi_domain_weights",  # 1-row broadcasts of corpus loss/normalizer
             "ccnet_perplexity_buckets",  # unigram scorer's 1-row token-total broadcast
+            "tfidf_cosine_pairs",  # 1-row broadcast of the corpus doc count N
         ), f"{name} nested-loop joins"
 
 

@@ -1,0 +1,211 @@
+"""Independent-evidence tests for the round-8 additions (GK portable
+quantiles, portable Lloyd k-means, FastSS edit-1 join, sparse TF-IDF
+cosine pairs).
+
+Same doctrine as test_round5/7_ops: every check is evidence the DuckDB
+oracle cannot manufacture — a brute-force python recomputation from the
+raw parquet, or an algebraic invariant of the published method.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from dynaledger_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def rows(spark, name, sf_dir=SF):
+    return REGISTRY[name].build(spark, sf_dir).collect()
+
+
+def _events():
+    t = pq.read_table(os.path.join(SF, "events.parquet"), columns=["event_type", "value"])
+    d = t.to_pydict()
+    by_type = defaultdict(list)
+    for et, v in zip(d["event_type"], d["value"]):
+        if v is not None:
+            by_type[et].append(v)
+    return by_type
+
+
+def _doc_texts():
+    t = pq.read_table(os.path.join(SF, "documents.parquet"), columns=["doc_id", "text"])
+    d = t.to_pydict()
+    return dict(zip(d["doc_id"], d["text"]))
+
+
+def test_gk_portable_rank_error_within_eps(spark):
+    """The GK guarantee the query exists to exercise: the sketch answer's
+    TRUE rank differs from ceil(phi*n) by less than the stride k <= n/64
+    (one-sided: the stride summary only overshoots)."""
+    by_type = _events()
+    out = {r["event_type"]: r for r in rows(spark, "gk_portable_quantiles")}
+    assert set(out) == set(by_type)
+    for et, vals in by_type.items():
+        vals = sorted(vals)
+        n, r = len(vals), out[et]
+        assert r["n"] == n
+        k = max(1, n // 64)
+        assert r["stride"] == k
+        for phi, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            target = math.ceil(phi * n)
+            exact = vals[target - 1]
+            assert r[f"{col}_exact"] == exact
+            sk = r[f"{col}_gk"]
+            # sketch answer is a real element at rank in [target, target+k)
+            true_rank = vals.index(sk) + 1  # first occurrence = min rank
+            assert target <= true_rank + vals.count(sk) - 1  # reaches target
+            assert true_rank < target + k
+            assert sk >= exact  # stride query only overshoots
+
+
+def test_kmeans_lloyd_matches_python_replay(spark):
+    """Exact integer replay of the full algorithm (quantize, 3 rounds of
+    assign/update with trunc-div and empty-cluster carry, final stats)
+    must agree row-for-row — integer arithmetic leaves no tolerance."""
+    t = pq.read_table(os.path.join(SF, "embeddings.parquet"), columns=["embedding"])
+    X = [
+        [int(math.floor(float(e) * 1000)) for e in emb[:8]]
+        for emb in t.to_pydict()["embedding"]
+    ]
+    K, D, T = 8, 8, 3
+    cents = [[(((kc * 3 + j * 5) % 8) - 4) * 100 for j in range(D)] for kc in range(K)]
+
+    def assign(x):
+        ds = [sum((x[j] - c[j]) ** 2 for j in range(D)) for c in cents]
+        m = min(ds)
+        return ds.index(m), m
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    for _ in range(T):
+        sums = defaultdict(lambda: [0] * (D + 1))
+        for x in X:
+            cl, _ = assign(x)
+            sums[cl][D] += 1
+            for j in range(D):
+                sums[cl][j] += x[j]
+        cents = [
+            [tdiv(sums[kc][j], sums[kc][D]) for j in range(D)]
+            if kc in sums
+            else cents[kc]
+            for kc in range(K)
+        ]
+    stats = defaultdict(lambda: [0, 0])
+    for x in X:
+        cl, d = assign(x)
+        stats[cl][0] += 1
+        stats[cl][1] += d
+    got = {
+        r["centroid_id"]: (r["n_vectors"], r["inertia"], r["centroid_sum"])
+        for r in rows(spark, "kmeans_portable_lloyd")
+    }
+    want = {cl: (n, inert, sum(cents[cl])) for cl, (n, inert) in stats.items()}
+    assert got == want
+
+
+_WORD = re.compile(r"^[a-z]+$")
+
+
+def _typo_stream():
+    stream = []
+    for doc_id, text in _doc_texts().items():
+        for pos, w in enumerate(re.split(r"\s+", text.lower()), start=1):
+            if (
+                (doc_id + pos) % 13 == 0
+                and _WORD.match(w)
+                and 4 <= len(w) <= 12
+            ):
+                w = w[0] + "x" + w[2:]
+            stream.append(w)
+    return [w for w in stream if _WORD.match(w) and 4 <= len(w) <= 12]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fastss_complete_recall_vs_bruteforce(spark):
+    """FastSS's whole claim is 100% recall at distance 1: the blocked
+    join must find EXACTLY the pairs an all-pairs levenshtein scan finds
+    (the oracle shares the blocking, so only brute force can check it).
+    Frequencies must match the corpus token counts."""
+    vocab = Counter(_typo_stream())
+    words = sorted(vocab)
+    truth = {
+        (a, b)
+        for i, a in enumerate(words)
+        for b in words[i + 1 :]
+        if abs(len(a) - len(b)) <= 1 and _lev(a, b) == 1
+    }
+    got = {(r["word_a"], r["word_b"]): (r["n_a"], r["n_b"]) for r in rows(spark, "fastss_edit1_pairs")}
+    assert set(got) == truth
+    assert truth, "degenerate test: no edit-1 pairs in the corpus"
+    for (a, b), (na, nb) in got.items():
+        assert (na, nb) == (vocab[a], vocab[b])
+
+
+def test_tfidf_cosine_pairs_match_python_replay(spark):
+    """Full python replay of the sparse pipeline (4-gram postings,
+    ilog2 idf, rare-term blocking, exact integer dots/norms): the query
+    must reproduce every pair and cosine to the same 9-dp rounding."""
+    texts = _doc_texts()
+    tf = defaultdict(Counter)
+    for doc_id, text in texts.items():
+        toks = re.split(r"\s+", text.lower())
+        for i in range(len(toks) - 3):
+            tf[doc_id][" ".join(toks[i : i + 4])] += 1
+    df = Counter()
+    for c in tf.values():
+        for term in c:
+            df[term] += 1
+    n = len(tf)
+    post = {
+        d: {
+            t: c * int(math.floor(math.log2((n + 1) // df[t])))
+            for t, c in cnt.items()
+            if df[t] >= 2
+        }
+        for d, cnt in tf.items()
+    }
+    norms = {d: sum(w * w for w in ws.values()) for d, ws in post.items()}
+    cand = set()
+    by_term = defaultdict(list)
+    for d, ws in post.items():
+        for t in ws:
+            if 2 <= df[t] <= 8:
+                by_term[t].append(d)
+    for docs in by_term.values():
+        docs = sorted(docs)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1 :]:
+                cand.add((a, b))
+    want = {}
+    for a, b in cand:
+        shared = set(post[a]) & set(post[b])
+        dot = sum(post[a][t] * post[b][t] for t in shared)
+        cos = dot / math.sqrt(norms[a] * norms[b])
+        if cos >= 0.2:
+            want[(a, b)] = (len(shared), round(cos, 9))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared_terms"], r["cosine"])
+        for r in rows(spark, "tfidf_cosine_pairs")
+    }
+    assert want, "degenerate test: no qualifying pairs"
+    assert got == want
