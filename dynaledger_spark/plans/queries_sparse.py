@@ -346,3 +346,107 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine, 9).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-BLEU-style corpus redundancy (leave-one-out modified precision)
+# ---------------------------------------------------------------------------
+@register(
+    "self_bleu_proxy",
+    doc="leave-one-out modified bigram/4-gram precision per doc (Self-BLEU diversity signal)",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, 2 AS n, array_to_string(toks[u.i:u.i + 1], ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+            UNION ALL
+            SELECT doc_id, 4 AS n, array_to_string(toks[u.i:u.i + 3], ' ') AS gram
+            FROM t, unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS u(i)
+        ),
+        dg AS (
+            SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c_doc
+            FROM grams GROUP BY doc_id, n, gram
+        ),
+        cg AS (
+            SELECT n, gram, CAST(SUM(c_doc) AS BIGINT) AS c_corpus
+            FROM dg GROUP BY n, gram
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN n = 2 THEN c_doc END) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN n = 4 THEN c_doc END) AS BIGINT) AS n_4grams,
+               round(CAST(SUM(CASE WHEN n = 2
+                                   THEN least(c_doc, c_corpus - c_doc) END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN n = 2 THEN c_doc END), 9) AS p2,
+               round(CAST(SUM(CASE WHEN n = 4
+                                   THEN least(c_doc, c_corpus - c_doc) END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN n = 4 THEN c_doc END), 9) AS p4
+        FROM dg JOIN cg USING (n, gram)
+        GROUP BY doc_id
+    """,
+)
+def self_bleu_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU (Zhu et al. 2018, Texygen) as a scalable leave-one-out
+    statistic: each document's modified n-gram precision against the
+    REST of the corpus — clip count = min(c_doc, c_corpus - c_doc), so
+    the reference side is "every other document" without materializing
+    per-pair comparisons (the original Self-BLEU is corpus-quadratic;
+    this is the exact same clipped-precision arithmetic factored
+    through corpus totals). High p2/p4 = the doc's phrasing is
+    redundant with the corpus (the ~30-word unigram vocabulary makes
+    p1 identically 1.0, so the reported orders are 2 and 4, where the
+    clip genuinely binds) — the diversity dial generation-quality
+    and dedup-aggressiveness decisions read.
+
+    Exactness: counts and clips are integers; the single final divide
+    is IEEE-identical in both engines.
+
+    Scale: one gram explode into two map-side-combined aggregates and
+    one gram-keyed join back — linear, no pairs anywhere; the skew-heavy
+    gram keys (ubiquitous words) are pre-aggregated to (doc, gram)
+    grain before the join, so the hot key carries |docs| rows, not
+    |occurrences|.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
+    )
+    def _grams(nlen: int):
+        arr = F.when(
+            F.size("toks") >= nlen,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (nlen - 1)),
+                lambda i: F.array_join(F.slice("toks", i, nlen), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(
+            "doc_id", F.lit(nlen).alias("n"), F.explode(arr).alias("gram")
+        )
+
+    dg = (
+        _grams(2).unionByName(_grams(4))
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_doc"))
+    )
+    cg = dg.groupBy("n", "gram").agg(
+        F.sum("c_doc").cast("bigint").alias("c_corpus")
+    )
+    j = dg.join(cg, ["n", "gram"])
+    clip = F.least(F.col("c_doc"), F.col("c_corpus") - F.col("c_doc"))
+
+    def _sum_if(nval, col):
+        return F.sum(F.when(F.col("n") == nval, col))
+
+    return j.groupBy("doc_id").agg(
+        _sum_if(2, F.col("c_doc")).cast("bigint").alias("n_bigrams"),
+        _sum_if(4, F.col("c_doc")).cast("bigint").alias("n_4grams"),
+        F.round(
+            _sum_if(2, clip).cast("double") / _sum_if(2, F.col("c_doc")), 9
+        ).alias("p2"),
+        F.round(
+            _sum_if(4, clip).cast("double") / _sum_if(4, F.col("c_doc")), 9
+        ).alias("p4"),
+    )

@@ -209,3 +209,36 @@ def test_tfidf_cosine_pairs_match_python_replay(spark):
     }
     assert want, "degenerate test: no qualifying pairs"
     assert got == want
+
+
+def test_self_bleu_matches_python_replay(spark):
+    """Clipped leave-one-out precision replayed from raw counts; the
+    factored form min(c_doc, c_corpus - c_doc) must equal the query."""
+    texts = _doc_texts()
+    dg = {2: defaultdict(Counter), 4: defaultdict(Counter)}
+    for doc_id, text in texts.items():
+        toks = re.split(r"\s+", text.lower())
+        for n in (2, 4):
+            for i in range(len(toks) - n + 1):
+                dg[n][doc_id][" ".join(toks[i : i + n])] += 1
+    cg = {n: Counter() for n in (2, 4)}
+    for n in (2, 4):
+        for c in dg[n].values():
+            for g, k in c.items():
+                cg[n][g] += k
+    got = {r["doc_id"]: r for r in rows(spark, "self_bleu_proxy")}
+    assert set(got) == set(texts)
+    saw_binding_clip = False
+    for doc_id in texts:
+        for n, col in ((2, "p2"), (4, "p4")):
+            cnt = dg[n][doc_id]
+            den = sum(cnt.values())
+            if den == 0:
+                assert got[doc_id][col] is None
+                continue
+            num = sum(min(k, cg[n][g] - k) for g, k in cnt.items())
+            if num < den:
+                saw_binding_clip = True
+            assert got[doc_id][col] == round(num / den, 9)
+            assert got[doc_id][f"n_{'bigrams' if n == 2 else '4grams'}"] == den
+    assert saw_binding_clip, "degenerate test: clip never bound"
