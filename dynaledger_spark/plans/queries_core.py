@@ -1044,6 +1044,73 @@ def orc_roundtrip_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the shuffle-free large-large join layout.
+# ---------------------------------------------------------------------------
+@register(
+    "bucketed_colocated_join",
+    doc="write orders+lineitem co-bucketed on orderkey, join with ZERO Exchange, aggregate",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB large-large join layout as a driver-checked query:
+    orders and lineitem written as co-bucketed tables (same key, same
+    bucket count, sorted buckets — operators/scale.write_bucketed),
+    then joined THROUGH THE BUCKETED LAYOUT. When both sides are too
+    big to broadcast — the 100 TB case — Catalyst sees matching hash
+    distributions on both scans and plans a SortMergeJoin with NO
+    Exchange on either side (plan-asserted with broadcast disabled in
+    tests/test_scale.py::test_bucketed_join_no_shuffle and for this
+    very query in test_bucketed_registry_query_plan): the shuffle is
+    paid once at write time and never again for a recurring fact-fact
+    join — the Spark analog of the reference keeping per-quarter
+    tables pre-organized for their joins (S10/S11 DDL + J2's join
+    shape). At toy SF, AQE correctly broadcasts the small side instead;
+    bucketing is the fallback distribution, not a pin. The oracle runs
+    the identical join over the raw parquet, proving the bucketed
+    layout changes the PLAN, never the result. Table names carry the
+    SF tag so scales don't clobber each other; the write is an
+    idempotent overwrite.
+    """
+    import os
+
+    from dynaledger_spark.functions.agg import dsum
+    from dynaledger_spark.operators.scale import bucketed_join, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_ord, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders"), t_ord, ["o_orderkey"],
+        n_buckets=8, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        t_li, ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+    )
+    joined = bucketed_join(spark, t_ord, t_li, ["o_orderkey"])
+    return (
+        joined.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+    )
+
+
 @register(
     "map_functions_props",
     doc="MapType surface: from_json to map, sorted keys, element lookup, size",

@@ -100,3 +100,21 @@ def test_quantile_sketch_error_bound(spark, sf_dir):
             hi = bisect.bisect_right(vals, got)
             eps = max(n / 10000, 1.5)
             assert lo - eps <= target <= hi + eps, (et, p, got)
+
+
+def test_bucketed_registry_query_plan(spark, sf_dir):
+    """The registry's bucketed_colocated_join, with broadcast disabled
+    (the large-large regime it exists for): join must run through the
+    bucketed layout — SortMergeJoin, zero Exchange below the aggregate."""
+    from dynaledger_spark.plans.registry import load_all
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = load_all()["bucketed_colocated_join"].build(spark, sf_dir)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        # exactly one Exchange: the groupBy's — none feeding the join
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
