@@ -495,3 +495,245 @@ def hll_portable_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(corr_u - F.col("exact_distinct")) / F.col("exact_distinct"), 6
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable KMV / theta sketch with set operations (round 8)
+# ---------------------------------------------------------------------------
+# The third sketch family beside HLL (cardinality) and GK (quantiles):
+# K-Minimum-Values — the core of the DataSketches "theta" sketch — is
+# the one that supports SET ALGEBRA (union/intersection estimates from
+# mergeable fixed-size state). k=64 over the repo's 40-bit md5-prefix
+# hash: at sf0.001 every per-type set is smaller than k (sketch == set,
+# exact branch), at sf0.01+ the estimator branch engages — both code
+# paths are driver-checked. All state is integer until the final
+# divisions (IEEE-identical in both engines).
+_KMV_K = 64
+_KMV_M = 1 << 40  # hash space size for the 40-bit md5 prefix
+
+
+@register(
+    "kmv_theta_sketch_pairs",
+    doc=f"portable KMV (theta) sketches, k={_KMV_K}: union/intersection/Jaccard estimates per event-type pair beside exact counts",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   user_id,
+                   ((strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 68719476736
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 4294967296
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 268435456
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 16777216
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 1048576
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 65536
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 9, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 10, 1)) - 1)) AS h
+            FROM events
+        ),
+        sk AS (
+            SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM h
+            ) WHERE rn <= {_KMV_K}
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM types a JOIN types b ON a.event_type < b.event_type
+        ),
+        u AS (
+            SELECT p.type_a, p.type_b, s.h,
+                   MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+                   MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+            FROM pairs p JOIN sk s
+              ON s.event_type IN (p.type_a, p.type_b)
+            GROUP BY p.type_a, p.type_b, s.h
+        ),
+        kept AS (
+            SELECT type_a, type_b, h, in_a, in_b,
+                   row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY type_a, type_b) AS n_union_sk
+            FROM u
+        ),
+        est AS (
+            SELECT type_a, type_b,
+                   CAST(MIN(n_union_sk) AS BIGINT) AS n_union_sk,
+                   CAST(MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS BIGINT) AS theta_h,
+                   CAST(SUM(CASE WHEN rn <= {_KMV_K} AND in_a = 1 AND in_b = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_common_kept
+            FROM kept GROUP BY type_a, type_b
+        ),
+        ex AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(DISTINCT CASE WHEN b.user_id IS NOT NULL
+                                            THEN a.user_id END) AS BIGINT)
+                       AS inter_exact
+            FROM (SELECT DISTINCT event_type, user_id FROM events) a
+            LEFT JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            WHERE b.event_type IS NOT NULL
+            GROUP BY a.event_type, b.event_type
+        ),
+        exu AS (
+            SELECT p.type_a, p.type_b,
+                   (SELECT COUNT(DISTINCT user_id) FROM events e
+                    WHERE e.event_type IN (p.type_a, p.type_b)) AS union_exact
+            FROM pairs p
+        )
+        SELECT e.type_a, e.type_b,
+               CAST({_KMV_K} AS INT) AS k,
+               round(CASE WHEN e.n_union_sk < {_KMV_K}
+                          THEN CAST(e.n_union_sk AS DOUBLE)
+                          ELSE ({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / e.theta_h
+                     END, 4) AS union_est,
+               CAST(exu.union_exact AS BIGINT) AS union_exact,
+               round(CASE WHEN e.n_union_sk < {_KMV_K}
+                          THEN CAST(e.n_common_kept AS DOUBLE)
+                          ELSE CAST(e.n_common_kept AS DOUBLE) / {_KMV_K}
+                               * (({_KMV_K} - 1) * CAST({_KMV_M} AS DOUBLE) / e.theta_h)
+                     END, 4) AS inter_est,
+               COALESCE(ex.inter_exact, 0) AS inter_exact,
+               round(CAST(e.n_common_kept AS DOUBLE)
+                     / least(e.n_union_sk, {_KMV_K}), 6) AS jaccard_est,
+               round(CAST(COALESCE(ex.inter_exact, 0) AS DOUBLE)
+                     / exu.union_exact, 6) AS jaccard_exact
+        FROM est e
+        JOIN exu ON exu.type_a = e.type_a AND exu.type_b = e.type_b
+        LEFT JOIN ex ON ex.type_a = e.type_a AND ex.type_b = e.type_b
+    """,
+)
+def kmv_theta_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable K-Minimum-Values sketch (Bar-Yossef et al. 2002; the
+    core of the DataSketches theta family) with SET ALGEBRA — the one
+    sketch capability HLL lacks: per event type keep the k={k} smallest
+    40-bit md5 hashes of its distinct users; for each type pair,
+    re-minimize the two sketches into a union sketch, read theta = the
+    k-th smallest union hash, and estimate |union| = (k-1)*M/theta_h,
+    |intersection| = (common kept / k) * |union|_est, Jaccard = common
+    kept / k — each beside its exact twin so the error is visible.
+    Sets smaller than k take the exact branch (sketch == set), which is
+    the sf0.001 path; the estimator branch is the sf0.01+ path — both
+    driver-checked. Everything is integer state until the final IEEE
+    divisions, so the whole sketch is oracle-exact (the HLL/GK
+    miniature discipline applied to the theta family).
+
+    Scale: a KMV sketch is mergeable fixed-size state — per-partition
+    k-smallest combine by re-minimizing, exactly what the rank-window
+    over the (type, distinct-hash) aggregate computes here; pair
+    algebra then runs on |types|^2 * k rows regardless of corpus size.
+    The exact twins are the part that stops scaling (distinct shuffles);
+    the sketch columns are the 100 TB answer.
+    """.format(k=_KMV_K)
+    ev = _events(spark, sf_dir)
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 10), 16, 10) AS BIGINT)"
+    )
+    from pyspark.sql import Window as W
+
+    dh = ev.select("event_type", "user_id").distinct().select(
+        "event_type", h.alias("h")
+    ).distinct()
+    sk = (
+        dh.withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+        .persist()
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    u = (
+        pairs.join(
+            F.broadcast(sk).alias("s"),
+            (F.col("s.event_type") == F.col("type_a"))
+            | (F.col("s.event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max((F.col("s.event_type") == F.col("type_a")).cast("int")).alias("in_a"),
+            F.max((F.col("s.event_type") == F.col("type_b")).cast("int")).alias("in_b"),
+        )
+    )
+    wp = W.partitionBy("type_a", "type_b")
+    kept = u.select(
+        "type_a", "type_b", "h", "in_a", "in_b",
+        F.row_number().over(wp.orderBy("h")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_union_sk"),
+    )
+    est = kept.groupBy("type_a", "type_b").agg(
+        F.min("n_union_sk").cast("bigint").alias("n_union_sk"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).cast("bigint").alias("theta_h"),
+        F.sum(
+            ((F.col("rn") <= _KMV_K) & (F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int")
+        ).cast("bigint").alias("n_common_kept"),
+    )
+    du = ev.select("event_type", "user_id").distinct().persist()
+    ex = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count_distinct(F.col("a.user_id")).cast("bigint").alias("inter_exact"))
+    )
+    exu = (
+        pairs.join(
+            du.select(F.col("event_type").alias("t"), "user_id"),
+            (F.col("t") == F.col("type_a")) | (F.col("t") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("union_exact"))
+    )
+    u_est = F.when(
+        F.col("n_union_sk") < _KMV_K, F.col("n_union_sk").cast("double")
+    ).otherwise(
+        (_KMV_K - 1) * float(_KMV_M) / F.col("theta_h")
+    )
+    i_est = F.when(
+        F.col("n_union_sk") < _KMV_K, F.col("n_common_kept").cast("double")
+    ).otherwise(
+        F.col("n_common_kept").cast("double")
+        / _KMV_K
+        * ((_KMV_K - 1) * float(_KMV_M) / F.col("theta_h"))
+    )
+    return (
+        est.join(exu, ["type_a", "type_b"])
+        .join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.lit(_KMV_K).cast("int").alias("k"),
+            F.round(u_est, 4).alias("union_est"),
+            "union_exact",
+            F.round(i_est, 4).alias("inter_est"),
+            F.coalesce(F.col("inter_exact"), F.lit(0)).cast("bigint").alias("inter_exact"),
+            F.round(
+                F.col("n_common_kept").cast("double")
+                / F.least(F.col("n_union_sk"), F.lit(_KMV_K).cast("bigint")),
+                6,
+            ).alias("jaccard_est"),
+            F.round(
+                F.coalesce(F.col("inter_exact"), F.lit(0)).cast("double")
+                / F.col("union_exact"),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )

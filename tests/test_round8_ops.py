@@ -242,3 +242,29 @@ def test_self_bleu_matches_python_replay(spark):
             assert got[doc_id][col] == round(num / den, 9)
             assert got[doc_id][f"n_{'bigrams' if n == 2 else '4grams'}"] == den
     assert saw_binding_clip, "degenerate test: clip never bound"
+
+
+def test_kmv_theta_estimates_within_bounds(spark):
+    """KMV invariants the oracle (same formulas) can't check: at
+    sf0.001 every per-type set is under k=64, so the sketch IS the set
+    and every estimate must be EXACT; at sf0.01 the estimator branch
+    engages and must land within 4 standard errors (se ~ U/sqrt(k-2))
+    of the exact answer."""
+    for sf, exact_branch in (("/root/testdata/sf0.001", True),
+                             ("/root/testdata/sf0.01", False)):
+        out = rows(spark, "kmv_theta_sketch_pairs", sf_dir=sf)
+        assert len(out) == 10  # C(5 event types, 2)
+        for r in out:
+            if exact_branch:
+                assert r["union_est"] == float(r["union_exact"])
+                assert r["inter_est"] == float(r["inter_exact"])
+                assert r["jaccard_est"] == round(
+                    r["inter_exact"] / r["union_exact"], 6
+                )
+            else:
+                se = r["union_exact"] / math.sqrt(64 - 2)
+                assert abs(r["union_est"] - r["union_exact"]) < 4 * se
+                assert abs(r["inter_est"] - r["inter_exact"]) < 4 * se
+                assert abs(
+                    r["jaccard_est"] - r["inter_exact"] / r["union_exact"]
+                ) < 4 / math.sqrt(64)

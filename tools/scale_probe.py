@@ -141,6 +141,9 @@ QUERIES = [
     # round-8 sparse-similarity additions
     "fastss_edit1_pairs",   # vocab-sized deletion-key join; 3000-dup doc only inflates counts, not keys
     "tfidf_cosine_pairs",   # rare-gram blocking: the hot doc's grams go ubiquitous (df>8) and LEAVE the blocking set
+    "self_bleu_proxy",      # gram explode + two map-side aggregates; linear in corpus bytes
+    "bucketed_colocated_join",  # bucketed WRITES dominate; scan+join rides the layout
+    "kmv_theta_sketch_pairs",   # per-type distinct collapses the hot user; pair algebra on |types|^2 * k rows
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
