@@ -955,7 +955,18 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-keyed on cluster, so at 100 TB (with k raised so cells stay
     ~1e3-1e5 vectors) each cell's quadratic work is one shuffle
     partition's local problem, exactly the published algorithm's
-    shape. The centroid table is k rows — broadcast forever.
+    shape. The centroid table is k rows — broadcast forever. EXACT
+    DUPLICATE VECTORS ARE COLLAPSED before the pair join (the
+    lsh_recall_eval / jaccard_prefix_filter precedent, forced by the
+    round-8 clean-10x probe where embeddings are exact clones and
+    within-cell pairs grew ~100x -> 105 s): identical vectors share a
+    cluster and have pairwise cosine 1 > tau, so every non-min member
+    of a dup group is pruned by its representative, and a
+    representative is pruned iff a tau-similar rep with a smaller id
+    shares its cluster — the pair join therefore runs on DISTINCT
+    vectors only, with group sizes and id-sums expanding the counts
+    exactly. The oracle keeps the naive all-member form, so parity
+    proves the collapse output-equivalent.
     reference: SURVEY §2.11 (dedup tier).
     """
     from pyspark.sql import Window as W
@@ -980,7 +991,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    scored = ev.crossJoin(F.broadcast(cent)).select(
+    # exact-dup collapse: one representative (min id) per distinct vector,
+    # carrying the group size and the exact member-id sum
+    groups = ev.groupBy("v").agg(
+        F.min("vec_id").alias("vec_id"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("vec_id").cast("bigint").alias("id_sum"),
+    )
+    scored = groups.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "c_label",
         F.aggregate(
@@ -997,8 +1015,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("c_label").alias("cluster"))
     )
-    norms = ev.join(assigned, "vec_id").select(
+    norms = groups.join(assigned, "vec_id").select(
         "vec_id",
+        "m",
+        "id_sum",
         "cluster",
         "v",
         F.sqrt(
@@ -1006,7 +1026,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
             )
         ).alias("nrm"),
-    )
+    ).persist()  # rep pair join reads it twice; the rollup once
     a, b = norms.alias("a"), norms.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -1023,17 +1043,27 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.cluster").alias("cluster"), F.col("b.vec_id").alias("pruned_id"))
         .distinct()
     )
+    dup_agg = dup.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pruned_reps"),
+        F.sum("pruned_id").cast("bigint").alias("pruned_rep_sum"),
+    )
+    per_cluster = norms.groupBy("cluster").agg(
+        F.sum("m").cast("bigint").alias("n_vectors"),
+        F.sum(F.col("m") - 1).cast("bigint").alias("n_pruned_nonmin"),
+        F.sum(F.col("id_sum") - F.col("vec_id")).cast("bigint").alias("sum_nonmin"),
+    )
     return (
-        norms.select("vec_id", "cluster")
-        .join(dup.withColumnRenamed("cluster", "d_cluster"),
-              F.col("cluster") == F.col("d_cluster"), "left")
-        .groupBy("cluster")
-        .agg(
-            F.count_distinct(F.col("vec_id")).cast("bigint").alias("n_vectors"),
-            F.count_distinct(F.col("pruned_id")).cast("bigint").alias("n_pruned"),
-            F.coalesce(F.sum_distinct(F.col("pruned_id")), F.lit(0))
-            .cast("bigint")
-            .alias("pruned_id_sum"),
+        per_cluster.join(dup_agg, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vectors",
+            (
+                F.col("n_pruned_nonmin")
+                + F.coalesce(F.col("n_pruned_reps"), F.lit(0))
+            ).cast("bigint").alias("n_pruned"),
+            (
+                F.col("sum_nonmin") + F.coalesce(F.col("pruned_rep_sum"), F.lit(0))
+            ).cast("bigint").alias("pruned_id_sum"),
         )
         .orderBy("cluster")
     )

@@ -120,6 +120,7 @@ def test_no_cartesian_products(plans):
             "doremi_domain_weights",  # 1-row broadcasts of corpus loss/normalizer
             "ccnet_perplexity_buckets",  # unigram scorer's 1-row token-total broadcast
             "tfidf_cosine_pairs",  # 1-row broadcast of the corpus doc count N
+            "kmv_theta_sketch_pairs",  # |types|^2-row pair table fanned over k-row sketches
         ), f"{name} nested-loop joins"
 
 
