@@ -1111,6 +1111,74 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution: mergeSchema read across parquet generations.
+# ---------------------------------------------------------------------------
+@register(
+    "schema_evolution_merge_read",
+    doc="two parquet generations (v2 adds a column), one mergeSchema scan, NULL-safe aggregate",
+    oracle="""
+        WITH unioned AS (
+            SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, event_type, value
+            FROM events WHERE event_id % 2 = 1
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(value) AS BIGINT) AS n_with_value,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM unioned GROUP BY event_type
+    """,
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake-evolution path every long-lived 100 TB dataset hits:
+    generation v1 of a table lacks a column later generations carry.
+    Half the events are written with the v1 schema (no `value`), half
+    with v2, into sibling directories; ONE `mergeSchema=true` scan
+    reads both generations with the union schema (v1 rows NULL-filled)
+    and the aggregate is NULL-safe — COUNT(value) counts only v2 rows,
+    the decimal-exact SUM ignores the NULL generation. The oracle
+    replays the same union with an explicit NULL column, proving the
+    merged read is semantically a schema-aligned UNION (reference
+    parallel: the loader's error-tolerant schema-matched COPY, S7,
+    extended to cross-generation layout). Scale note: mergeSchema's
+    footer reconciliation is a planning-time cost per file — at lake
+    scale, pin the merged schema in the catalog instead; the read path
+    and NULL semantics are identical either way, which is what this
+    query pins.
+    """
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="dl_schevo_")
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type"
+        ).write.mode("overwrite").parquet(f"{root}/gen=v1")
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", "value"
+        ).write.mode("overwrite").parquet(f"{root}/gen=v2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{root}/gen=v1", f"{root}/gen=v2"
+        )
+        return (
+            merged.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count("value").cast("bigint").alias("n_with_value"),
+                F.sum(F.col("value").cast("decimal(27,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)  # detach from the temp dirs
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "map_functions_props",
     doc="MapType surface: from_json to map, sorted keys, element lookup, size",

@@ -311,6 +311,7 @@ _ROUND8_WINDOW = (
     "gk_portable_quantiles", "kmeans_portable_lloyd",
     "fastss_edit1_pairs", "tfidf_cosine_pairs", "self_bleu_proxy",
     "bucketed_colocated_join", "kmv_theta_sketch_pairs",
+    "conformal_calibration", "schema_evolution_merge_read",
     # rows-only entries, never windowed: record official rows-only runs
     "minhash_lsh_pairs", "simhash_fingerprints", "simhash_near_dup_pairs",
     "ann_ivf_topk", "ann_ivf_persisted_topk", "pagerank_copurchase",

