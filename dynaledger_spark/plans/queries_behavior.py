@@ -612,3 +612,111 @@ def user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ALS half-step with fixed item factors (round 8) — integer-exact
+# ---------------------------------------------------------------------------
+# d=2 item factors are seed-derived rationals x = (3*s1, 2*s2)/12 with
+# s1 = partkey*3 % 7 - 3, s2 = partkey*5 % 11 - 5; ratings are integer
+# quantities. Scaling the normal equations by 144 makes EVERY
+# accumulated term an exact BIGINT: (sum xs xs^T + 9 I) theta = 12 sum
+# xs y  (lambda = 1/16 -> 144*lambda = 9), so the per-user 2x2 solve is
+# two IEEE divisions of exact integers — bitwise-portable, and the
+# integer SUMs are combine-order-independent at any scale.
+@register(
+    "als_half_step_portable",
+    doc="one exact ALS user-factor solve (d=2, fixed seeded item factors, ridge 1/16) per customer",
+    oracle="""
+        WITH ratings AS (
+            SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS r
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_custkey, l.l_partkey
+        ),
+        feats AS (
+            SELECT custkey, r,
+                   CAST(3 * ((partkey * 3) % 7 - 3) AS BIGINT) AS xs1,
+                   CAST(2 * ((partkey * 5) % 11 - 5) AS BIGINT) AS xs2
+            FROM ratings
+        ),
+        sums AS (
+            SELECT custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(xs1 * xs1) + 9 AS BIGINT) AS a11,
+                   CAST(SUM(xs1 * xs2) AS BIGINT) AS a12,
+                   CAST(SUM(xs2 * xs2) + 9 AS BIGINT) AS a22,
+                   CAST(12 * SUM(xs1 * r) AS BIGINT) AS b1,
+                   CAST(12 * SUM(xs2 * r) AS BIGINT) AS b2
+            FROM feats GROUP BY custkey
+        )
+        SELECT custkey, n_items,
+               round(CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+                     / (a11 * a22 - a12 * a12), 9) AS theta1,
+               round(CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+                     / (a11 * a22 - a12 * a12), 9) AS theta2
+        FROM sums
+    """,
+)
+def als_half_step_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One alternation of ALS (Koren/Bell/Volinsky 2009; the
+    Zhou et al. 2008 parallel form Spark MLlib implements): with item
+    factors FIXED (seed-derived d=2 rationals), each user's factor
+    vector has the closed-form ridge solution
+    theta_u = (X_u^T X_u + lambda I)^{-1} X_u^T y_u — embarrassingly
+    parallel per user, which is exactly why ALS scales where SGD
+    factorization doesn't. Ratings = summed order quantities per
+    (customer, part). Scaling the normal equations by 144 (item
+    factors have denominator 12; lambda = 1/16) turns every
+    accumulated term into an exact BIGINT, so the distributed SUMs are
+    combine-order-independent and the final 2x2 Cramer solve is two
+    IEEE divisions of identical integers — the full half-step is
+    oracle-exact, no float accumulation anywhere.
+
+    Scale: one ratings aggregate (orderkey join + (cust, part)
+    groupBy), one per-user aggregate to 5 integers, one scan-side
+    solve. The real ALS loop alternates this exact shape between users
+    and items; driver traffic is zero (factors stay distributed).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ratings = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("r"))
+    )
+    feats = ratings.select(
+        "custkey",
+        "r",
+        (3 * ((F.col("partkey") * 3) % 7 - 3)).cast("bigint").alias("xs1"),
+        (2 * ((F.col("partkey") * 5) % 11 - 5)).cast("bigint").alias("xs2"),
+    )
+    sums = feats.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        (F.sum(F.col("xs1") * F.col("xs1")) + 9).cast("bigint").alias("a11"),
+        F.sum(F.col("xs1") * F.col("xs2")).cast("bigint").alias("a12"),
+        (F.sum(F.col("xs2") * F.col("xs2")) + 9).cast("bigint").alias("a22"),
+        (12 * F.sum(F.col("xs1") * F.col("r"))).cast("bigint").alias("b1"),
+        (12 * F.sum(F.col("xs2") * F.col("r"))).cast("bigint").alias("b2"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    return sums.select(
+        "custkey",
+        "n_items",
+        F.round(
+            (F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2")).cast("double")
+            / det,
+            9,
+        ).alias("theta1"),
+        F.round(
+            (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")).cast("double")
+            / det,
+            9,
+        ).alias("theta2"),
+    )
