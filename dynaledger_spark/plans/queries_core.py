@@ -1179,6 +1179,70 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning over a partitioned fact layout.
+# ---------------------------------------------------------------------------
+def _dpp_parts(spark: SparkSession, sf_dir: str, root: str):
+    """Write the partitioned fact + dim, return the UN-checkpointed
+    joined plan (shared by the registry builder and the plan test —
+    the test asserts `dynamicpruning` reaches the fact scan)."""
+    from dynaledger_spark.functions.agg import dsum
+
+    ev = _t(spark, sf_dir, "events")
+    ev.select("event_id", "user_id", "value", "event_type").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(f"{root}/events_part")
+    ev.select("event_type").distinct().select(
+        "event_type", F.length("event_type").alias("name_len")
+    ).write.mode("overwrite").parquet(f"{root}/event_dim")
+    fact = spark.read.parquet(f"{root}/events_part")
+    dim = spark.read.parquet(f"{root}/event_dim").filter(F.col("name_len") <= 5)
+    return (
+        fact.join(dim.select("event_type"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )
+
+
+@register(
+    "dpp_partition_pruned_join",
+    doc="partitioned fact x filtered dim: dynamic partition pruning keeps unneeded partitions unread",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE length(event_type) <= 5
+        GROUP BY event_type
+    """,
+)
+def dpp_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-layout counterpart of bucketed_colocated_join:
+    the fact written `partitionBy(event_type)`, the dim filtered on an
+    attribute only IT carries (name_len <= 5 — a value the fact side
+    cannot constant-fold), joined on the partition column. Catalyst's
+    DYNAMIC PARTITION PRUNING turns the dim's filtered keys into a
+    runtime subquery inside the fact scan's PartitionFilters
+    (plan-asserted in tests/test_plans.py::test_dpp_reaches_fact_scan),
+    so at 100 TB the fact reads ONLY the 3 surviving partitions — the
+    star-schema technique that makes a selective dim filter prune
+    petabytes of fact I/O without any manual predicate copying. The
+    oracle replays the semantic result (filter + aggregate over the
+    raw table), proving layout and pruning change I/O, never answers.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dl_dpp_")
+    try:
+        return _dpp_parts(spark, sf_dir, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "map_functions_props",
     doc="MapType surface: from_json to map, sorted keys, element lookup, size",

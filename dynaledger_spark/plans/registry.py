@@ -312,7 +312,7 @@ _ROUND8_WINDOW = (
     "fastss_edit1_pairs", "tfidf_cosine_pairs", "self_bleu_proxy",
     "bucketed_colocated_join", "kmv_theta_sketch_pairs",
     "conformal_calibration", "schema_evolution_merge_read",
-    "als_half_step_portable",
+    "als_half_step_portable", "dpp_partition_pruned_join",
     # rows-only entries, never windowed: record official rows-only runs
     "minhash_lsh_pairs", "simhash_fingerprints", "simhash_near_dup_pairs",
     "ann_ivf_topk", "ann_ivf_persisted_topk", "pagerank_copurchase",

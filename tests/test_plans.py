@@ -721,3 +721,21 @@ def test_adamic_adar_single_wedge_exchange(plans):
     assert "collect_list" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dpp_reaches_fact_scan(spark, sf_dir):
+    """dpp_partition_pruned_join's whole point: the dim's runtime keys
+    must appear as a dynamicpruning subquery in the partitioned fact
+    scan (I/O pruned at execution, not by a copied literal predicate)."""
+    import shutil
+    import tempfile
+
+    from dynaledger_spark.plans.queries_core import _dpp_parts
+
+    root = tempfile.mkdtemp(prefix="dl_dpp_plan_")
+    try:
+        df = _dpp_parts(spark, sf_dir, root)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
