@@ -3073,3 +3073,156 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hill_gamma",
         F.round(1.0 / F.col("hill_gamma"), 9).alias("hill_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (round 8)
+# ---------------------------------------------------------------------------
+# Fixed literature-style (m, u) parameters; the log-weights are computed
+# ONCE in Python and embedded as identical double literals in both
+# engines (no ln() at query time), so the 3-term score sum is a fixed
+# IEEE expression: name (m=.95, u=.001), nation (m=.9, u=.04 ~ 1/25),
+# balance-bucket (m=.85, u=.1).
+_FS_W = {
+    "name": (6.856461984594587, -2.9947317732204066),
+    "nation": (3.1135153092103742, -2.2617630984737906),
+    "bal": (2.1400661634962708, -1.791759469228055),
+}
+_FS_LINK_T = 5.0
+
+
+@register(
+    "fellegi_sunter_linkage",
+    doc="Fellegi-Sunter linkage: blocked A x dirtied-B pairs scored with fixed m/u log-weights",
+    oracle=f"""
+        WITH a_side AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+            FROM customer
+        ),
+        b_side AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0 THEN c_name || 'x'
+                        ELSE c_name END AS name_b,
+                   CASE WHEN c_custkey % 5 = 0
+                        THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+                        ELSE c_nationkey END AS nation_b,
+                   c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+                       + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END
+                       AS bal_bucket_b
+            FROM customer
+        ),
+        scored AS (
+            SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+                   CAST(a.c_name = b.name_b AS INT) AS agree_name,
+                   CAST(a.c_nationkey = b.nation_b AS INT) AS agree_nation,
+                   CAST(a.bal_bucket = b.bal_bucket_b AS INT) AS agree_bal,
+                   (CASE WHEN a.c_name = b.name_b
+                         THEN {_FS_W['name'][0]!r} ELSE {_FS_W['name'][1]!r} END
+                    + CASE WHEN a.c_nationkey = b.nation_b
+                           THEN {_FS_W['nation'][0]!r} ELSE {_FS_W['nation'][1]!r} END
+                    + CASE WHEN a.bal_bucket = b.bal_bucket_b
+                           THEN {_FS_W['bal'][0]!r} ELSE {_FS_W['bal'][1]!r} END)
+                       AS score
+            FROM a_side a JOIN b_side b
+              ON a.c_mktsegment = b.c_mktsegment
+             AND a.bal_bucket = b.bal_bucket_b
+        )
+        SELECT custkey_a, custkey_b, agree_name, agree_nation, agree_bal,
+               round(score, 9) AS score,
+               CASE WHEN score > {_FS_LINK_T!r} THEN 'link'
+                    ELSE 'possible' END AS decision,
+               CAST(custkey_a = custkey_b AS INT) AS is_true_match
+        FROM scored
+        WHERE score > 0
+    """,
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    1969 JASA; the Splink/record-linkage standard): A = customers, B =
+    a deterministically dirtied copy (every 3rd name typo'd, every 5th
+    nation shifted, every 7th balance bucket bumped — the corruption
+    both engines replay, as in fastss_edit1_pairs); candidate pairs
+    come from BLOCKING on (mktsegment, balance bucket); each pair's
+    agreement vector on (name, nation, balance-bucket) is scored with
+    fixed (m, u) log-weights ln(m/u) / ln((1-m)/(1-u)) embedded as
+    identical double literals, and score > {t} classifies a link. The
+    `is_true_match` column (same custkey) makes precision/recall
+    readable straight off the output — the bucket-bumped records'
+    true pairs fall OUT of the block, the honest cost of single-pass
+    blocking that multi-pass deployments fix.
+
+    Exactness: agreements are integer comparisons; the score is a
+    fixed-order sum of three double literals — bitwise-identical in
+    both engines; no ln() at query time.
+
+    Scale: the pair space is Sigma |block_A| x |block_B| — bounded by
+    the blocking key's selectivity, never corpus-quadratic (the
+    entity_resolution_blocked / FastSS shape); scoring is a scan-side
+    expression on the joined pairs.
+    """.format(t=_FS_LINK_T)
+    cust = _t(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    a_side = cust.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nation_a"),
+        "c_mktsegment",
+        bucket.alias("bal_bucket"),
+    )
+    b_side = cust.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("x")))
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            ((F.col("c_nationkey") + 1) % 25).cast("int"),
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("nation_b"),
+        "c_mktsegment",
+        (
+            bucket
+            + F.when(F.col("c_custkey") % 7 == 0, 1).otherwise(0)
+        ).alias("bal_bucket_b"),
+    )
+    pairs = a_side.join(
+        b_side,
+        (a_side.c_mktsegment == b_side.c_mktsegment)
+        & (F.col("bal_bucket") == F.col("bal_bucket_b")),
+    )
+    agree_name = F.col("name_a") == F.col("name_b")
+    agree_nation = F.col("nation_a") == F.col("nation_b")
+    agree_bal = F.col("bal_bucket") == F.col("bal_bucket_b")
+    score = (
+        F.when(agree_name, F.lit(_FS_W["name"][0])).otherwise(F.lit(_FS_W["name"][1]))
+        + F.when(agree_nation, F.lit(_FS_W["nation"][0])).otherwise(
+            F.lit(_FS_W["nation"][1])
+        )
+        + F.when(agree_bal, F.lit(_FS_W["bal"][0])).otherwise(F.lit(_FS_W["bal"][1]))
+    )
+    return (
+        pairs.select(
+            "custkey_a",
+            "custkey_b",
+            agree_name.cast("int").alias("agree_name"),
+            agree_nation.cast("int").alias("agree_nation"),
+            agree_bal.cast("int").alias("agree_bal"),
+            score.alias("score_raw"),
+        )
+        .filter(F.col("score_raw") > 0)
+        .select(
+            "custkey_a",
+            "custkey_b",
+            "agree_name",
+            "agree_nation",
+            "agree_bal",
+            F.round("score_raw", 9).alias("score"),
+            F.when(F.col("score_raw") > _FS_LINK_T, "link")
+            .otherwise("possible")
+            .alias("decision"),
+            (F.col("custkey_a") == F.col("custkey_b")).cast("int").alias("is_true_match"),
+        )
+    )

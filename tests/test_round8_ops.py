@@ -320,3 +320,30 @@ def test_als_half_step_solves_normal_equations(spark):
         # optimality: A @ theta == b up to float solve error
         assert abs(a11 * th1 + a12 * th2 - b1) < 1e-6 * max(1, abs(b1))
         assert abs(a12 * th1 + a22 * th2 - b2) < 1e-6 * max(1, abs(b2))
+
+
+def test_fellegi_sunter_quality_and_replay(spark):
+    """FS invariants: (1) every 'link' decision is a true match (the
+    weights are high-precision by construction on this corruption
+    model); (2) recall loss has exactly two causes — blocking (bucket
+    bumped: custkey % 7 == 0) or a doubly-corrupted record scoring
+    below 0 (name AND nation dirty: custkey % 15 == 0 gives
+    -2.99 - 2.26 + 2.14 = -3.11, correctly rejected); every other true
+    match must be found; (3) scores replay from the fixed weights."""
+    import pyarrow.parquet as pq_
+
+    out = rows(spark, "fellegi_sunter_linkage")
+    links = [r for r in out if r["decision"] == "link"]
+    assert links and all(r["is_true_match"] == 1 for r in links)
+    t = pq_.read_table(os.path.join(SF, "customer.parquet"), columns=["c_custkey"])
+    custkeys = t.to_pydict()["c_custkey"]
+    unbumped = {k for k in custkeys if k % 7 != 0 and k % 15 != 0}
+    found_true = {r["custkey_a"] for r in out if r["is_true_match"] == 1}
+    assert unbumped <= found_true
+    W = {"name": (6.856461984594587, -2.9947317732204066),
+         "nation": (3.1135153092103742, -2.2617630984737906),
+         "bal": (2.1400661634962708, -1.791759469228055)}
+    for r in out[:200]:
+        s = (W["name"][r["agree_name"] ^ 1] + W["nation"][r["agree_nation"] ^ 1]
+             + W["bal"][r["agree_bal"] ^ 1])
+        assert r["score"] == round(s, 9)

@@ -148,6 +148,7 @@ QUERIES = [
     "schema_evolution_merge_read",  # two parquet writes + mergeSchema scan; linear in bytes
     "als_half_step_portable",   # (cust,part) ratings agg + per-user 5-integer solve; hot order joins to one customer
     "dpp_partition_pruned_join",  # partitioned rewrite + DPP-pruned scan; linear in bytes
+    "fellegi_sunter_linkage",   # (segment, bucket)-blocked pair scoring; scan-side fixed-weight sum
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
