@@ -514,3 +514,101 @@ def pagerank_portable_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return cur.select("v", F.col("r").alias("pr_fixed"))
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation communities, fixed rounds (round 8)
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+        WITH {_EDGES_DUCK},
+        bidir AS MATERIALIZED (
+            SELECT pa AS src, pb AS dst FROM edges
+            UNION ALL SELECT pb AS src, pa AS dst FROM edges
+        ),
+        l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM bidir)"""
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+        l{r} AS MATERIALIZED (
+            SELECT v, lbl FROM (
+                SELECT b.src AS v, l.lbl,
+                       row_number() OVER (PARTITION BY b.src
+                                          ORDER BY COUNT(*) DESC, l.lbl) AS rn
+                FROM bidir b JOIN l{r - 1} l ON l.v = b.dst
+                GROUP BY b.src, l.lbl
+            ) WHERE rn = 1
+        )""")
+    return (
+        head + "," + ",".join(rounds)
+        + f"""
+        SELECT lbl AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(v) AS BIGINT) AS min_member,
+               CAST(SUM(v) AS BIGINT) AS member_sum
+        FROM l{_LPA_ROUNDS} GROUP BY lbl
+    """
+    )
+
+
+@register(
+    "lpa_communities_fixed",
+    doc=f"synchronous label propagation communities, {_LPA_ROUNDS} rounds, deterministic ties",
+    oracle=None,  # assembled below (unrolled rounds)
+)
+def lpa_communities_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007), made fully deterministic: every vertex starts as its
+    own label; each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label (the async/random
+    variants of LPA are irreproducible by design — the fixed-round
+    synchronous form with a total tie order is the one an engine can
+    contract about, the same determinism move as kmeans_portable_lloyd
+    and pagerank_portable_fixedpoint). {rounds} rounds over the
+    co-purchase graph, then per-community size / min-member /
+    member-sum checksums. Labels are vertex ids — exact integers the
+    whole way, so the DuckDB unrolled-CTE oracle matches bitwise.
+
+    Scale: each round is one edge-label equi-join + one (vertex, label)
+    count aggregate + one per-vertex rank window — the same
+    join+aggregate round shape as the PageRank fixpoint, linear in
+    |edges| per round with no per-vertex adjacency materialized;
+    localCheckpoint truncates the growing lineage between rounds.
+    """.format(rounds=_LPA_ROUNDS)
+    from pyspark.sql import Window as W
+
+    edges = _edges(spark, sf_dir)
+    bidir = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).persist()
+    labels = bidir.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        neigh = bidir.join(
+            labels.withColumnRenamed("v", "dst"), "dst"
+        ).groupBy(F.col("src").alias("v"), "lbl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = W.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lbl"))
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("v").cast("bigint").alias("min_member"),
+        F.sum("v").cast("bigint").alias("member_sum"),
+    )
+
+
+from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QRG  # noqa: E402
+
+_QRG["lpa_communities_fixed"].oracle = _lpa_oracle()

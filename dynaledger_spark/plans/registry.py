@@ -313,7 +313,7 @@ _ROUND8_WINDOW = (
     "bucketed_colocated_join", "kmv_theta_sketch_pairs",
     "conformal_calibration", "schema_evolution_merge_read",
     "als_half_step_portable", "dpp_partition_pruned_join",
-    "fellegi_sunter_linkage",
+    "fellegi_sunter_linkage", "lpa_communities_fixed",
     # rows-only entries, never windowed: record official rows-only runs
     "minhash_lsh_pairs", "simhash_fingerprints", "simhash_near_dup_pairs",
     "ann_ivf_topk", "ann_ivf_persisted_topk", "pagerank_copurchase",

@@ -149,6 +149,7 @@ QUERIES = [
     "als_half_step_portable",   # (cust,part) ratings agg + per-user 5-integer solve; hot order joins to one customer
     "dpp_partition_pruned_join",  # partitioned rewrite + DPP-pruned scan; linear in bytes
     "fellegi_sunter_linkage",   # (segment, bucket)-blocked pair scoring; scan-side fixed-weight sum
+    "lpa_communities_fixed",    # 3 rounds of edge-label join+agg; hot order capped at MAX_BASKET before pairs
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
