@@ -109,6 +109,14 @@ def main() -> None:
             "org.apache.spark.sql.execution.window.WindowExec",
             jvm.org.apache.logging.log4j.Level.ERROR,
         )
+        # Same treatment for CacheManager's "Asked to cache already
+        # cached data" WARN: a query that persists the same lineage on
+        # its re-measure attempt re-requests the cache harmlessly; the
+        # spam buries real warnings in the bench tail (VERDICT r8).
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.CacheManager",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
     except Exception:
         pass  # non-log4j2 deployments: keep the warnings
 
@@ -141,6 +149,16 @@ def main() -> None:
             if dt <= RERUN_THRESHOLD_S:
                 break
         timings[name] = round(best, 4) if best is not None else -1.0
+        # Builders persist() intermediates read more than once inside
+        # their own plan and never unpersist (the DataFrame is still
+        # lazy when returned). Over ~320 back-to-back queries those
+        # cached blocks accumulate for the session's lifetime (ADVICE
+        # r8) — drop them between queries, AFTER both timing attempts
+        # so run-2 semantics (and the recorded floors) are unchanged.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
     headline = [n for n, s in registry.items() if s.headline and timings.get(n, -1) >= 0]
     total = round(sum(timings[n] for n in headline), 4) if headline else -1.0

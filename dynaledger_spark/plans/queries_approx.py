@@ -532,10 +532,13 @@ _KMV_M = 1 << 40  # hash space size for the 40-bit md5 prefix
             FROM events
         ),
         sk AS (
+            -- KMV sketches are sets of DISTINCT HASH VALUES: two users
+            -- colliding in the 40-bit hash contribute ONE sketch entry
+            -- (matching the Spark side's distinct-on-(event_type, h)).
             SELECT event_type, h FROM (
                 SELECT event_type, h,
                        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
-                FROM h
+                FROM (SELECT DISTINCT event_type, h FROM h)
             ) WHERE rn <= {_KMV_K}
         ),
         types AS (SELECT DISTINCT event_type FROM events),
@@ -625,7 +628,7 @@ def kmv_theta_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra then runs on |types|^2 * k rows regardless of corpus size.
     The exact twins are the part that stops scaling (distinct shuffles);
     the sketch columns are the 100 TB answer.
-    """.format(k=_KMV_K)
+    """
     ev = _events(spark, sf_dir)
     h = F.expr(
         "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 10), 16, 10) AS BIGINT)"
@@ -737,3 +740,6 @@ def kmv_theta_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_exact"),
         )
     )
+
+
+kmv_theta_sketch_pairs.__doc__ = kmv_theta_sketch_pairs.__doc__.format(k=_KMV_K)

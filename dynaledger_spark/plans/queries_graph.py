@@ -577,7 +577,7 @@ def lpa_communities_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+aggregate round shape as the PageRank fixpoint, linear in
     |edges| per round with no per-vertex adjacency materialized;
     localCheckpoint truncates the growing lineage between rounds.
-    """.format(rounds=_LPA_ROUNDS)
+    """
     from pyspark.sql import Window as W
 
     edges = _edges(spark, sf_dir)
@@ -607,6 +607,9 @@ def lpa_communities_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("bigint").alias("min_member"),
         F.sum("v").cast("bigint").alias("member_sum"),
     )
+
+
+lpa_communities_fixed.__doc__ = lpa_communities_fixed.__doc__.format(rounds=_LPA_ROUNDS)
 
 
 from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QRG  # noqa: E402

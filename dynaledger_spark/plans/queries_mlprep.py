@@ -465,7 +465,7 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     Dropping hub intermediaries is also statistically principled:
     common-neighbor evidence through a hub is weak (Adamic-Adar
     downweights it 1/log deg for the same reason).
-    """.format(cap=_LP_DEG_CAP)
+    """
     edges = _edges(spark, sf_dir)
     arcs = edges.select(
         F.col("pa").alias("s"), F.col("pb").alias("d")
@@ -491,6 +491,9 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .limit(30)
     )
+
+
+link_prediction_common_neighbors.__doc__ = link_prediction_common_neighbors.__doc__.format(cap=_LP_DEG_CAP)
 
 
 # ---------------------------------------------------------------------------
@@ -844,7 +847,7 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-exchange shape.) Anti join against existing edges,
     TakeOrderedAndProject(30).
     reference: SURVEY §2.11 (graph tier).
-    """.format(cap=_LP_DEG_CAP)
+    """
     edges = _edges(spark, sf_dir)
     arcs = edges.select(
         F.col("pa").alias("s"), F.col("pb").alias("d")
@@ -890,3 +893,6 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_score").desc(), F.col("pa").asc(), F.col("pb").asc())
         .limit(30)
     )
+
+
+adamic_adar_link_prediction.__doc__ = adamic_adar_link_prediction.__doc__.format(cap=_LP_DEG_CAP)

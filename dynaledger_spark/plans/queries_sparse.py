@@ -113,7 +113,7 @@ def fastss_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap as the LSH path (mirrored in the oracle so the query stays
     exact when it engages); verification runs per candidate, never per
     vocabulary pair.
-    """.format(mod=_TYPO_MOD, hi=_WLEN_HI)
+    """
     toks = _docs(spark, sf_dir).select(
         "doc_id",
         F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "w"),
@@ -163,6 +163,9 @@ def fastss_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver.join(wa, "word_a").join(wb, "word_b").select(
         "word_a", "word_b", "n_a", "n_b"
     )
+
+
+fastss_edit1_pairs.__doc__ = fastss_edit1_pairs.__doc__.format(mod=_TYPO_MOD, hi=_WLEN_HI)
 
 
 # ---------------------------------------------------------------------------
@@ -261,7 +264,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with df in [{lo}, {block}] (per-term pair fan-out <= C({block},2),
     linear in rare-vocabulary size, never corpus-quadratic); the dot
     join fans each candidate pair out by its shared terms only.
-    """.format(block=_TFIDF_DF_BLOCK, lo=_TFIDF_DF_MIN, gram=_TFIDF_GRAM)
+    """
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
     )
@@ -346,6 +349,9 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine, 9).alias("cosine"),
         )
     )
+
+
+tfidf_cosine_pairs.__doc__ = tfidf_cosine_pairs.__doc__.format(block=_TFIDF_DF_BLOCK, lo=_TFIDF_DF_MIN, gram=_TFIDF_GRAM)
 
 
 # ---------------------------------------------------------------------------

@@ -3161,7 +3161,7 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocking key's selectivity, never corpus-quadratic (the
     entity_resolution_blocked / FastSS shape); scoring is a scan-side
     expression on the joined pairs.
-    """.format(t=_FS_LINK_T)
+    """
     cust = _t(spark, sf_dir, "customer")
     bucket = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
     a_side = cust.select(
@@ -3226,3 +3226,6 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("custkey_a") == F.col("custkey_b")).cast("int").alias("is_true_match"),
         )
     )
+
+
+fellegi_sunter_linkage.__doc__ = fellegi_sunter_linkage.__doc__.format(t=_FS_LINK_T)

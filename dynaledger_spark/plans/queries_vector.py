@@ -1047,10 +1047,19 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_pruned_reps"),
         F.sum("pruned_id").cast("bigint").alias("pruned_rep_sum"),
     )
+    # Non-min members of a dup group are pruned by their representative
+    # ONLY when the shared vector has a positive norm: for an all-zero
+    # vector cosine is 0/0 = NULL in both engines, the naive filter is
+    # never true, and the oracle keeps every member — so zero-norm
+    # groups are excluded from the unconditional collapse (and their
+    # reps can't be pruned by the pair join either, for the same reason).
+    nz = F.col("nrm") > 0
     per_cluster = norms.groupBy("cluster").agg(
         F.sum("m").cast("bigint").alias("n_vectors"),
-        F.sum(F.col("m") - 1).cast("bigint").alias("n_pruned_nonmin"),
-        F.sum(F.col("id_sum") - F.col("vec_id")).cast("bigint").alias("sum_nonmin"),
+        F.sum(F.when(nz, F.col("m") - 1).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_pruned_nonmin"),
+        F.sum(F.when(nz, F.col("id_sum") - F.col("vec_id")).otherwise(F.lit(0)))
+        .cast("bigint").alias("sum_nonmin"),
     )
     return (
         per_cluster.join(dup_agg, "cluster", "left")

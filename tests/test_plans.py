@@ -739,3 +739,44 @@ def test_dpp_reaches_fact_scan(spark, sf_dir):
         assert "dynamicpruning" in plan.lower()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rotation_staleness_sla():
+    """VERDICT r8 item 2: the driver window rotation is an SLA, not a
+    hand-pinned list. Simulate the rotation forward from the committed
+    CORRECTNESS history: each simulated round verifies the first 50
+    driver_order entries; assert no query ever waits longer than
+    ceil((N - |pinned|) / (50 - |pinned|)) rounds between visits, and
+    that the pinned flagships are inside every window."""
+    import math
+
+    from dynaledger_spark.plans import registry as R
+
+    reg = dict(REGISTRY)
+    hist = dict(R.correctness_history())
+    n_pinned = len(R._PINNED)
+    slots = R._DRIVER_WINDOW
+    bound = math.ceil((len(reg) - n_pinned) / (slots - n_pinned))
+    assert bound <= 7, (
+        f"registry grew past the 7-round staleness SLA: {len(reg)} queries "
+        f"/ {slots - n_pinned} rotation slots -> {bound} rounds; raise the "
+        "driver window or split the registry"
+    )
+    start = max(hist.values(), default=0) + 1
+    visits: dict[str, list[int]] = {n: [] for n in reg}
+    sim = dict(hist)
+    for rnd in range(start, start + 3 * bound):
+        window = R.driver_order(reg, history=sim)[:slots]
+        for p in R._PINNED:
+            assert p in window[:n_pinned]
+        for n in window:
+            sim[n] = rnd
+            visits[n].append(rnd)
+    # steady state: every query visited, max gap between consecutive
+    # visits within the bound (ignore the pre-history warm-in gap)
+    for n, vs in visits.items():
+        assert vs, f"{n} never entered the window in {3 * bound} rounds"
+        gaps = [b - a for a, b in zip(vs, vs[1:])]
+        assert not gaps or max(gaps) <= bound, (
+            f"{n} staleness {max(gaps)} rounds exceeds SLA {bound}"
+        )

@@ -47,6 +47,14 @@ def main() -> int:
         except Exception as exc:
             failed.append(name)
             print(f"FAIL  {name}: {str(exc)[:300]}", flush=True)
+        finally:
+            # builders persist() intra-plan intermediates and stay lazy;
+            # drop the blocks between queries so ~320 back-to-back runs
+            # don't accumulate cache for the session lifetime (ADVICE r8)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
     print(f"\n{len(reg) - len(failed)}/{len(reg)} green", flush=True)
     if failed:
         print("failed:", ", ".join(failed), flush=True)
