@@ -1,0 +1,216 @@
+"""Mutation-sensitivity audit of the oracle-parity gate (VERDICT r8 item 1).
+
+A test you've never seen fail is not yet a test: the remaining
+correctness risk in this repo is not a query that fails but a gate that
+CANNOT fail. This module proves the DuckDB compare actually reports a
+mismatch when the Spark plan is wrong, across ~20 queries sampled from
+every family, with two mutation classes:
+
+* PLAN mutations — monkeypatch a module constant the Spark builder reads
+  at call time while the oracle SQL (baked at import with the original
+  value) stays fixed. This is a REAL semantic perturbation of the plan:
+  an off-by-factor sketch size, a moved similarity threshold, a dropped
+  propagation round, a different dropout modulus. The gate must fail.
+* RESULT mutations — perturb the built DataFrame in ways that mimic
+  classic plan bugs: a lost boundary row (dropped/flipped filter), a
+  duplicated row (broken dedup), a single-ulp float drift (wrong
+  accumulator), swapped rounding, a value swap between rows that
+  PRESERVES every per-column multiset (so a column-wise comparator would
+  pass — this pins that the gate hashes whole row tuples), a renamed
+  column, an off-by-one date. The gate must fail on each.
+
+If any mutation passes the compare, the oracle is too coarse to
+distinguish that bug class and must be tightened — that assertion IS the
+test. (dbt's --store-failures discipline, reference
+run_dbt_pipeline.sh:46-47, applied to the harness itself.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans import (
+    queries_approx,
+    queries_graph,
+    queries_lm,
+    queries_mlprep,
+    queries_quality,
+    queries_sparse,
+    queries_stats,
+    queries_text,
+    queries_vector,
+)
+from dynaledger_spark.plans.registry import load_all
+
+from tests.oracle_compare import compare, duck_connection
+
+QUERY_REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+def _assert_gate_fires(spark_df, duck, oracle, what: str) -> None:
+    """The compare must RAISE; if it passes, the gate is insensitive to
+    this bug class — that is the audit finding, reported loudly."""
+    with pytest.raises(AssertionError):
+        compare(spark_df, duck, oracle)
+        pytest.fail(
+            f"INSENSITIVE GATE: {what} did not change the compared output — "
+            "tighten the oracle (more columns / finer grain) or pick a "
+            "mutation that crosses a data boundary"
+        )
+
+
+# ---------------------------------------------------------------------------
+# PLAN mutations: monkeypatch a runtime-read constant; the oracle keeps
+# the original value.  (query, module, attr, mutated_value)
+# ---------------------------------------------------------------------------
+PLAN_MUTATIONS = [
+    ("kmv_theta_sketch_pairs", queries_approx, "_KMV_K", 32),
+    ("gk_portable_quantiles", queries_approx, "_GK_EPS_DEN", 16),
+    ("semdedup_prune", queries_vector, "_SEMDEDUP_TAU", 0.9),
+    ("lpa_communities_fixed", queries_graph, "_LPA_ROUNDS", 1),
+    ("fellegi_sunter_linkage", queries_stats, "_FS_LINK_T", 0.0),
+    ("token_dropout_augment", queries_lm, "_DROP_MOD", 3),
+    ("tfidf_cosine_pairs", queries_sparse, "_TFIDF_MIN_COS", 0.6),
+    ("link_prediction_common_neighbors", queries_mlprep, "_LP_DEG_CAP", 2),
+    ("char_entropy_quality", queries_text, "_ENTROPY_KEEP", 2.0),
+    ("quality_ensemble_gate", queries_quality, "_ENSEMBLE_MIN_VOTES", 2),
+]
+
+
+@pytest.mark.parametrize(
+    "name,module,attr,bad",
+    PLAN_MUTATIONS,
+    ids=[m[0] for m in PLAN_MUTATIONS],
+)
+def test_plan_mutation_detected(spark, sf_dir, duck, monkeypatch, name, module, attr, bad):
+    spec = QUERY_REGISTRY[name]
+    good = getattr(module, attr)
+    assert good != bad
+    monkeypatch.setattr(module, attr, bad)
+    try:
+        _assert_gate_fires(
+            spec.build(spark, sf_dir), duck, spec.oracle,
+            f"{name}: {attr} {good} -> {bad}",
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# RESULT mutations: perturb the built DataFrame like a plan bug would.
+# ---------------------------------------------------------------------------
+def _first_col(df, types):
+    for f in df.schema.fields:
+        if f.dataType.simpleString() in types:
+            return f.name
+    raise AssertionError(f"no column of type {types} in {df.columns}")
+
+
+def _drop_one_row(df):
+    """A filter that loses one boundary row."""
+    return df.limit(df.count() - 1)
+
+
+def _duplicate_one_row(df):
+    """A broken dedup that emits one row twice."""
+    return df.unionAll(df.limit(1))
+
+
+def _ulp_drift(df):
+    """A wrong accumulator: every double drifts by ONE ulp (multiply by
+    1 + 2^-52).  The gate compares shortest-repr exactly, so even this
+    must fire — the strongest float-sensitivity statement available."""
+    c = _first_col(df, {"double"})
+    return df.withColumn(c, F.col(c) * F.lit(1.0000000000000002))
+
+
+def _swapped_rounding(df):
+    """Coarser rounding than the contract (integer where the contract
+    says cents — round(x, 2) would be a no-op on an already
+    cents-rounded column, the first insensitivity this audit found)."""
+    c = _first_col(df, {"double"})
+    return df.withColumn(c, F.round(F.col(c), 0))
+
+
+def _int_off_by_one(df):
+    """An off-by-one in a count/sum."""
+    c = _first_col(df, {"bigint", "int"})
+    return df.withColumn(c, (F.col(c) + F.lit(1)).cast(dict(df.dtypes)[c]))
+
+
+def _cross_row_value_swap(df):
+    """Swap a column's min and max values between rows: every PER-COLUMN
+    multiset is preserved, only row tuples change — a column-wise
+    comparator would pass this; the gate must not."""
+    c = _first_col(df, {"bigint", "int", "double"})
+    lo, hi = df.agg(F.min(c), F.max(c)).first()
+    assert lo != hi, f"degenerate column {c}: min == max, pick another query"
+    return df.withColumn(
+        c,
+        F.when(F.col(c) == hi, F.lit(lo))
+        .when(F.col(c) == lo, F.lit(hi))
+        .otherwise(F.col(c)),
+    )
+
+
+def _rename_column(df):
+    """A schema drift (wrong alias)."""
+    return df.withColumnRenamed(df.columns[-1], df.columns[-1] + "_x")
+
+
+def _date_off_by_one(df):
+    """An off-by-one date parse."""
+    for f in df.schema.fields:
+        if f.dataType.simpleString() in {"date", "timestamp", "timestamp_ntz"}:
+            if f.dataType.simpleString() == "date":
+                return df.withColumn(f.name, F.date_add(F.col(f.name), 1))
+            return df.withColumn(
+                f.name, F.col(f.name) + F.expr("INTERVAL 1 DAY")
+            )
+    raise AssertionError(f"no date/timestamp column in {df.columns}")
+
+
+RESULT_MUTATIONS = [
+    ("fact_build", _ulp_drift),
+    ("statement_query", _drop_one_row),
+    ("dedup_exact", _duplicate_one_row),
+    ("rolling_30d_revenue", _swapped_rounding),
+    ("topk_customers", _cross_row_value_swap),
+    ("date_rollup", _int_off_by_one),
+    ("hash_split_train_val", _rename_column),
+    ("minhash_portable_pairs", _drop_one_row),
+    ("tpch_q1_pricing_summary", _ulp_drift),
+    ("first_last_order_span", _date_off_by_one),
+    ("stddev_exact_by_flag", _cross_row_value_swap),
+]
+
+
+@pytest.mark.parametrize(
+    "name,mutate",
+    RESULT_MUTATIONS,
+    ids=[f"{m[0]}-{m[1].__name__}" for m in RESULT_MUTATIONS],
+)
+def test_result_mutation_detected(spark, sf_dir, duck, name, mutate):
+    spec = QUERY_REGISTRY[name]
+    df = spec.build(spark, sf_dir)
+    try:
+        _assert_gate_fires(mutate(df), duck, spec.oracle, f"{name}: {mutate.__name__}")
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_unmutated_queries_still_pass(spark, sf_dir, duck):
+    """Control arm: the same gate passes the UNMUTATED plans — so the
+    failures above are caused by the mutations, not by the harness."""
+    for name in ("fact_build", "kmv_theta_sketch_pairs", "char_entropy_quality"):
+        spec = QUERY_REGISTRY[name]
+        compare(spec.build(spark, sf_dir), duck, spec.oracle)
+        spark.catalog.clearCache()
