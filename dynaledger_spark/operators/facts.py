@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from dynaledger_spark.functions.agg import dsum
+
 STATEMENT_TYPES = {"Balance Sheet": "BS", "Income Statement": "IS", "Cash Flow": "CF"}
 
 _GROUP_COLS = [
@@ -61,10 +63,14 @@ def build_fact_table(
         )
     )
     w = W.partitionBy(*_GROUP_COLS).orderBy(F.col("report_date").desc())
+    # DECIMAL-accumulated sum (functions/agg.dsum): exact and associative,
+    # so partial aggregates combine in any order — the result is identical
+    # across retries, partitionings, and engines (registry determinism
+    # contract applied to the ingest path).
     return (
         joined.withColumn("rn", F.dense_rank().over(w))
         .groupBy(*_GROUP_COLS, "rn")
-        .agg(F.sum("value").alias("total_value"))
+        .agg(dsum(F.col("value"), "total_value"))
         .drop("rn")
     )
 
@@ -122,4 +128,4 @@ def build_facts_single_pass(num: DataFrame, sub: DataFrame, pre: DataFrame) -> D
             "value",
         )
     )
-    return joined.groupBy(*_GROUP_COLS).agg(F.sum("value").alias("total_value"))
+    return joined.groupBy(*_GROUP_COLS).agg(dsum(F.col("value"), "total_value"))

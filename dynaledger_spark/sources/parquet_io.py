@@ -15,14 +15,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def write_partitioned(df: DataFrame, path: str, partition_col: str = "source_file") -> None:
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "source_file",
+    mode: str = "overwrite",
+) -> None:
     """Columnar sink: snappy parquet partitioned by quarter tag.
 
     At 100 TB: one directory per quarter, scans with a `source_file`
     predicate read only that quarter's files (partition pruning).
+    `mode="append"` is the quarterly-accretion path (each quarter adds
+    its own partition directory; earlier quarters are never rewritten).
     """
     (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .partitionBy(partition_col)
         .parquet(path, compression="snappy")
     )

@@ -100,7 +100,7 @@ def test_fact_table_matches_dbt_sql(spark, tables, tmp_path):
         )
         SELECT adsh, cik, company_name, filing_date, fiscal_year, fiscal_period,
                tag, unit_of_measure, report_date, qtrs, statement_type, plabel,
-               SUM(value) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
         FROM FilteredData
         GROUP BY adsh, cik, company_name, filing_date, fiscal_year,
                  fiscal_period, tag, unit_of_measure, report_date, qtrs,

@@ -54,8 +54,25 @@ _STMTS = ["BS", "IS", "CF"]
 _UOMS = ["USD", "shares", "EUR", "USD-per-shares"]
 
 
-def _adsh_pool(n: int) -> np.ndarray:
-    return np.array([f"{i:010d}-24-{i % 1_000_000:06d}" for i in range(n)])
+_Q_PERIOD_MMDD = {1: 331, 2: 630, 3: 930, 4: 1231}
+
+
+def _quarter_parts(quarter: str) -> tuple[int, int, int, int]:
+    """'2024Q3' -> (year, qnum, period_yyyymmdd, filed_base)."""
+    y, qn = int(quarter[:4]), int(quarter[-1])
+    period = y * 10_000 + _Q_PERIOD_MMDD[qn]
+    filed_base = y * 10_000 + (qn * 3 + 1) % 12 * 100 + 1  # first of next month
+    if qn == 4:
+        filed_base = (y + 1) * 10_000 + 101
+    return y, qn, period, filed_base
+
+
+def _adsh_pool(n: int, offset: int = 0) -> np.ndarray:
+    # offset keeps quarters' filing ids disjoint (a real accession number
+    # is unique per filing; a backfill never re-sees one)
+    return np.array(
+        [f"{i + offset:010d}-24-{(i + offset) % 1_000_000:06d}" for i in range(n)]
+    )
 
 
 def _tag_pool(n: int) -> np.ndarray:
@@ -63,18 +80,26 @@ def _tag_pool(n: int) -> np.ndarray:
 
 
 def build_quarter_zip(
-    zip_path: str, n_num: int, n_sub: int | None = None, n_tag: int = N_TAG
+    zip_path: str,
+    n_num: int,
+    n_sub: int | None = None,
+    n_tag: int = N_TAG,
+    quarter: str = Q,
 ) -> dict[str, int]:
     """Write a synthetic quarter ZIP with FIXTURES.md §A shapes at scale.
 
     Deterministic (seeded RNG); TSVs are streamed into the ZIP in 1M-row
     chunks so generation memory stays bounded the same way the
     reference's chunked reader does. n_sub/n_tag default to the bench
-    proportions; the e2e test passes tiny values.
+    proportions; the e2e test passes tiny values.  `quarter` ('2024Q3')
+    drives period/fy/fp/filed/ddate and offsets the adsh pool so a
+    multi-quarter backfill sees disjoint filings per quarter (the
+    reference's per-quarter accretion, snowflake_raw_data_loader.py:50).
     """
+    year, qn, period, filed_base = _quarter_parts(quarter)
     n_sub = n_sub if n_sub is not None else max(1000, n_num // 80)
-    rng = np.random.default_rng(42)
-    adsh = _adsh_pool(n_sub)
+    rng = np.random.default_rng(42 + qn + 101 * year)
+    adsh = _adsh_pool(n_sub, offset=qn * 10_000_000)
     tags = _tag_pool(n_tag)
     counts: dict[str, int] = {}
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED, compresslevel=1) as zf:
@@ -90,10 +115,10 @@ def build_quarter_zip(
                 "wksi": rng.integers(0, 2, n_sub),
                 "fye": 1231,
                 "form": rng.choice(["10-K", "10-Q", "8-K"], n_sub),
-                "period": 20240331,
-                "fy": 2024,
-                "fp": "Q1",
-                "filed": 20240401 + rng.integers(0, 29, n_sub),
+                "period": period,
+                "fy": year,
+                "fp": f"Q{qn}",
+                "filed": filed_base + rng.integers(0, 27, n_sub),
                 "accepted": "2024-04-10 08:24:00.0",
                 "prevrpt": 0,
                 "detail": 1,
@@ -172,7 +197,7 @@ def build_quarter_zip(
                         "adsh": adsh[filing],
                         "tag": tags[(filing * 7 + line) % n_tag],
                         "version": "us-gaap/2024",
-                        "ddate": 20240331,
+                        "ddate": period,
                         "qtrs": rng.integers(0, 5, n),
                         "uom": np.array(_UOMS)[rng.integers(0, len(_UOMS), n)],
                         "segments": "",
@@ -257,6 +282,49 @@ def main() -> None:
             )
         facts3_s = time.perf_counter() - t4
 
+        # --- multi-quarter backfill (the reference's actual operating
+        # mode: quarterly accretion). 4 quarters at N/8 num rows each:
+        # ZIP -> typed -> facts appended partitionBy(source_file,
+        # statement_type) AND raw tables appended into adsh-bucketed
+        # tables; then the two recurring reads — the partition-pruned
+        # statement read and the zero-Exchange bucketed statement join.
+        from dynaledger_spark.operators.backfill import (
+            append_quarter_bucketed,
+            append_quarter_facts,
+            bucketed_statement_join,
+            drop_bucketed,
+            latest_fact_quarter,
+            statement_facts,
+        )
+
+        bf_quarters = ["2024Q1", "2024Q2", "2024Q3", "2024Q4"]
+        bf_root = os.path.join(scratch, "backfill_facts")
+        drop_bucketed(spark, suffix="bench")
+        t5 = time.perf_counter()
+        for q in bf_quarters:
+            qzip = os.path.join(scratch, f"{q}.zip")
+            build_quarter_zip(qzip, max(N_NUM // 8, 10_000), quarter=q)
+            qtyped = ingest_quarter(
+                spark, extract_zip(qzip, os.path.join(scratch, f"ext_{q}")), q
+            )
+            append_quarter_facts(
+                qtyped["sec_num"], qtyped["sec_sub"], qtyped["sec_pre"], q, bf_root
+            )
+            append_quarter_bucketed(qtyped, n_buckets=32, suffix="bench")
+        backfill_s = time.perf_counter() - t5
+        assert latest_fact_quarter(spark, bf_root) == bf_quarters[-1]
+
+        t6 = time.perf_counter()
+        pruned_n = statement_facts(spark, bf_root, "2024Q3", "BS").count()
+        pruned_read_s = time.perf_counter() - t6
+        assert pruned_n > 0, "pruned statement read empty"
+
+        t7 = time.perf_counter()
+        bkt_n = bucketed_statement_join(spark, "2024Q2", "IS", suffix="bench").count()
+        bucketed_join_s = time.perf_counter() - t7
+        assert bkt_n > 0, "bucketed statement join empty"
+        drop_bucketed(spark, suffix="bench")
+
         total = extract_s + load_s + facts_s
         print(
             json.dumps(
@@ -269,6 +337,9 @@ def main() -> None:
                         "tsv_to_typed_parquet": round(load_s, 3),
                         "fact_build_single_pass": round(facts_s, 3),
                         "fact_build_per_stmt_x3_not_counted": round(facts3_s, 3),
+                        "backfill_4q_accrete_facts_and_bucketed": round(backfill_s, 3),
+                        "backfill_pruned_statement_read": round(pruned_read_s, 3),
+                        "backfill_bucketed_statement_join": round(bucketed_join_s, 3),
                     },
                     "rows": {**counts, "facts": fact_rows},
                     "num_rows_per_sec": int(counts["num"] / total),
