@@ -143,21 +143,52 @@ def copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact global triangle count: with every edge stored once as
-    (a<b), each triangle a<b<c is found exactly once by joining
-    wedge (a,b)+(b,c) against closing edge (a,c) — two equi-joins, no
-    orientation dedup needed. Wedge count (the real cost) is Σ deg²
-    over middle vertices; the support threshold keeps it polynomial in
-    basket size, and at hub-heavy scale the standard refinement is to
-    orient edges from lower- to higher-degree endpoints before the wedge
-    join (documented, not needed at these degrees).
+    """Exact global triangle count by DEGREE-ORIENTED edge iteration
+    (the "compact-forward" refinement, Latapy 2008): re-orient every
+    undirected edge from its lower- to its higher-(degree, id) endpoint,
+    so each triangle a≺b≺c is found exactly once as the wedge
+    (a→b, a→c) closed by b→c. Wedge count drops from Σ deg² over middle
+    vertices to Σ outdeg² with outdeg ≤ O(√m) — the refinement the naive
+    form's docstring promised "at hub-heavy scale": the round-9
+    combined clone+skew probe densified the co-purchase graph to 1.2M
+    edges / max-degree 222 (Σ deg² ≈ 300M wedges) and the naive wedge
+    join measured 16-22x; orientation is the 100 TB posture because a
+    denser graph concentrates MORE of the savings on the hubs. The
+    oracle keeps the naive unoriented form — parity proves the
+    orientation output-equivalent.
     """
     edges = _edges(spark, sf_dir)
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    wedges = e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+    arcs = edges.select(F.col("pa").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("v"))
+    )
+    deg = arcs.groupBy("v").agg(F.count(F.lit(1)).alias("dg"))
+    e = (
+        edges.join(deg.select(F.col("v").alias("pa"), F.col("dg").alias("da")), "pa")
+        .join(deg.select(F.col("v").alias("pb"), F.col("dg").alias("db")), "pb")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    ).persist()  # read three times (two wedge sides + closing edge)
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    wedges = o1.join(
+        o2,
+        (F.col("o2.src") == F.col("o1.src"))
+        & (
+            (F.col("o1.dst_d") < F.col("o2.dst_d"))
+            | (
+                (F.col("o1.dst_d") == F.col("o2.dst_d"))
+                & (F.col("o1.dst") < F.col("o2.dst"))
+            )
+        ),
+    )
     tri = wedges.join(
-        e3,
-        (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        o3,
+        (F.col("o3.src") == F.col("o1.dst")) & (F.col("o3.dst") == F.col("o2.dst")),
     )
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")).crossJoin(
         edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))

@@ -150,6 +150,25 @@ QUERIES = [
     "dpp_partition_pruned_join",  # partitioned rewrite + DPP-pruned scan; linear in bytes
     "fellegi_sunter_linkage",   # (segment, bucket)-blocked pair scoring; scan-side fixed-weight sum
     "lpa_communities_fixed",    # 3 rounds of edge-label join+agg; hot order capped at MAX_BASKET before pairs
+    # round-9 combined clone+skew sweep: the similarity/graph/embedding
+    # queries that had never seen the probe corpus (which carries BOTH
+    # failure modes: exact-clone embeddings + 3000-dup docs + hot keys)
+    "ann_cosine_topk", "ann_lsh_bucketed", "cosine_near_dup_windowed",
+    "embedding_norms", "centroid_assign_fixed", "quantized_cosine_pairs",
+    "random_projection_jl", "ann_recall_eval", "grid_density_clusters",
+    "power_iteration_portable", "kmeans_portable_lloyd",
+    "ann_ivf_persisted_topk", "ann_ivf_topk", "power_iteration_top_pc",
+    "copurchase_degree_hist",
+    "copurchase_triangles",  # probe-driven redesign: degree-oriented wedges (22x -> 4.5x)
+    "bfs_levels_copurchase", "kcore_copurchase",
+    "pagerank_portable_fixedpoint", "pagerank_copurchase",
+    "minhash_portable_pairs", "simhash_portable_fingerprints",
+    "doc_fingerprint", "lang_id",
+    "dedup_clusters",  # pointer-jumping CC over the 3000-dup cluster: ~6x, O(rounds x edges)
+    "ngram_jaccard", "text_quality", "containment_scores",
+    "dedup_keep_best", "minhash_portable_incremental", "type_token_ratio",
+    "vocab_build_topn", "lang_id_confusion", "source_vocab_overlap",
+    "compression_ratio_quality", "simhash_fingerprints",
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named

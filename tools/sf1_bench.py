@@ -8,7 +8,8 @@ row-count-scaled sf0.1 floor, i.e. ratio <= 20 per query, with the
 expected profile being far below (fixed per-query overheads amortize;
 scan-bound queries land near the I/O ratio).
 
-Run: python tools/sf1_bench.py          (clean box; ~10 min)
+Run: python tools/sf1_bench.py          (headline + TPC-H; ~10 min)
+     python tools/sf1_bench.py --all    (FULL registry; ~45-90 min)
      python tools/sf1_bench.py q1 q2    (named queries only)
 Results are transcribed into BASELINE.md ("sf1" section).
 """
@@ -32,10 +33,13 @@ def main() -> None:
     spark = get_spark("sf1_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     reg = load_all()
-    names = sys.argv[1:] or (
-        [n for n, s in reg.items() if s.headline]
-        + sorted(n for n in reg if n.startswith("tpch_"))
-    )
+    if sys.argv[1:] == ["--all"]:
+        names = sorted(reg)
+    else:
+        names = sys.argv[1:] or (
+            [n for n, s in reg.items() if s.headline]
+            + sorted(n for n in reg if n.startswith("tpch_"))
+        )
     bad = [n for n in names if n not in reg]
     if bad:
         sys.exit(f"sf1_bench: unrecognized query names: {bad}")
@@ -50,25 +54,45 @@ def main() -> None:
                 best = None
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    reg[name].build(spark, sf_dir).write.mode("overwrite").format(
-                        "noop"
-                    ).save()
+                    try:
+                        reg[name].build(spark, sf_dir).write.mode("overwrite").format(
+                            "noop"
+                        ).save()
+                    except Exception as exc:  # record, keep sweeping
+                        print(f"# sf1_bench FAILED {name}: {str(exc)[:200]}")
+                        best = -1.0
+                        break
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
                     if dt <= 2.0:
                         break
                 out[name] = best
+                # builders persist() intra-plan intermediates; drop between
+                # queries so a full-registry sweep doesn't accumulate cache
+                try:
+                    spark.catalog.clearCache()
+                except Exception:
+                    pass
             return out
 
         base = run(SF1)
         big = run(dest)
         print(f"\n{'query':38s} {'sf0.1':>7s} {'sf1':>8s} {'ratio':>6s}")
         worst = 0.0
+        fams: dict[str, list[float]] = {}
         for name in names:
+            if base[name] < 0 or big[name] < 0:
+                print(f"{name:38s} FAILED")
+                continue
             r = big[name] / base[name]
             worst = max(worst, r)
+            fams.setdefault(reg[name].build.__module__.rsplit(".", 1)[-1], []).append(r)
             flag = "  <-- over 20x row-scaled bar" if r > 20 else ""
             print(f"{name:38s} {base[name]:7.2f} {big[name]:8.2f} {r:6.1f}{flag}")
+        print(f"\nper-family ratios (n, median, max):")
+        for fam in sorted(fams):
+            rs = sorted(fams[fam])
+            print(f"  {fam:24s} n={len(rs):3d}  med={rs[len(rs)//2]:5.1f}  max={rs[-1]:5.1f}")
         print(f"\nworst ratio: {worst:.1f}x (bar: 20x = 2x per-row floor at 10x rows)")
     finally:
         shutil.rmtree(dest, ignore_errors=True)
