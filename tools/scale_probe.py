@@ -173,8 +173,9 @@ QUERIES = [
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
 # queries (used to extend the measured table without re-running the
-# whole suite).
-if len(sys.argv) > 1:
+# whole suite). Guarded to script execution: importers (sf1_bench
+# borrows build_probe) carry their own argv.
+if __name__ == "__main__" and len(sys.argv) > 1:
     _known = set(QUERIES)
     _unknown = [q for q in sys.argv[1:] if q not in _known]
     if _unknown:
