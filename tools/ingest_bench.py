@@ -300,10 +300,13 @@ def main() -> None:
         bf_quarters = ["2024Q1", "2024Q2", "2024Q3", "2024Q4"]
         bf_root = os.path.join(scratch, "backfill_facts")
         drop_bucketed(spark, suffix="bench")
+        for q in bf_quarters:  # generation is corpus synthesis, not ingest
+            build_quarter_zip(
+                os.path.join(scratch, f"{q}.zip"), max(N_NUM // 8, 10_000), quarter=q
+            )
         t5 = time.perf_counter()
         for q in bf_quarters:
             qzip = os.path.join(scratch, f"{q}.zip")
-            build_quarter_zip(qzip, max(N_NUM // 8, 10_000), quarter=q)
             qtyped = ingest_quarter(
                 spark, extract_zip(qzip, os.path.join(scratch, f"ext_{q}")), q
             )
