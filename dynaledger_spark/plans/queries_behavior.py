@@ -720,3 +720,186 @@ def als_half_step_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("theta2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (round 9)
+# ---------------------------------------------------------------------------
+@register(
+    "shapley_channel_attribution",
+    doc="exact Shapley marketing attribution over the pre-conversion channel lattice (integer-exact, one final division)",
+    oracle="""
+        WITH chan AS (
+            SELECT channel,
+                   CAST(dense_rank() OVER (ORDER BY channel) - 1 AS BIGINT) AS bit
+            FROM (SELECT DISTINCT event_type AS channel FROM events
+                  WHERE event_type <> 'purchase')
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS INT) AS n FROM chan),
+        fp AS (
+            SELECT user_id, MIN(ts) AS fpts FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        touch AS (
+            SELECT DISTINCT fp.user_id, c.bit
+            FROM fp
+            JOIN events e ON e.user_id = fp.user_id AND e.ts < fp.fpts
+            JOIN chan c ON c.channel = e.event_type
+        ),
+        masks AS (
+            SELECT fp.user_id,
+                   COALESCE(bit_or(CAST(1 AS BIGINT) << CAST(t.bit AS INT)), 0) AS m
+            FROM fp LEFT JOIN touch t ON t.user_id = fp.user_id
+            GROUP BY fp.user_id
+        ),
+        tm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt FROM masks GROUP BY m),
+        lat AS (
+            SELECT CAST(u.s AS BIGINT) AS s
+            FROM nn, unnest(generate_series(0, (CAST(1 AS BIGINT) << n) - 1)) AS u(s)
+        ),
+        v AS (
+            SELECT l.s, CAST(COALESCE(SUM(tm.cnt), 0) AS BIGINT) AS v
+            FROM lat l LEFT JOIN tm ON (tm.m & l.s) = tm.m
+            GROUP BY l.s
+        ),
+        contrib AS (
+            SELECT c.channel,
+                   CAST(SUM(CAST(factorial(bit_count(sv.s)) AS BIGINT)
+                            * CAST(factorial(nn.n - 1 - bit_count(sv.s)) AS BIGINT)
+                            * (swi.v - sv.v)) AS BIGINT) AS shapley_num
+            FROM chan c, nn,
+                 v sv
+            JOIN v swi ON TRUE
+            WHERE (sv.s >> CAST(c.bit AS INT)) & 1 = 0
+              AND swi.s = sv.s | (CAST(1 AS BIGINT) << CAST(c.bit AS INT))
+            GROUP BY c.channel
+        ),
+        touched AS (
+            SELECT c.channel, CAST(COUNT(DISTINCT t.user_id) AS BIGINT)
+                       AS n_converters_touched
+            FROM chan c LEFT JOIN touch t ON t.bit = c.bit
+            GROUP BY c.channel
+        )
+        SELECT ct.channel,
+               td.n_converters_touched,
+               ct.shapley_num,
+               ct.shapley_num / CAST(factorial(nn.n) AS DOUBLE) AS shapley
+        FROM contrib ct JOIN touched td USING (channel), nn
+        ORDER BY ct.channel
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution (Shapley 1953; the
+    data-driven multi-touch attribution standard, e.g. Zhao et al.
+    2018 arXiv:1804.05327) with the reach value function
+    v(S) = #converters whose pre-conversion touch set is contained in
+    S: each converting user's channel touches BEFORE their first
+    purchase form a bitmask; the full coalition lattice (2^n masks,
+    n = |channels|, a SCHEMA quantity, 4 here) gets v by a
+    subset-containment join; and each channel's Shapley value is the
+    factorial-weighted sum of its marginal contributions
+    phi_i = sum_{S not∋ i} |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)).
+    Everything is BIGINT (counts x factorials) until the single final
+    division by n!, so the query is oracle-exact; efficiency
+    (sum phi_i = v(N) - v(empty), organic conversions unattributed)
+    is pinned in tests/test_round9_ops.py.
+
+    Scale: the corpus-sized work is one groupBy(user) for first-
+    purchase times, one distinct (user, channel) pre-conversion touch
+    aggregate, and one count per observed mask — all map-side-
+    combinable hash aggregates. The lattice (16 rows), the
+    containment join (16x16), and the Shapley fold are schema-sized:
+    at 100 TB the attribution itself costs the same 256 lattice-pair
+    rows it costs here.
+    reference: SURVEY §2.11 (behavior tier).
+    """
+    ev = _t(spark, sf_dir, "events")
+    chan = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+        .select(
+            "channel",
+            (F.dense_rank().over(W.orderBy("channel")) - 1)
+            .cast("bigint")
+            .alias("bit"),
+        )
+    )
+    nn = chan.agg(F.count(F.lit(1)).cast("int").alias("n"))
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpts"))
+    )
+    touch = (
+        fp.join(ev.alias("e"), "user_id")
+        .filter(F.col("e.ts") < F.col("fpts"))
+        .join(chan, F.col("e.event_type") == F.col("channel"))
+        .select("user_id", "bit")
+        .distinct()
+    )
+    masks = (
+        fp.join(touch, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")),
+                F.lit(0).cast("bigint"),
+            ).alias("m")
+        )
+    )
+    tm = masks.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    lat = nn.select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), n) - 1"),
+            )
+        ).alias("s")
+    )
+    v = (
+        lat.join(F.broadcast(tm), F.expr("(m & s) = m"), "left")
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    sv, swi = v.alias("sv"), v.alias("swi")
+    contrib = (
+        chan.crossJoin(F.broadcast(nn))
+        .join(
+            F.broadcast(sv),
+            F.expr("(shiftright(sv.s, CAST(bit AS INT)) & 1) = 0"),
+        )
+        .join(
+            F.broadcast(swi),
+            F.expr("swi.s = sv.s | shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.factorial(F.bit_count(F.col("sv.s"))).cast("bigint")
+                * F.factorial(F.col("n") - 1 - F.bit_count(F.col("sv.s"))).cast(
+                    "bigint"
+                )
+                * (F.col("swi.v") - F.col("sv.v"))
+            )
+            .cast("bigint")
+            .alias("shapley_num")
+        )
+    )
+    touched = chan.join(touch, "bit", "left").groupBy("channel").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_converters_touched")
+    )
+    return (
+        contrib.join(touched, "channel")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "channel",
+            "n_converters_touched",
+            "shapley_num",
+            (
+                F.col("shapley_num")
+                / F.factorial(F.col("n")).cast("double")
+            ).alias("shapley"),
+        )
+        .orderBy("channel")
+    )

@@ -78,6 +78,7 @@ def test_no_cartesian_products(plans):
             "km_churn_curve",  # 1-row broadcast of the censoring horizon
             "hll_portable_estimate",  # 1-row broadcast of the exact count
             "priority_sample_subset_sum",  # 1-row broadcast of tau (the k+1-th priority)
+            "shapley_channel_attribution",  # lattice-sized (16-row) containment joins + 1-row n broadcast
             "cusum_changepoint",  # 1-row broadcasts of totals and the peak
             "benford_first_digit",  # 1-row broadcast of the grand total
             "temperature_resample_sources",  # 1-row broadcasts of corpus totals
@@ -580,6 +581,9 @@ GLOBAL_WINDOW_WHITELIST = {
     # bounded: the UniMax waterfill windows run on the 20-row per-source
     # aggregate (|sources|, never corpus-sized)
     "unimax_allocation",
+    # bounded: channel-bit assignment ranks the |channels| distinct
+    # event types (schema-sized, 4 rows)
+    "shapley_channel_attribution",
     # bounded: rank transform over the two A/B samples' value column
     # (events.value measurements, one global ECDF/rank by construction)
     "ks_two_sample_values", "mann_whitney_u_test",

@@ -118,3 +118,59 @@ def test_oriented_triangles_match_naive_python(spark, sf_dir):
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == n_tri
     spark.catalog.clearCache()
+
+
+def test_shapley_efficiency_and_replay(spark, sf_dir):
+    """Shapley efficiency axiom: sum(phi_i) = v(N) - v(empty) — total
+    attributed credit equals the converters any channel could have
+    influenced (organic zero-touch conversions stay unattributed).
+    Verified against a transparent python replay of the whole lattice
+    computation (masks, subset-containment v, factorial weights)."""
+    import math
+    import os
+    from collections import Counter
+
+    out = REGISTRY["shapley_channel_attribution"].build(spark, sf_dir).collect()
+    assert len(out) >= 2
+    assert all(r["n_converters_touched"] > 0 for r in out)
+
+    from dynaledger_spark.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    first_p: dict[int, object] = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            if r["user_id"] not in first_p or r["ts"] < first_p[r["user_id"]]:
+                first_p[r["user_id"]] = r["ts"]
+    channels = sorted({r["event_type"] for r in ev} - {"purchase"})
+    bit = {c: i for i, c in enumerate(channels)}
+    n = len(channels)
+    masks: dict[int, int] = {u: 0 for u in first_p}
+    for r in ev:
+        u = r["user_id"]
+        if u in first_p and r["event_type"] != "purchase" and r["ts"] < first_p[u]:
+            masks[u] |= 1 << bit[r["event_type"]]
+    tm = Counter(masks.values())
+    v = [
+        sum(c for m, c in tm.items() if (m & s) == m) for s in range(1 << n)
+    ]
+    nfact = math.factorial(n)
+    phi = {}
+    for c in channels:
+        i = bit[c]
+        num = sum(
+            math.factorial(bin(s).count("1"))
+            * math.factorial(n - 1 - bin(s).count("1"))
+            * (v[s | (1 << i)] - v[s])
+            for s in range(1 << n)
+            if not (s >> i) & 1
+        )
+        phi[c] = num
+    got = {r["channel"]: r["shapley_num"] for r in out}
+    assert got == phi
+    # efficiency: sum phi = n! * (v(N) - v(0))
+    assert sum(phi.values()) == nfact * (v[(1 << n) - 1] - v[0])
+    for r in out:
+        assert r["shapley"] == pytest.approx(phi[r["channel"]] / nfact, rel=0, abs=0)
