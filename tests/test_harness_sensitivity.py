@@ -180,6 +180,8 @@ def _date_off_by_one(df):
 
 RESULT_MUTATIONS = [
     ("fact_build", _ulp_drift),
+    ("priority_sample_subset_sum", _int_off_by_one),
+    ("shapley_channel_attribution", _int_off_by_one),
     ("statement_query", _drop_one_row),
     ("dedup_exact", _duplicate_one_row),
     ("rolling_30d_revenue", _swapped_rounding),
