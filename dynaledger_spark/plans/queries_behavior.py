@@ -903,3 +903,158 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern support (GSP-style subsequences) (round 9)
+# ---------------------------------------------------------------------------
+_SEQ_MIN_SUPPORT = 2  # users; keeps sf0.001 (15 users) non-vacuous
+
+
+@register(
+    "sequential_pattern_support",
+    doc=f"GSP-style sequential pattern support: all length-2/3 event-type subsequence patterns with >= {_SEQ_MIN_SUPPORT} supporting users",
+    oracle=f"""
+        WITH rnk AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        bounds AS (
+            SELECT user_id, event_type,
+                   MIN(rn) AS mn, MAX(rn) AS mx
+            FROM rnk GROUP BY user_id, event_type
+        ),
+        nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+        p2 AS (
+            SELECT a.event_type AS t1, b.event_type AS t2,
+                   CAST(COUNT(*) AS BIGINT) AS n_support
+            FROM bounds a JOIN bounds b
+              ON a.user_id = b.user_id AND a.mn < b.mx
+            GROUP BY a.event_type, b.event_type
+        ),
+        p3 AS (
+            SELECT ac.t1, m.event_type AS t2, ac.t3,
+                   CAST(COUNT(DISTINCT m.user_id) AS BIGINT) AS n_support
+            FROM (
+                SELECT a.user_id, a.event_type AS t1, c.event_type AS t3,
+                       a.mn AS mn_a, c.mx AS mx_c
+                FROM bounds a JOIN bounds c
+                  ON a.user_id = c.user_id AND a.mn + 1 < c.mx
+            ) ac
+            JOIN rnk m ON m.user_id = ac.user_id
+             AND m.rn > ac.mn_a AND m.rn < ac.mx_c
+            GROUP BY ac.t1, m.event_type, ac.t3
+        ),
+        pats AS (
+            SELECT t1 || '->' || t2 AS pattern, 2 AS len, n_support FROM p2
+            UNION ALL
+            SELECT t1 || '->' || t2 || '->' || t3, 3, n_support FROM p3
+        )
+        SELECT pattern, CAST(len AS INT) AS len, n_support,
+               round(CAST(n_support AS DOUBLE) / nu.n_users, 6) AS support_frac
+        FROM pats, nu
+        WHERE n_support >= {_SEQ_MIN_SUPPORT}
+        ORDER BY len, pattern
+    """,
+)
+def sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining support counting (the GSP/SPAM family,
+    Srikant & Agrawal 1996): a user supports subsequence pattern
+    a->b (->c) if events of those types occur in that ORDER in their
+    timeline — not necessarily adjacently (path_topk_sequences covers
+    the contiguous-prefix form; this is the subsequence form pattern
+    mining actually uses). The trick that keeps it corpus-linear: a
+    user supports a->b iff min_rank(a) < max_rank(b), and a->b->c iff
+    some b-event's rank lies strictly between min_rank(a) and
+    max_rank(c) — so support needs only the per-(user, type) rank
+    BOUNDS (|types| rows per user) plus one bounded probe of the
+    user's events per (a, c) combination, never an O(len²) self-join
+    of the timeline. Ranks are row_number over (ts, event_id) — the
+    shared unique tiebreak. Patterns with support >= {k} users emit
+    (pattern, len, n_support, support_frac); the division by |users|
+    is the only non-integer step.
+
+    Scale: the rank window is per-user (hash-partitioned);
+    `bounds` is |users| x |types| rows; the p3 probe multiplies each
+    event row by at most |types|^2 = 25 (schema-bounded, map-side
+    after one user-key shuffle). Output is <= |types|^2 + |types|^3
+    rows regardless of corpus size.
+    reference: SURVEY §2.11 (behavior tier).
+    """
+    ev = _t(spark, sf_dir, "events")
+    rnk = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    bounds = rnk.groupBy("user_id", "event_type").agg(
+        F.min("rn").alias("mn"), F.max("rn").alias("mx")
+    ).persist()  # read by p2 (twice) and p3 (twice)
+    nu = ev.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    a, b = bounds.alias("a"), bounds.alias("b")
+    p2 = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.mn") < F.col("b.mx")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_support"))
+    )
+    c = bounds.alias("c")
+    ac = a.join(
+        c,
+        (F.col("a.user_id") == F.col("c.user_id"))
+        & (F.col("a.mn") + 1 < F.col("c.mx")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("t1"),
+        F.col("c.event_type").alias("t3"),
+        F.col("a.mn").alias("mn_a"),
+        F.col("c.mx").alias("mx_c"),
+    )
+    m = rnk.alias("m")
+    p3 = (
+        ac.alias("ac")
+        .join(
+            m,
+            (F.col("m.user_id") == F.col("ac.user_id"))
+            & (F.col("m.rn") > F.col("mn_a"))
+            & (F.col("m.rn") < F.col("mx_c")),
+        )
+        .groupBy(
+            "t1", F.col("m.event_type").alias("t2"), "t3"
+        )
+        .agg(F.count_distinct(F.col("m.user_id")).cast("bigint").alias("n_support"))
+    )
+    pats = p2.select(
+        F.concat_ws("->", "t1", "t2").alias("pattern"),
+        F.lit(2).cast("int").alias("len"),
+        "n_support",
+    ).unionByName(
+        p3.select(
+            F.concat_ws("->", "t1", "t2", "t3").alias("pattern"),
+            F.lit(3).cast("int").alias("len"),
+            "n_support",
+        )
+    )
+    return (
+        pats.filter(F.col("n_support") >= _SEQ_MIN_SUPPORT)
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "pattern",
+            "len",
+            "n_support",
+            F.round(F.col("n_support") / F.col("n_users"), 6).alias("support_frac"),
+        )
+        .orderBy("len", "pattern")
+    )
+
+
+sequential_pattern_support.__doc__ = sequential_pattern_support.__doc__.format(k=_SEQ_MIN_SUPPORT)

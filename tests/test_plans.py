@@ -79,6 +79,7 @@ def test_no_cartesian_products(plans):
             "hll_portable_estimate",  # 1-row broadcast of the exact count
             "priority_sample_subset_sum",  # 1-row broadcast of tau (the k+1-th priority)
             "shapley_channel_attribution",  # lattice-sized (16-row) containment joins + 1-row n broadcast
+            "sequential_pattern_support",  # 1-row broadcast of the user total
             "cusum_changepoint",  # 1-row broadcasts of totals and the peak
             "benford_first_digit",  # 1-row broadcast of the grand total
             "temperature_resample_sources",  # 1-row broadcasts of corpus totals

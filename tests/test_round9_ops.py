@@ -174,3 +174,57 @@ def test_shapley_efficiency_and_replay(spark, sf_dir):
     assert sum(phi.values()) == nfact * (v[(1 << n) - 1] - v[0])
     for r in out:
         assert r["shapley"] == pytest.approx(phi[r["channel"]] / nfact, rel=0, abs=0)
+
+
+def test_sequential_pattern_replay(spark, sf_dir):
+    """Replay subsequence support in plain python (direct existential
+    scan over each user's ordered timeline, NOT the rank-bounds trick)
+    — proving the bounds shortcut computes exactly GSP support."""
+    from collections import defaultdict
+
+    from dynaledger_spark.catalog import read_table
+    from dynaledger_spark.plans.queries_behavior import _SEQ_MIN_SUPPORT
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    timelines = defaultdict(list)
+    for r in ev:
+        timelines[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    for u in timelines:
+        timelines[u].sort()
+    types = sorted({r["event_type"] for r in ev})
+    sup2, sup3 = defaultdict(int), defaultdict(int)
+    for u, tl in timelines.items():
+        seq = [t for _, _, t in tl]
+        first = {}
+        for i, t in enumerate(seq):
+            first.setdefault(t, i)
+        last = {}
+        for i, t in enumerate(seq):
+            last[t] = i
+        for a in types:
+            for b in types:
+                if a in first and b in last and first[a] < last[b]:
+                    sup2[(a, b)] += 1
+        for a in types:
+            if a not in first:
+                continue
+            for c in types:
+                if c not in last:
+                    continue
+                mids = {seq[j] for j in range(first[a] + 1, last[c])}
+                for b in mids:
+                    sup3[(a, b, c)] += 1
+    want = {}
+    for (a, b), n in sup2.items():
+        if n >= _SEQ_MIN_SUPPORT:
+            want[f"{a}->{b}"] = n
+    for (a, b, c), n in sup3.items():
+        if n >= _SEQ_MIN_SUPPORT:
+            want[f"{a}->{b}->{c}"] = n
+    out = REGISTRY["sequential_pattern_support"].build(spark, sf_dir).collect()
+    got = {r["pattern"]: r["n_support"] for r in out}
+    assert got == want
+    assert len(got) > 10  # non-vacuous
+    spark.catalog.clearCache()
