@@ -3229,3 +3229,188 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 fellegi_sunter_linkage.__doc__ = fellegi_sunter_linkage.__doc__.format(t=_FS_LINK_T)
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: FS links → components → golden record (r9)
+# ---------------------------------------------------------------------------
+@register(
+    "entity_golden_record",
+    doc="MDM golden records: Fellegi-Sunter links -> connected components -> deterministic survivorship per entity cluster",
+    oracle=f"""
+        WITH a_side AS (
+            SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+            FROM customer
+        ),
+        b_side AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 3 = 0 THEN c_name || 'x'
+                        ELSE c_name END AS name_b,
+                   CASE WHEN c_custkey % 5 = 0
+                        THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+                        ELSE c_nationkey END AS nation_b,
+                   c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+                       + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END
+                       AS bal_bucket_b
+            FROM customer
+        ),
+        links AS (
+            SELECT a.c_custkey * 2 AS src, b.c_custkey * 2 + 1 AS dst
+            FROM a_side a JOIN b_side b
+              ON a.c_mktsegment = b.c_mktsegment
+             AND a.bal_bucket = b.bal_bucket_b
+            WHERE (CASE WHEN a.c_name = b.name_b
+                        THEN {_FS_W['name'][0]!r} ELSE {_FS_W['name'][1]!r} END
+                 + CASE WHEN a.c_nationkey = b.nation_b
+                        THEN {_FS_W['nation'][0]!r} ELSE {_FS_W['nation'][1]!r} END
+                 + CASE WHEN a.bal_bucket = b.bal_bucket_b
+                        THEN {_FS_W['bal'][0]!r} ELSE {_FS_W['bal'][1]!r} END)
+                   > {_FS_LINK_T!r}
+        ),
+        bidir AS (
+            SELECT src, dst FROM links
+            UNION SELECT dst, src FROM links
+        ),
+        reach AS (
+            WITH RECURSIVE r(src, dst) AS (
+                SELECT src, dst FROM bidir
+                UNION
+                SELECT r.src, b.dst FROM r JOIN bidir b ON r.dst = b.src
+            ) SELECT * FROM r
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM bidir),
+        comp AS (
+            SELECT n.node,
+                   LEAST(n.node, COALESCE(MIN(r.dst), n.node)) AS cluster_id
+            FROM nodes n LEFT JOIN reach r ON r.src = n.node
+            GROUP BY n.node
+        ),
+        members AS (
+            SELECT comp.cluster_id, comp.node,
+                   CAST(comp.node // 2 AS BIGINT) AS base_custkey,
+                   CASE WHEN comp.node % 2 = 0 THEN a.c_name ELSE b.name_b END
+                       AS name,
+                   CASE WHEN comp.node % 2 = 0 THEN a.c_nationkey
+                        ELSE b.nation_b END AS nation
+            FROM comp
+            LEFT JOIN a_side a
+              ON comp.node % 2 = 0 AND a.c_custkey = comp.node // 2
+            LEFT JOIN b_side b
+              ON comp.node % 2 = 1 AND b.c_custkey = comp.node // 2
+        )
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COUNT(DISTINCT base_custkey) AS BIGINT) AS n_customers,
+               MIN(name) AS golden_name,
+               CAST(MIN(nation) AS INT) AS golden_nation,
+               COUNT(DISTINCT base_custkey) = 1 AS pure
+        FROM members
+        GROUP BY cluster_id
+        HAVING COUNT(*) >= 2
+        ORDER BY cluster_id
+    """,
+)
+def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The master-data-management capstone the linkage score feeds:
+    Fellegi-Sunter 'link' decisions (the fellegi_sunter_linkage pair
+    set above threshold) become edges between the A-side and dirtied
+    B-side records (node id = custkey*2 / custkey*2+1), transitive
+    closure groups them into ENTITY CLUSTERS (pointer-jumping
+    connected components, operators/graph.py — the DuckDB twin uses a
+    recursive CTE), and deterministic survivorship rules produce one
+    golden record per multi-member cluster (MIN name / MIN nation —
+    priority rules a real MDM system would parameterize). `pure`
+    flags clusters that resolve to exactly one underlying customer —
+    the linkage-precision signal at the ENTITY level (pair-level
+    precision lives in fellegi_sunter_linkage).
+
+    Scale: edges come from the blocked FS join (pair fan-out bounded
+    by the (segment, balance-bucket) blocking); components are
+    O(log diameter) pointer-jumping rounds, checkpointed; survivorship
+    is one hash aggregate per cluster. Nothing is corpus-quadratic.
+    reference: SURVEY §2.11 (dedup/linkage tier).
+    """
+    from dynaledger_spark.operators.graph import connected_components
+
+    cust = _t(spark, sf_dir, "customer")
+    a_side = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bucket"),
+    )
+    b_side = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("x")))
+        .otherwise(F.col("c_name"))
+        .alias("name_b"),
+        F.when(F.col("c_custkey") % 5 == 0, ((F.col("c_nationkey") + 1) % 25).cast("int"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nation_b"),
+        "c_mktsegment",
+        (
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+            + F.when(F.col("c_custkey") % 7 == 0, 1).otherwise(0)
+        ).alias("bal_bucket_b"),
+    )
+    w_name, w_nation, w_bal = _FS_W["name"], _FS_W["nation"], _FS_W["bal"]
+    score = (
+        F.when(F.col("c_name") == F.col("name_b"), F.lit(w_name[0])).otherwise(
+            F.lit(w_name[1])
+        )
+        + F.when(F.col("c_nationkey") == F.col("nation_b"), F.lit(w_nation[0])).otherwise(
+            F.lit(w_nation[1])
+        )
+        + F.when(F.col("bal_bucket") == F.col("bal_bucket_b"), F.lit(w_bal[0])).otherwise(
+            F.lit(w_bal[1])
+        )
+    )
+    links = (
+        a_side.alias("a")
+        .join(
+            b_side.alias("b"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.bal_bucket") == F.col("b.bal_bucket_b")),
+        )
+        .filter(score > _FS_LINK_T)
+        .select(
+            (F.col("a.c_custkey") * 2).alias("src"),
+            (F.col("b.c_custkey") * 2 + 1).alias("dst"),
+        )
+    )
+    nodes = (
+        links.select(F.col("src").alias("id"))
+        .unionAll(links.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, links, node_col="id")
+    a_attrs = a_side.select(
+        (F.col("c_custkey") * 2).alias("node"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    b_attrs = b_side.select(
+        (F.col("c_custkey") * 2 + 1).alias("node"),
+        F.col("name_b").alias("name"),
+        F.col("nation_b").alias("nation"),
+    )
+    members = comp.select(F.col("node"), F.col("component").alias("cluster_id")).join(
+        a_attrs.unionByName(b_attrs), "node"
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count_distinct(F.floor(F.col("node") / 2)).cast("bigint").alias(
+                "n_customers"
+            ),
+            F.min("name").alias("golden_name"),
+            F.min("nation").cast("int").alias("golden_nation"),
+            (F.count_distinct(F.floor(F.col("node") / 2)) == 1).alias("pure"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )

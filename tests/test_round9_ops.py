@@ -228,3 +228,52 @@ def test_sequential_pattern_replay(spark, sf_dir):
     assert got == want
     assert len(got) > 10  # non-vacuous
     spark.catalog.clearCache()
+
+
+def test_golden_record_purity_and_replay(spark, sf_dir):
+    """Entity clusters must be exactly the transitive closure of the FS
+    link pairs (python union-find replay), and the purity flag must
+    agree with the members' underlying custkeys. Most clusters should
+    be pure (the linkage's pair precision is 1.0 at test SFs; impure
+    clusters can only come from transitive chains)."""
+    out = REGISTRY["entity_golden_record"].build(spark, sf_dir).collect()
+    assert len(out) > 10
+    links = [
+        (r["custkey_a"], r["custkey_b"])
+        for r in REGISTRY["fellegi_sunter_linkage"].build(spark, sf_dir).collect()
+        if r["decision"] == "link"
+    ]
+    assert links
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for ka, kb in links:
+        union(ka * 2, kb * 2 + 1)
+    from collections import defaultdict
+
+    clusters = defaultdict(set)
+    for node in parent:
+        clusters[find(node)].add(node)
+    want = {
+        min(ms): ms for ms in clusters.values() if len(ms) >= 2
+    }
+    got = {r["cluster_id"]: r for r in out}
+    assert set(got) == set(want)
+    for cid, ms in want.items():
+        r = got[cid]
+        assert r["n_members"] == len(ms)
+        custs = {n // 2 for n in ms}
+        assert r["n_customers"] == len(custs)
+        assert r["pure"] == (len(custs) == 1)
+    assert sum(1 for r in out if r["pure"]) >= len(out) // 2
+    spark.catalog.clearCache()
