@@ -182,6 +182,8 @@ RESULT_MUTATIONS = [
     ("fact_build", _ulp_drift),
     ("priority_sample_subset_sum", _int_off_by_one),
     ("shapley_channel_attribution", _int_off_by_one),
+    ("sequential_pattern_support", _int_off_by_one),
+    ("entity_golden_record", _drop_one_row),
     ("statement_query", _drop_one_row),
     ("dedup_exact", _duplicate_one_row),
     ("rolling_30d_revenue", _swapped_rounding),
