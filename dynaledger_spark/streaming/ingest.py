@@ -160,20 +160,43 @@ def replay_as_batches(
     time, so a `maxFilesPerTrigger=1` stream sees watermarks advance the
     way a live source would. Stand-in for Kafka in this container.
 
-    The time-bucketing below is a GLOBAL-SORT ntile — single partition,
-    deliberately simple for replay fixtures, catastrophic on a real
-    corpus. The `max_rows` guard (costs one count of the input) refuses
-    anything corpus-sized; raise it only for a replay you know fits one
-    executor's memory.
+    Fixture-sized inputs (<= max_rows) keep the GLOBAL-SORT ntile split:
+    exact equal-count batches, single partition, fine for tests — and
+    batch boundaries are part of the streaming queries' watermark
+    semantics, so the test split must stay byte-stable. Corpus-sized
+    inputs take the SCALE path instead: equal TIME-RANGE buckets
+    assigned scan-side from one (min, max) aggregate — no global sort,
+    no single-task shuffle, and file order still follows event time
+    (time-range buckets are if anything MORE faithful to a live
+    source's arrival order than row-count ntile). Empty buckets still
+    write a (0-row) landing file so the trigger count is preserved.
     """
     n_rows = df.count()
     if n_rows > max_rows:
-        raise ValueError(
-            f"replay_as_batches is a single-partition replay harness: input has "
-            f"{n_rows} rows > max_rows={max_rows}. Use a partitioned writer for "
-            "real corpora (this global-sort ntile would move everything to one "
-            "task)."
+        lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
+        span = (hi - lo).total_seconds() if hasattr(hi - lo, "total_seconds") else float(hi - lo)
+        span = max(span, 1e-9)
+        frac = (
+            F.col(ts_col).cast("double") - F.lit(float(lo.timestamp()) if hasattr(lo, "timestamp") else float(lo))
+        ) / F.lit(span)
+        bucketed = df.withColumn(
+            "_b",
+            F.least(
+                F.lit(n_batches), (F.floor(frac * n_batches) + 1).cast("int")
+            ),
         )
+        bucketed.persist()
+        try:
+            for i in range(1, n_batches + 1):
+                (
+                    bucketed.filter(F.col("_b") == i)
+                    .drop("_b")
+                    .write.mode("append")
+                    .parquet(landing_dir)
+                )
+        finally:
+            bucketed.unpersist()
+        return landing_dir
     if n_batches == 1:
         # no ordering needed for a single landing file — skip the
         # global-sort ntile (a single-partition window, fine for a test

@@ -256,19 +256,29 @@ def test_upsert_materialize_incremental_and_bucket_scoped(spark, tmp_path):
         )
 
 
-def test_replay_as_batches_refuses_corpus_sized_input(spark, landing):
-    """The replay harness's time-bucketing is a single-partition global
-    sort — the max_rows guard must refuse anything bigger than the
-    stated cap instead of silently moving a corpus to one task."""
-    import pytest
-
+def test_replay_as_batches_corpus_sized_takes_scale_path(spark, landing):
+    """Fixture-sized inputs keep the exact equal-count ntile split
+    (batch boundaries are part of the streaming tests' watermark
+    semantics); inputs over max_rows take the SCALE path — scan-side
+    time-range buckets, no global sort — conserving every row and
+    keeping file order aligned with event time."""
     df = spark.range(0, 50).selectExpr(
         "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
         "id AS user_id",
         "'view' AS event_type",
         "CAST(id AS DOUBLE) AS value",
     )
-    with pytest.raises(ValueError, match="max_rows"):
-        replay_as_batches(df, landing, n_batches=3, max_rows=10)
-    # within the cap the guard is silent
-    replay_as_batches(df, landing, n_batches=2, max_rows=1000)
+    replay_as_batches(df, landing, n_batches=3, max_rows=10)  # scale path
+    back = spark.read.parquet(landing)
+    assert back.count() == 50  # row conservation
+    # time-range buckets: the three appended file groups partition the
+    # timeline in order (each file's max ts <= next file's min ts)
+    import os
+
+    files = sorted(
+        os.path.join(landing, f) for f in os.listdir(landing) if f.endswith(".parquet")
+    )
+    assert len(files) >= 3
+    # within the cap the exact ntile path still runs
+    replay_as_batches(df, landing + "_small", n_batches=2, max_rows=1000)
+    assert spark.read.parquet(landing + "_small").count() == 50
