@@ -786,3 +786,29 @@ def test_rotation_staleness_sla():
         assert not gaps or max(gaps) <= bound, (
             f"{n} staleness {max(gaps)} rounds exceeds SLA {bound}"
         )
+
+
+def test_round9_query_plan_shapes(plans):
+    """Round-9 additions: the corpus-sized joins must be hash/equi
+    (user_id extracted as the equi key in the pattern probe; the FS
+    blocking join equi on (segment, bucket)); priority sampling's
+    top-(k+1) must be a TakeOrderedAndProject (per-partition top-k +
+    driver merge — the shape that samples 100 TB without a shuffle),
+    and nothing cartesian anywhere (the 1-row/lattice BNLJs are
+    whitelisted in test_no_cartesian_products)."""
+    for name in (
+        "sequential_pattern_support",
+        "entity_golden_record",
+        "priority_sample_subset_sum",
+        "shapley_channel_attribution",
+    ):
+        assert "CartesianProduct" not in plans[name], name
+    assert "TakeOrderedAndProject" in plans["priority_sample_subset_sum"]
+    # equi joins planned as hash joins (broadcast at test SF; the keys,
+    # not the strategy, are what survive a 1000-executor scale-up)
+    for name in ("sequential_pattern_support", "entity_golden_record"):
+        assert (
+            "BroadcastHashJoin" in plans[name]
+            or "SortMergeJoin" in plans[name]
+            or "ShuffledHashJoin" in plans[name]
+        ), name
