@@ -132,11 +132,26 @@ def bucketed_statement_join(
     exchange by definition and belongs to the client edge, not the
     recurring join."""
     # allow HashPartitioning(adsh) to satisfy the (adsh, tag, version)
-    # join distribution — skew-safe here, see module docstring
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    sub = spark.table(f"sec_sub_{suffix}").where(F.col("source_file") == quarter)
-    pre = spark.table(f"sec_pre_{suffix}").where(F.col("source_file") == quarter)
-    num = spark.table(f"sec_num_{suffix}").where(F.col("source_file") == quarter)
+    # join distribution — skew-safe here, see module docstring. The
+    # conf is consulted at PLAN time (first action), so flipping it on
+    # the shared session would silently change join planning for every
+    # later query (ADVICE r9 item 3). Scope it to a cloned session
+    # instead: newSession() shares the SparkContext and the persistent
+    # catalog (the bucketed tables) but has its own SQLConf; copy the
+    # parent's runtime-set confs so test-pinned settings (e.g.
+    # autoBroadcastJoinThreshold) carry over, then flip the subset-key
+    # conf only on the clone. The returned DataFrame is bound to the
+    # clone, so the relaxed co-partitioning lives exactly as long as it.
+    scoped = spark.newSession()
+    for row in spark.sql("SET").collect():
+        try:
+            scoped.conf.set(row.key, row.value)
+        except Exception:
+            pass  # static/immutable confs can't be re-set; inherited anyway
+    scoped.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    sub = scoped.table(f"sec_sub_{suffix}").where(F.col("source_file") == quarter)
+    pre = scoped.table(f"sec_pre_{suffix}").where(F.col("source_file") == quarter)
+    num = scoped.table(f"sec_num_{suffix}").where(F.col("source_file") == quarter)
     return (
         sub.alias("s")
         .join(pre.alias("p"), F.col("s.adsh") == F.col("p.adsh"))

@@ -97,19 +97,31 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "inactive_customers_except",
-    doc="set difference: customer keys minus ordering keys (EXCEPT)",
+    doc="set difference: customer keys minus H1-1996 ordering keys (EXCEPT)",
     oracle="""
         SELECT c_custkey FROM customer
         EXCEPT
         SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
     """,
 )
 def inactive_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct set difference). Catalyst plans it as a left-anti
     join after aggregation — same cost shape as the J3 anti-join but with
-    set semantics."""
+    set semantics. The right side is bounded to H1-1996 orderers so the
+    difference is NON-EMPTY at every verify SF (68 rows at sf0.001, 717
+    at sf0.01 — VERDICT r9 item 1: the unbounded form returned 0 rows at
+    both verify SFs, making its green vacuous)."""
     customer = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return customer.subtract(orders)
 
 

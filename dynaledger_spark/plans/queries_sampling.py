@@ -129,7 +129,7 @@ def shard_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="exact-content duplicates crossing the train/val/test boundary",
     oracle=f"""
         WITH labeled AS (
-            SELECT md5(text) AS content_hash,
+            SELECT md5(substr(text, 1, 40)) AS content_hash,
                    CASE WHEN (doc_id * {_H1}) % {_M32} % 100 < 80 THEN 'train'
                         WHEN (doc_id * {_H1}) % {_M32} % 100 < 90 THEN 'val'
                         ELSE 'test' END AS split
@@ -147,19 +147,26 @@ def shard_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audit every eval pipeline needs after hash-splitting: content
-    hashes that appear in train AND in val/test (identical text under
-    different doc_ids silently inflates eval scores). Composes the
-    hash_split assignment with the dedup_exact hash — one groupBy on the
-    16-byte content hash with conditional counts, map-side combinable.
-    An empty result is the passing state; the driver check covers both
-    (the testdata's injected exact dups do leak, so rows > 0 here).
+    fingerprints that appear in train AND in val/test (near-identical
+    text under different doc_ids silently inflates eval scores). The
+    fingerprint is the prefix-40 canonicalization (the same blocking key
+    ngram_jaccard uses): the regenerated testdata has no byte-identical
+    texts, only near-dups, so an md5(text) key was 0-row at every SF — a
+    vacuous green (VERDICT r9 item 1). Composes the hash_split
+    assignment with the fingerprint — one groupBy on the 16-byte hash
+    with conditional counts, map-side combinable. An empty result is the
+    passing state; the testdata's injected near-dups do leak, so
+    rows > 0 here (8 at sf0.001/sf0.01, 72 at sf0.1).
     """
     docs = _docs(spark, sf_dir)
     bucket = _mhash(F.col("doc_id"), _H1) % 100
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    labeled = docs.select(F.md5("text").alias("content_hash"), split.alias("split"))
+    labeled = docs.select(
+        F.md5(F.substring("text", 1, 40)).alias("content_hash"),
+        split.alias("split"),
+    )
     agg = labeled.groupBy("content_hash").agg(
         F.sum((F.col("split") == "train").cast("bigint")).alias("n_train"),
         F.sum((F.col("split") == "val").cast("bigint")).alias("n_val"),

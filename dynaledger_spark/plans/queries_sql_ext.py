@@ -624,7 +624,8 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s_suppkey, s_name
         FROM supplier
         WHERE s_suppkey NOT IN (
-            SELECT l_suppkey FROM lineitem WHERE l_quantity >= 49
+            SELECT l_suppkey FROM lineitem
+            WHERE l_quantity >= 49 AND l_discount >= 0.10
         )
     """,
 )
@@ -634,8 +635,12 @@ def not_in_suppliers_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     empties the whole result, so Catalyst plans a null-aware anti-join
     (distinct from exists_bulk_orders' left-semi). l_suppkey is non-null
     here so rows do come back, and the oracle pins that both engines
-    apply the same semantics; suppliers who ever shipped a bulk line
-    (qty ≥ 49) are excluded."""
+    apply the same semantics; suppliers who ever shipped a deep-discount
+    bulk line (qty ≥ 49 AND discount ≥ 0.10) are excluded — the plain
+    qty ≥ 49 predicate matched EVERY supplier at every verify SF, so the
+    result was 0-row and the green vacuous (VERDICT r9 item 1; the
+    tightened predicate leaves 4/29/296 suppliers at sf0.001/0.01/0.1).
+    """
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("_q_supplier")
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q_lineitem")
     return spark.sql(
@@ -643,7 +648,8 @@ def not_in_suppliers_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s_suppkey, s_name
         FROM _q_supplier
         WHERE s_suppkey NOT IN (
-            SELECT l_suppkey FROM _q_lineitem WHERE l_quantity >= 49
+            SELECT l_suppkey FROM _q_lineitem
+            WHERE l_quantity >= 49 AND l_discount >= 0.10
         )
         """
     )

@@ -97,15 +97,21 @@ def correctness_history(root: str | None = None) -> dict[str, int]:
     green   = rows/schema/hash all matched, no error;
     rows-only = the driver executed the query and recorded a row count
     (err == "no_oracle") — weaker than an oracle row but an official
-    record that the plan runs.  Failures never update the map.
+    record that the plan runs.  Failures never update the map — and if
+    a query's LATEST record is a failure, its history entry is dropped
+    entirely so `driver_order` puts it back in tier 1 (never-verified)
+    instead of letting an old green make a fresh regression look
+    recently verified (ADVICE r9 item 1).
     """
     hist: dict[str, int] = {}
+    latest_seen: dict[str, int] = {}  # latest round with ANY record
     pattern = os.path.join(root or _REPO_ROOT, "CORRECTNESS_r*.json")
-    for path in sorted(glob.glob(pattern)):
+    paths: list[tuple[int, str]] = []
+    for path in glob.glob(pattern):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
+        if m:
+            paths.append((int(m.group(1)), path))
+    for rnd, path in sorted(paths):  # numeric order, not lexical
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -116,6 +122,7 @@ def correctness_history(root: str | None = None) -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
+            latest_seen[name] = max(latest_seen.get(name, -1), rnd)
             green = (
                 row.get("err") is None
                 and row.get("rows_match")
@@ -128,7 +135,13 @@ def correctness_history(root: str | None = None) -> dict[str, int]:
             )
             if green or rows_only:
                 hist[name] = max(hist.get(name, -1), rnd)
-    return hist
+    # Regression rule: latest record is a failure -> treat as never
+    # verified (tier 1) so the regression re-enters the next window.
+    return {
+        name: rnd
+        for name, rnd in hist.items()
+        if latest_seen.get(name, rnd) <= rnd
+    }
 
 
 def driver_order(

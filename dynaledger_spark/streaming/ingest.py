@@ -173,29 +173,41 @@ def replay_as_batches(
     """
     n_rows = df.count()
     if n_rows > max_rows:
-        lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
-        span = (hi - lo).total_seconds() if hasattr(hi - lo, "total_seconds") else float(hi - lo)
-        span = max(span, 1e-9)
-        frac = (
-            F.col(ts_col).cast("double") - F.lit(float(lo.timestamp()) if hasattr(lo, "timestamp") else float(lo))
-        ) / F.lit(span)
+        # lo/hi computed with the SAME epoch arithmetic the bucketing
+        # expression uses (cast('double') on both sides) — a python
+        # lo.timestamp() interprets a naive datetime in host-local TZ
+        # and can push frac negative under TIMESTAMP_NTZ or a
+        # session-TZ/host-TZ mismatch, silently dropping rows from the
+        # 1..n bucket loop (ADVICE r9 item 2).
+        lo, hi = df.agg(
+            F.min(F.col(ts_col).cast("double")),
+            F.max(F.col(ts_col).cast("double")),
+        ).first()
+        span = max(float(hi) - float(lo), 1e-9)
+        frac = (F.col(ts_col).cast("double") - F.lit(float(lo))) / F.lit(span)
         bucketed = df.withColumn(
             "_b",
-            F.least(
-                F.lit(n_batches), (F.floor(frac * n_batches) + 1).cast("int")
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(n_batches),
+                    (F.floor(frac * n_batches) + 1).cast("int"),
+                ),
             ),
         )
         bucketed.persist()
+        written = 0
         try:
             for i in range(1, n_batches + 1):
-                (
-                    bucketed.filter(F.col("_b") == i)
-                    .drop("_b")
-                    .write.mode("append")
-                    .parquet(landing_dir)
-                )
+                part = bucketed.filter(F.col("_b") == i).drop("_b")
+                written += part.count()
+                part.write.mode("append").parquet(landing_dir)
         finally:
             bucketed.unpersist()
+        assert written == n_rows, (
+            f"time-range bucketing dropped rows: wrote {written} of "
+            f"{n_rows} — bucket expression out of [1, {n_batches}]"
+        )
         return landing_dir
     if n_batches == 1:
         # no ordering needed for a single landing file — skip the

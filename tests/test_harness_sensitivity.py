@@ -166,6 +166,25 @@ def _rename_column(df):
     return df.withColumnRenamed(df.columns[-1], df.columns[-1] + "_x")
 
 
+def _inject_violation_row(df):
+    """A false positive: the plan REPORTS a violation that does not
+    exist (a flipped/broken predicate). On the expected-EMPTY validation
+    greens (unique_key_check, anti_join_fk) this is the only mutation
+    class with any effect — drop/duplicate/drift are no-ops on 0 rows,
+    which is exactly the vacuity VERDICT r9 item 6 flags."""
+    row = []
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t in {"bigint", "int", "smallint"}:
+            row.append(99)
+        elif t == "double":
+            row.append(99.0)
+        else:
+            row.append("zz_violation")
+    one = df.sparkSession.createDataFrame([tuple(row)], df.schema)
+    return df.unionAll(one)
+
+
 def _date_off_by_one(df):
     """An off-by-one date parse."""
     for f in df.schema.fields:
@@ -194,6 +213,13 @@ RESULT_MUTATIONS = [
     ("tpch_q1_pricing_summary", _ulp_drift),
     ("first_last_order_span", _date_off_by_one),
     ("stddev_exact_by_flag", _cross_row_value_swap),
+    # VERDICT r9 items 1 + 6: the de-vacuated EXCEPT and the validation
+    # family — 0-row greens are only non-vacuous if a false-positive
+    # violation row makes the gate fire.
+    ("inactive_customers_except", _drop_one_row),
+    ("unique_key_check", _inject_violation_row),
+    ("anti_join_fk", _inject_violation_row),
+    ("validation_summary", _int_off_by_one),
 ]
 
 

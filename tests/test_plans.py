@@ -788,6 +788,58 @@ def test_rotation_staleness_sla():
         )
 
 
+def test_regression_reenters_window():
+    """ADVICE r9 item 1: a query whose LATEST driver record is a failure
+    must sort as never-verified (tier 1) even if an older round was
+    green — otherwise a regression waits up to the full staleness bound
+    behind genuinely-stale greens.  Build a synthetic CORRECTNESS
+    history where `q_regressed` is green in r1 but fails in r2, and
+    assert correctness_history drops it and driver_order ranks it ahead
+    of a query last green in r1."""
+    import json
+    import shutil
+    import tempfile
+
+    from dynaledger_spark.plans import registry as R
+
+    root = tempfile.mkdtemp(prefix="dl_hist_")
+    try:
+        green = {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "spark_rows": 1,
+            "oracle_rows": 1,
+            "err": None,
+        }
+        fail = dict(green, rows_match=False, hash_match=False)
+        with open(f"{root}/CORRECTNESS_r01.json", "w") as fh:
+            json.dump({"q_regressed": green, "q_stale": green}, fh)
+        with open(f"{root}/CORRECTNESS_r02.json", "w") as fh:
+            json.dump({"q_regressed": fail}, fh)
+        hist = R.correctness_history(root)
+        assert "q_regressed" not in hist, (
+            "latest-failed query must not keep its old green round"
+        )
+        assert hist == {"q_stale": 1}
+        # numeric (not lexical) round ordering: r10 green supersedes an
+        # r9 failure for a different query
+        with open(f"{root}/CORRECTNESS_r09.json", "w") as fh:
+            json.dump({"q_late": fail}, fh)
+        with open(f"{root}/CORRECTNESS_r10.json", "w") as fh:
+            json.dump({"q_late": green}, fh)
+        hist = R.correctness_history(root)
+        assert hist.get("q_late") == 10
+        # driver_order: the regressed query outranks the stale green
+        reg = {
+            n: REGISTRY["fact_build"] for n in ("q_regressed", "q_stale")
+        }
+        order = R.driver_order(reg, history=R.correctness_history(root))
+        assert order.index("q_regressed") < order.index("q_stale")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_round9_query_plan_shapes(plans):
     """Round-9 additions: the corpus-sized joins must be hash/equi
     (user_id extracted as the equi key in the pattern probe; the FS

@@ -193,29 +193,32 @@ def test_sequential_pattern_replay(spark, sf_dir):
         timelines[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
     for u in timelines:
         timelines[u].sort()
-    types = sorted({r["event_type"] for r in ev})
     sup2, sup3 = defaultdict(int), defaultdict(int)
     for u, tl in timelines.items():
         seq = [t for _, _, t in tl]
-        first = {}
-        for i, t in enumerate(seq):
-            first.setdefault(t, i)
-        last = {}
-        for i, t in enumerate(seq):
-            last[t] = i
-        for a in types:
-            for b in types:
-                if a in first and b in last and first[a] < last[b]:
-                    sup2[(a, b)] += 1
-        for a in types:
-            if a not in first:
-                continue
-            for c in types:
-                if c not in last:
-                    continue
-                mids = {seq[j] for j in range(first[a] + 1, last[c])}
-                for b in mids:
-                    sup3[(a, b, c)] += 1
+        # genuine existential subsequence scan (ADVICE r9 item 5): a
+        # pattern is supported iff ordered indices exist — derived from
+        # prefix/suffix SEEN SETS per position, never from the
+        # first[a]/last[c] bounds the query under test uses.
+        n_ev = len(seq)
+        prefix: list[set] = [set() for _ in range(n_ev)]
+        for j in range(1, n_ev):
+            prefix[j] = prefix[j - 1] | {seq[j - 1]}
+        suffix: list[set] = [set() for _ in range(n_ev)]
+        for j in range(n_ev - 2, -1, -1):
+            suffix[j] = suffix[j + 1] | {seq[j + 1]}
+        pats2, pats3 = set(), set()
+        for j in range(n_ev):
+            b = seq[j]
+            for a in prefix[j]:
+                pats2.add((a, b))  # exists i<j with seq[i]=a, seq[j]=b
+            for a in prefix[j]:
+                for c in suffix[j]:
+                    pats3.add((a, b, c))  # exists i<j<k
+        for p in pats2:
+            sup2[p] += 1
+        for p in pats3:
+            sup3[p] += 1
     want = {}
     for (a, b), n in sup2.items():
         if n >= _SEQ_MIN_SUPPORT:

@@ -175,6 +175,13 @@ def test_bucketed_statement_join_zero_exchange(spark, backfill):
             assert "SortMergeJoin" in plan, plan[:2000]
             assert "Exchange" not in plan, plan[:2000]
             assert df.count() > 0
+        # ADVICE r9 item 3: the subset-key co-partition relaxation is
+        # scoped to the clone session the DataFrame is bound to — the
+        # SHARED session keeps the default safety for every later query.
+        assert (
+            spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+            == "true"
+        )
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
