@@ -12,6 +12,9 @@ Regression gate (builder-side, run per session before round end):
                                       # absolute slack for sub-second
                                       # queries) or fails outright
     python bench.py --update-floors   # floor := min(floor, this run)
+    python bench.py --reanchor        # floor := MEDIAN-of-3 this run
+                                      # (replaces one-off minima with a
+                                      # reproducible clean-session anchor)
 
 Floors live in BENCH_FLOORS.json (sf0.1, clean-session min-of-2 —
 the round-5/7 drift re-measure discipline from BASELINE.md). The box
@@ -83,10 +86,27 @@ def _update_floors(timings: dict[str, float], sf: float) -> None:
     for name, t in timings.items():
         if t >= 0:
             floors[name] = round(min(t, floors.get(name, t)), 4)
+    _write_floors(floors, sf, "min across recorded runs")
+
+
+def _reanchor_floors(timings: dict[str, float], sf: float) -> None:
+    """REPLACE the floors with this run's median-of-3 (VERDICT r9 item
+    2): a floor that is a one-off minimum from an unusually fast window
+    makes the 2x gate cry wolf forever on a 2-16x noisy box; a
+    clean-session median is a reproducible anchor.  Queries that failed
+    keep their old floor."""
+    floors = _load_floors()
+    for name, t in timings.items():
+        if t >= 0:
+            floors[name] = t
+    _write_floors(floors, sf, "median-of-3 within one clean session (re-anchored)")
+
+
+def _write_floors(floors: dict[str, float], sf: float, method: str) -> None:
     with open(_FLOORS_PATH, "w") as fh:
         json.dump(
             {"_doc": "per-query wall floors (sec), sf0.1 clean-session "
-                     "min across recorded runs; gate = 2x floor + 0.75s slack",
+                     f"{method}; gate = 2x floor + 0.75s slack",
              "sf": sf, "floors": dict(sorted(floors.items()))},
             fh, indent=1)
         fh.write("\n")
@@ -134,21 +154,32 @@ def main() -> None:
     # stateful queries re-execute fully (fresh checkpoint/sink per run),
     # so run 2 is a true re-measure.
     RERUN_THRESHOLD_S = 2.0
+    # --reanchor: ALWAYS run 3 full attempts and record the MEDIAN —
+    # the reproducible clean-session anchor for the floors file (the
+    # regular min-of-2 stays the default so bench wall time is bounded).
+    reanchor = "--reanchor" in sys.argv[1:]
     timings: dict[str, float] = {}
     for name, spec in sorted(registry.items()):
         best = None
-        for attempt in range(2):
+        runs: list[float] = []
+        for attempt in range(3 if reanchor else 2):
             t0 = time.perf_counter()
             try:
                 run_query(spec.build(spark, sf_dir))
                 dt = time.perf_counter() - t0
+                runs.append(dt)
                 best = dt if best is None else min(best, dt)
             except Exception as exc:  # record failures, keep benching
                 print(f"# bench FAILED {name}: {exc}", file=sys.stderr)
                 break
-            if dt <= RERUN_THRESHOLD_S:
+            if not reanchor and dt <= RERUN_THRESHOLD_S:
                 break
-        timings[name] = round(best, 4) if best is not None else -1.0
+            if reanchor:
+                spark.catalog.clearCache()  # each attempt from cold cache
+        if reanchor and len(runs) == 3:
+            timings[name] = round(sorted(runs)[1], 4)
+        else:
+            timings[name] = round(best, 4) if best is not None else -1.0
         # Builders persist() intermediates read more than once inside
         # their own plan and never unpersist (the DataFrame is still
         # lazy when returned). Over ~320 back-to-back queries those
@@ -185,7 +216,9 @@ def main() -> None:
     sys.stdout.flush()
     print(json.dumps(summary, separators=(",", ":")))
 
-    if "--update-floors" in sys.argv[1:]:
+    if "--reanchor" in sys.argv[1:] and sf == 0.1:
+        _reanchor_floors(timings, sf)
+    elif "--update-floors" in sys.argv[1:]:
         _update_floors(timings, sf)
     if "--check" in sys.argv[1:] and sf == 0.1:
         raise SystemExit(_check_regressions(timings, sf))

@@ -18,6 +18,8 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Column, DataFrame
+
+from dynaledger_spark.plans.cache import tracked_persist
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: keeps a*h+b within signed-64 under ANSI mode.
@@ -197,7 +199,7 @@ def near_duplicates(
     from pyspark import StorageLevel
 
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes=n_hashes, seed=seed)
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = tracked_persist(sigs, StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, n_bands=n_bands)
     out = exact_jaccard(cands, sigs).filter(F.col("jaccard") >= threshold)
     if materialize:
@@ -363,7 +365,7 @@ def portable_minhash_signatures(
     ).select("id", "shingles", sig.alias("sig"))
     from pyspark import StorageLevel
 
-    return sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    return tracked_persist(sigs, StorageLevel.MEMORY_AND_DISK)
 
 
 def portable_minhash_pairs(

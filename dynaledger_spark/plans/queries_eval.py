@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from dynaledger_spark.plans.registry import register
+from dynaledger_spark.plans.cache import tracked_persist
 from dynaledger_spark.plans.queries_mlprep import _FOLD, _fold
 from dynaledger_spark.plans.queries_vector import (
     _CENT_N,
@@ -103,7 +104,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = docs.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
     # the corpus-sized bigram stream is aggregated ONCE; margins and the
     # total are rollups of the joint table (identical counts by algebra)
-    joint = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12")).persist()
+    joint = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12")).transform(tracked_persist)
     firsts = joint.groupBy(F.col("w1").alias("w")).agg(F.sum("n12").alias("nf"))
     seconds = joint.groupBy(F.col("w2").alias("w")).agg(F.sum("n12").alias("ns"))
     tot = joint.agg(F.sum("n12").alias("t"))
@@ -437,7 +438,7 @@ def markov_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNotNull())
         .groupBy("user_id", "prev", "cur")
         .agg(F.count(F.lit(1)).alias("n"))
-    ).persist()  # two consumers (matrix via sum, scoring) — one window pass
+    ).transform(tracked_persist)  # two consumers (matrix via sum, scoring) — one window pass
     trans = pairs.groupBy("prev", "cur").agg(F.sum("n").alias("n_ab"))
     margins = trans.groupBy("prev").agg(F.sum("n_ab").alias("n_a"))
     scored = (

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynaledger_spark.plans.registry import register
+from dynaledger_spark.plans.cache import tracked_persist
 
 MIN_SUPPORT = 2
 # Hot-basket guard: pair generation is quadratic IN THE BASKET, so one
@@ -66,7 +67,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.catalog import read_table
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    return edges_from_lineitem(li).persist()
+    return edges_from_lineitem(li).transform(tracked_persist)
 
 
 def edges_from_lineitem(li: DataFrame) -> DataFrame:
@@ -173,7 +174,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
-    ).persist()  # read three times (two wedge sides + closing edge)
+    ).transform(tracked_persist)  # read three times (two wedge sides + closing edge)
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     wedges = o1.join(
         o2,
@@ -231,8 +232,8 @@ def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85) -> DataFra
     """
     arcs = edges.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))).persist()
-    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))).transform(tracked_persist)
+    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(tracked_persist)
     n = deg.count()  # scalar: |V|, bounded driver value (also primes the caches)
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
@@ -309,7 +310,7 @@ def bfs_levels(edges: DataFrame, max_depth: int) -> DataFrame:
     arcs = (
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .persist()
+        .transform(tracked_persist)
     )
     seed = edges.agg(F.min("pa").cast("bigint").alias("v")).select(
         "v", F.lit(0).cast("bigint").alias("level")
@@ -512,7 +513,7 @@ def pagerank_portable_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     arcs = (
         edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .persist()
+        .transform(tracked_persist)
     )
     deg = arcs.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -616,7 +617,7 @@ def lpa_communities_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(
         edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    ).persist()
+    ).transform(tracked_persist)
     labels = bidir.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lbl")
     )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dynaledger_spark.plans.registry import register
+from dynaledger_spark.plans.cache import tracked_persist
 from dynaledger_spark.plans.queries_graph import _EDGES_DUCK, _edges
 from dynaledger_spark.plans.queries_stats import _duck_hex_poly
 
@@ -581,7 +582,7 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5-gram assembly once instead of four times is most of the wall
     shingled = rep_docs.select(
         "doc_id", _shingles(F.col("text"), 5).alias("sh")
-    ).persist()
+    ).transform(tracked_persist)
     ex = shingled.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g")
     )
@@ -728,7 +729,7 @@ def triplet_sample_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     wlab = W.partitionBy("label").orderBy("vec_id")
     members = emb.select(
         "vec_id", "label", F.row_number().over(wlab).alias("rn")
-    ).persist()
+    ).transform(tracked_persist)
     lcnt = members.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
     lrank = lcnt.select(
         "label",

@@ -565,3 +565,247 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QRR  # noqa: E402
 
 _QRR["mmr_rerank"].oracle = _mmr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# RAG pipeline end-to-end (round-10, VERDICT r9 item 7): chunk → embed-stub
+# → decontaminate → 1-probe cell index → top-k retrieve, one composed plan
+# with the oracle re-deriving the WHOLE pipeline (curation_pipeline_e2e's
+# proven pattern applied to the retrieval family).
+# ---------------------------------------------------------------------------
+def _rag_oracle() -> str:
+    from dynaledger_spark.plans.queries_stats import _duck_hex_poly
+
+    poly = _duck_hex_poly("md5(w)", 10)
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        sht AS (
+            SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(t) - 4, 1) + 1),
+                i -> array_to_string(t[i:i+4], ' ')))) AS g
+            FROM sht
+        ),
+        bench_g AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        contaminated AS (
+            SELECT DISTINCT s.doc_id FROM sh s JOIN bench_g b USING (g)
+            WHERE s.doc_id % 97 <> 0
+        ),
+        raw_chunks AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(greatest(len(t) - 8, 1) / 24.0) AS BIGINT)),
+                       i -> struct_pack(chunk_idx := i,
+                                        chunk_text := array_to_string(t[i*24+1 : i*24+32], ' '),
+                                        n := len(t[i*24+1 : i*24+32])))) AS c
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id, doc_id * 1000 + c.chunk_idx AS chunk_id, c.chunk_text
+            FROM raw_chunks WHERE c.n > 0
+        ),
+        words AS (
+            SELECT chunk_id, doc_id, unnest(string_split(chunk_text, ' ')) AS w
+            FROM chunks
+        ),
+        hashed AS (SELECT chunk_id, doc_id, {poly} AS h FROM words),
+        feats AS (
+            SELECT chunk_id, doc_id, h % 16 AS bucket,
+                   CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS val
+            FROM hashed GROUP BY chunk_id, doc_id, h % 16
+            HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+        ),
+        norms AS (
+            SELECT chunk_id, CAST(SUM(val * val) AS BIGINT) AS n2
+            FROM feats GROUP BY chunk_id
+        ),
+        cells AS (
+            SELECT chunk_id, doc_id, bucket AS cell FROM (
+                SELECT chunk_id, doc_id, bucket,
+                       row_number() OVER (PARTITION BY chunk_id
+                                          ORDER BY abs(val) DESC, bucket) AS r
+                FROM feats) WHERE r = 1
+        ),
+        qcells AS (SELECT chunk_id, cell FROM cells WHERE doc_id % 97 = 0),
+        xcells AS (
+            SELECT chunk_id, cell FROM cells
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        dots AS (
+            SELECT q.chunk_id AS query_chunk, x.chunk_id AS retrieved_chunk,
+                   CAST(SUM(qf.val * xf.val) AS BIGINT) AS dot
+            FROM qcells q
+            JOIN xcells x ON q.cell = x.cell
+            JOIN feats qf ON qf.chunk_id = q.chunk_id
+            JOIN feats xf ON xf.chunk_id = x.chunk_id AND xf.bucket = qf.bucket
+            GROUP BY q.chunk_id, x.chunk_id
+        ),
+        scored AS (
+            SELECT d.query_chunk, d.retrieved_chunk,
+                   d.dot / sqrt(nq.n2 * nx.n2) AS cos
+            FROM dots d
+            JOIN norms nq ON nq.chunk_id = d.query_chunk
+            JOIN norms nx ON nx.chunk_id = d.retrieved_chunk
+        )
+        SELECT query_chunk, CAST(rnk AS INT) AS rnk, retrieved_chunk,
+               round(cos, 12) AS cosine
+        FROM (
+            SELECT query_chunk, retrieved_chunk, cos,
+                   row_number() OVER (PARTITION BY query_chunk
+                                      ORDER BY cos DESC, retrieved_chunk) AS rnk
+            FROM scored)
+        WHERE rnk <= 3
+    """
+
+
+@register(
+    "rag_pipeline_e2e",
+    doc="RAG retrieval e2e: chunk -> hash-embed -> decontaminate -> 1-probe cell index -> top-3",
+    oracle=_rag_oracle(),
+)
+def rag_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval family composed into the pipeline RAG systems run:
+    sliding-window chunking (curation_pipeline_e2e's 32/24 chunker) →
+    deterministic 16-dim signed feature-hash embeddings (exact BIGINT
+    components from the md5 polynomial, so cosine is bit-identical
+    cross-engine) → eval-set decontamination (corpus docs sharing any
+    5-gram with a benchmark doc are dropped BEFORE indexing, so
+    retrieval can never surface contaminated passages) → a 1-probe
+    inverted cell index (cell = the embedding's dominant dimension —
+    a real IVF structure in miniature) → per-query top-3 by cosine.
+    The DuckDB oracle re-derives the WHOLE pipeline, so the stage
+    composition is verified, not just the stages.
+
+    Scale posture: bench grams and query-side features are broadcast
+    (an eval set is small by construction); the corpus-side work is
+    explode → (chunk, bucket) hash aggregate → equi-joins on cell and
+    (chunk, bucket) — no all-pairs product anywhere; candidates are
+    bounded by the probed cell, exactly like ann_ivf_persisted_topk's
+    partition-pruned cells (D=16 here is the oracle-exact miniature;
+    the production path raises D/cells and multiprobes).
+    """
+    from dynaledger_spark.operators.dedup import _shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+
+    # decontamination grams (doc-level, the curation_pipeline convention)
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"), 5)).alias("g"))
+    bench_g = sh.filter(is_bench).select("g").distinct()
+    contaminated = (
+        sh.filter(~is_bench).join(F.broadcast(bench_g), "g").select("doc_id").distinct()
+    )
+
+    # 32/24 sliding-window chunks, chunk_id = doc_id*1000 + idx
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(
+        (F.greatest(F.size(toks) - 8, F.lit(1))) / F.lit(24.0)
+    ).cast("bigint")
+    mk = lambda i: F.struct(  # noqa: E731
+        i.alias("chunk_idx"),
+        F.array_join(F.slice(toks, (i * 24 + 1).cast("int"), 32), " ").alias("chunk_text"),
+        F.size(F.slice(toks, (i * 24 + 1).cast("int"), 32)).alias("n"),
+    )
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1), mk)
+            ).alias("c"),
+        )
+        .filter(F.col("c.n") > 0)
+        .select(
+            "doc_id",
+            (F.col("doc_id") * 1000 + F.col("c.chunk_idx")).alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+    # signed 16-dim feature hashing: exact BIGINT components
+    words = chunks.select(
+        "chunk_id", "doc_id", F.explode(F.split("chunk_text", " ")).alias("w")
+    )
+    hashed = words.select(
+        "chunk_id",
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(w), 1, 10), 16, 10) AS BIGINT)").alias("h"),
+    )
+    sign = F.when((F.expr("h DIV 16") % 2) == 0, F.lit(1)).otherwise(F.lit(-1))
+    feats = (
+        hashed.select("chunk_id", "doc_id", (F.col("h") % 16).alias("bucket"), sign.alias("s"))
+        .groupBy("chunk_id", "doc_id", "bucket")
+        .agg(F.sum("s").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+    norms = feats.groupBy("chunk_id").agg(
+        F.sum(F.col("val") * F.col("val")).cast("bigint").alias("n2")
+    )
+    rw = W.partitionBy("chunk_id").orderBy(F.abs(F.col("val")).desc(), "bucket")
+    cells = (
+        feats.withColumn("r", F.row_number().over(rw))
+        .filter(F.col("r") == 1)
+        .select("chunk_id", "doc_id", F.col("bucket").alias("cell"))
+    )
+    qcells = cells.filter(F.col("doc_id") % 97 == 0).select("chunk_id", "cell")
+    xcells = (
+        cells.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("chunk_id", "cell")
+    )
+
+    # 1-probe retrieve: pair on cell, dot over shared buckets (exact ints)
+    pairs = (
+        F.broadcast(qcells.withColumnRenamed("chunk_id", "query_chunk"))
+        .join(xcells.withColumnRenamed("chunk_id", "retrieved_chunk"), "cell")
+        .select("query_chunk", "retrieved_chunk")
+    )
+    qf = feats.select(
+        F.col("chunk_id").alias("query_chunk"),
+        "bucket",
+        F.col("val").alias("qval"),
+    )
+    xf = feats.select(
+        F.col("chunk_id").alias("retrieved_chunk"),
+        "bucket",
+        F.col("val").alias("xval"),
+    )
+    dots = (
+        pairs.join(F.broadcast(qf), "query_chunk")
+        .join(xf, ["retrieved_chunk", "bucket"])
+        .groupBy("query_chunk", "retrieved_chunk")
+        .agg(F.sum(F.col("qval") * F.col("xval")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(norms.select(F.col("chunk_id").alias("query_chunk"),
+                                     F.col("n2").alias("nq"))),
+            "query_chunk",
+        )
+        .join(
+            norms.select(F.col("chunk_id").alias("retrieved_chunk"),
+                         F.col("n2").alias("nx")),
+            "retrieved_chunk",
+        )
+        .select(
+            "query_chunk",
+            "retrieved_chunk",
+            (F.col("dot") / F.sqrt(F.col("nq") * F.col("nx"))).alias("cos"),
+        )
+    )
+    topw = W.partitionBy("query_chunk").orderBy(F.col("cos").desc(), "retrieved_chunk")
+    return (
+        scored.withColumn("rnk", F.row_number().over(topw))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_chunk",
+            F.col("rnk").cast("int").alias("rnk"),
+            "retrieved_chunk",
+            F.round(F.col("cos"), 12).alias("cosine"),
+        )
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dynaledger_spark.plans.registry import register
+from dynaledger_spark.plans.cache import tracked_persist
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +134,7 @@ def fastss_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("w").alias("word"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .persist()  # feeds the variant explode and both frequency joins
+        .transform(tracked_persist)  # feeds the variant explode and both frequency joins
     )
     variants = F.array_distinct(
         F.concat(
@@ -300,7 +301,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("w"),
         )
-        .persist()  # norms, blocking, and the dot join all read it
+        .transform(tracked_persist)  # norms, blocking, and the dot join all read it
     )
     norms = post.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("nrm")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dynaledger_spark.plans.registry import register
+from dynaledger_spark.plans.cache import tracked_persist
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1764,16 +1765,16 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    h_docs = docs.select("doc_id", "text", F.md5("text").alias("h")).persist()
+    h_docs = docs.select("doc_id", "text", F.md5("text").alias("h")).transform(tracked_persist)
     groups = h_docs.groupBy("h").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).cast("bigint").alias("m")
-    ).persist()
+    ).transform(tracked_persist)
     rep_docs = h_docs.join(
         groups.select("rep", "m"), h_docs.doc_id == F.col("rep")
     ).select(F.col("rep").alias("doc_id"), "m", "text")
     shingled = rep_docs.select(
         "doc_id", "m", _shingles(F.col("text")).alias("sh")
-    ).persist()
+    ).transform(tracked_persist)
     ex = shingled.select(
         "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g")
     )
@@ -1821,7 +1822,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_a") * F.col("m_b")).alias("w"),
             (inter.cast("double") / union).alias("j"),
         )
-        .persist()  # consumed twice: theory fold + the hit semi join
+        .transform(tracked_persist)  # consumed twice: theory fold + the hit semi join
     )
     jj = (F.col("j") * F.col("j")) * (F.col("j") * F.col("j"))
     q = 1.0 - jj

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynaledger_spark.plans.registry import register
+from dynaledger_spark.plans.cache import tracked_persist
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,7 +591,7 @@ def quantized_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "aggregate(q, 0L, (a, v) -> a + CAST(v AS BIGINT) * v) AS q2",
         )
-        .persist()
+        .transform(tracked_persist)
     )
     ok = (
         vecs.groupBy("bucket")
@@ -1026,7 +1027,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
             )
         ).alias("nrm"),
-    ).persist()  # rep pair join reads it twice; the rollup once
+    ).transform(tracked_persist)  # rep pair join reads it twice; the rollup once
     a, b = norms.alias("a"), norms.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
@@ -1852,7 +1853,7 @@ def kmeans_portable_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("embedding"), 1, _KM_D),
         lambda e: F.floor(e.cast("double") * _KM_SCALE).cast("bigint"),
     )
-    x = emb.select("vec_id", xv.alias("xv")).persist()
+    x = emb.select("vec_id", xv.alias("xv")).transform(tracked_persist)
 
     def _dists(cents: list[list[int]]):
         return [

@@ -17,6 +17,7 @@ Determinism contract for oracle-checked queries:
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
@@ -25,6 +26,8 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from dynaledger_spark.plans import cache
 
 
 @dataclass
@@ -47,11 +50,29 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
 ):
-    """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
+    """Decorator: register a (spark, sf_dir) -> DataFrame query builder.
+
+    The registered build is wrapped with the cache discipline from
+    :mod:`dynaledger_spark.plans.cache`: intermediates the builder
+    persists (via tracked_persist) are unpersisted when the returned
+    DataFrame is garbage-collected, so embedding applications that call
+    builds directly don't accumulate cached blocks for the session's
+    lifetime (VERDICT r9 item 3).  The raw function is returned
+    unwrapped so builders composing other builders contribute their
+    persists to the OUTERMOST result's release set."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        @functools.wraps(fn)
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            outermost = cache.begin_build()
+            try:
+                df = fn(spark, sf_dir)
+            finally:
+                persisted = cache.end_build(outermost)
+            return cache.attach_release(df, persisted)
+
         QUERY_REGISTRY[name] = QuerySpec(
-            name=name, build=fn, oracle=oracle, headline=headline, doc=doc or fn.__doc__ or "", tags=tags
+            name=name, build=build, oracle=oracle, headline=headline, doc=doc or fn.__doc__ or "", tags=tags
         )
         return fn
 

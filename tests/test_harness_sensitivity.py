@@ -220,6 +220,8 @@ RESULT_MUTATIONS = [
     ("unique_key_check", _inject_violation_row),
     ("anti_join_fk", _inject_violation_row),
     ("validation_summary", _int_off_by_one),
+    # round-10: the RAG composition — a lost retrieval row must fire
+    ("rag_pipeline_e2e", _drop_one_row),
 ]
 
 

@@ -788,6 +788,76 @@ def test_rotation_staleness_sla():
         )
 
 
+def test_unpersist_discipline(spark, sf_dir):
+    """VERDICT r9 item 3: an embedding application that calls registry
+    builds directly (no harness clearCache) must not accumulate cached
+    blocks for the life of its session.  Build + fully materialize 20+
+    persisting queries, drop the results, and assert the SparkContext
+    holds zero persistent RDDs — the weakref release hook attached by
+    register() (plans/cache.py) owns each build's persisted
+    intermediates."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    # Other tests' module-scoped fixtures (e.g. `plans`) hold built
+    # DataFrames ALIVE — their localCheckpoint RDDs are strongly
+    # referenced and legitimately uncollectable here.  Snapshot them and
+    # assert on the DELTA: nothing built in THIS test may survive.
+    base_ids = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    persisters = [
+        "copurchase_triangles", "anomaly_dow_hour_baseline",
+        "basket_association_rules", "bigram_interpolated_logprob",
+        "cms_heavy_hitters", "cusum_changepoint", "item_cf_cosine",
+        "jaccard_prefix_filter_join", "mad_outlier_days",
+        "markov_sequence_score", "pmi_collocations",
+        "quantized_cosine_pairs", "rolling_purchase_features",
+        "theil_sen_daily_trend", "triplet_sample_contrastive",
+        "pagerank_portable_fixedpoint", "semdedup_prune",
+        "fastss_edit1_pairs", "kmv_theta_sketch_pairs",
+        "lpa_communities_fixed", "tfidf_cosine_pairs",
+        "sequential_pattern_support",
+    ]
+    for name in persisters:
+        df = REGISTRY[name].build(spark, sf_dir)
+        assert df.count() >= 0
+        del df
+    gc.collect()
+    # The unbounded leak class: CacheManager holds STRONG references to
+    # cached plans, so an unreleased persist() lives for the session's
+    # lifetime. This must be empty purely from the release hooks.
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), (
+        "CacheManager still holds cached plans after dropping the "
+        "results of 22 persisting builds — a tracked_persist release "
+        "hook is missing or a builder persists outside tracked_persist"
+    )
+    # localCheckpoint residue (pagerank/LPA/k-core iteration rounds) is
+    # ContextCleaner-owned: persistentRdds holds them WEAKLY, so once
+    # the Python wrappers detach and the JVM GCs, the entries drain on
+    # their own — bounded wait, no clearCache.
+    import time
+
+    jvm = spark.sparkContext._jvm
+
+    def new_ids():
+        ids = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        return ids - base_ids
+
+    deadline = time.time() + 30
+    leaked = new_ids()
+    while leaked and time.time() < deadline:
+        gc.collect()
+        jvm.System.gc()
+        time.sleep(0.5)
+        leaked = new_ids()
+    assert not leaked, (
+        f"{len(leaked)} persistent RDDs from this test's builds remain "
+        "after GC — localCheckpoint blocks are not being reclaimed "
+        "(strongly referenced somewhere?)"
+    )
+
+
 def test_regression_reenters_window():
     """ADVICE r9 item 1: a query whose LATEST driver record is a failure
     must sort as never-verified (tier 1) even if an older round was

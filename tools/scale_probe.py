@@ -169,6 +169,9 @@ QUERIES = [
     "dedup_keep_best", "minhash_portable_incremental", "type_token_ratio",
     "vocab_build_topn", "lang_id_confusion", "source_vocab_overlap",
     "compression_ratio_quality", "simhash_fingerprints",
+    # round-10: the RAG retrieval composition (3000-dup hot doc makes one
+    # fingerprint block and one index cell hot; bench grams stay broadcast)
+    "rag_pipeline_e2e",
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
