@@ -809,3 +809,197 @@ def rag_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cos"), 12).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+_RM3_LAMBDA = 0.6  # weight on the original query; 1-lambda on the expansion
+_RM3_FB_DOCS = 10
+_RM3_EXP_TERMS = 5
+
+
+def _rm3_oracle() -> str:
+    return f"""
+        WITH {_bm25_oracle_ctes()},
+        fb AS (
+            SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id
+            LIMIT {_RM3_FB_DOCS}
+        ),
+        tf_all AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        rm1 AS (
+            SELECT t.term,
+                   SUM(CAST(round(CAST(t.tf AS DOUBLE) / CAST(d.dl AS DOUBLE), 9)
+                       AS DECIMAL(27,9))) AS w_raw
+            FROM tf_all t JOIN fb USING (doc_id) JOIN dls d ON d.doc_id = t.doc_id
+            WHERE t.term NOT IN ({_terms_sql()}) AND length(t.term) >= 3
+            GROUP BY t.term
+        ),
+        exp5 AS (
+            SELECT term, w_raw FROM rm1 ORDER BY w_raw DESC, term
+            LIMIT {_RM3_EXP_TERMS}
+        ),
+        qterms AS (
+            SELECT term,
+                   {1.0 - _RM3_LAMBDA} * (CAST(w_raw AS DOUBLE)
+                       / CAST((SELECT SUM(w_raw) FROM exp5) AS DOUBLE)) AS qw
+            FROM exp5
+            UNION ALL
+            SELECT term, CAST({_RM3_LAMBDA / len(QUERY_TERMS)} AS DOUBLE) AS qw
+            FROM (SELECT unnest([{_terms_sql()}]) AS term)
+        ),
+        dfq AS (
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tf_all WHERE term IN (SELECT term FROM qterms)
+            GROUP BY term
+        ),
+        contrib AS (
+            SELECT t.doc_id,
+                   round(q.qw * (
+                       ln((CAST(c.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+                          / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+                       * (CAST(t.tf AS DOUBLE) * ({K1} + 1.0))
+                       / (CAST(t.tf AS DOUBLE)
+                          + {K1} * (1.0 - {B} + {B} * (CAST(d.dl AS DOUBLE)
+                                                       / c.avgdl)))), 9) AS con
+            FROM tf_all t
+            JOIN qterms q ON q.term = t.term
+            JOIN dfq f ON f.term = t.term
+            JOIN dls d ON d.doc_id = t.doc_id
+            CROSS JOIN corpus c
+        ),
+        rm3 AS (
+            SELECT doc_id,
+                   round(CAST(SUM(CAST(con AS DECIMAL(27,9))) AS DOUBLE), 9)
+                       AS rm3_score
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, rm3_score,
+               CAST(row_number() OVER (ORDER BY rm3_score DESC, doc_id) AS INT)
+                   AS rnk
+        FROM rm3 ORDER BY rm3_score DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "rm3_query_expansion",
+    doc=f"RM3 pseudo-relevance feedback: BM25 top-{_RM3_FB_DOCS} -> top-{_RM3_EXP_TERMS} expansion terms -> interpolated re-ranking (lambda={_RM3_LAMBDA})",
+)
+def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 (Lavrenko & Croft 2001 relevance models, the Abdul-Jaleel
+    et al. 2004 interpolated form — the standard strong lexical
+    baseline): retrieve BM25 top-10 for the fixed 3-term query, build
+    the RM1 relevance model over the feedback docs' vocabulary
+    (w(t) = sum of per-doc normalized tf, stopword-proxy: terms < 3
+    chars and the originals excluded), keep the top-5 expansion terms,
+    and re-rank the corpus with the interpolated query
+    lambda*MLE(q) + (1-lambda)*RM1 — each term scored by its BM25
+    contribution weighted by its query probability.
+
+    Determinism: RM1 weights are DECIMAL sums of per-doc rounded
+    ratios (ties in the top-5 break on the term string); the final
+    per-doc score is a DECIMAL accumulation of per-(doc, term) rounded
+    contributions, each a fixed IEEE chain over exact integers (tf, dl,
+    df, N) — bitwise equal to the DuckDB re-derivation including the
+    ranking.
+
+    Scale posture: the corpus token stream is NEVER aggregated into a
+    full inverted index on the Spark side — pass 1 semi-joins the token
+    stream against the broadcast 10-doc feedback set BEFORE the
+    (doc, term) aggregate, pass 2 against the broadcast <=8-term
+    expanded query, so both shuffles carry only matching tokens (the
+    same pushed-filter shape bm25_topk_docs uses for its fixed terms).
+    df/avgdl/corpus stats are one-row broadcasts. At 100 TB the
+    expensive stage is the pass-2 token scan, which is embarrassingly
+    parallel and shuffle-light.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    fb = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RM3_FB_DOCS)
+        .select("doc_id")
+    )
+    # pass 1: tf restricted to the feedback docs (broadcast semi-join
+    # before the aggregate)
+    tf_fb = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    rm1 = (
+        tf_fb.filter(
+            (~F.col("term").isin(*QUERY_TERMS)) & (F.length("term") >= 3)
+        )
+        .join(dls, "doc_id")
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("tf").cast("double") / F.col("dl").cast("double"), 9
+                ).cast("decimal(27,9)")
+            ).alias("w_raw")
+        )
+    )
+    exp5 = rm1.orderBy(F.col("w_raw").desc(), "term").limit(_RM3_EXP_TERMS)
+    wsum = exp5.agg(F.sum("w_raw").alias("wsum"))
+    expnorm = exp5.crossJoin(F.broadcast(wsum)).select(
+        "term",
+        (
+            F.lit(1.0 - _RM3_LAMBDA)
+            * (F.col("w_raw").cast("double") / F.col("wsum").cast("double"))
+        ).alias("qw"),
+    )
+    orig = spark.createDataFrame(
+        [(t, _RM3_LAMBDA / len(QUERY_TERMS)) for t in QUERY_TERMS],
+        "term string, qw double",
+    )
+    qterms = expnorm.unionByName(orig)
+    # pass 2: tf restricted to the expanded term set (broadcast filter
+    # before the aggregate)
+    tf_q = (
+        toks.join(F.broadcast(qterms.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfq = tf_q.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    j = (
+        tf_q.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfq), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tf_c = F.col("tf").cast("double")
+    norm = tf_c + K1 * (1.0 - B + B * (F.col("dl").cast("double") / F.col("avgdl")))
+    con = F.round(F.col("qw") * (idf * (tf_c * (K1 + 1.0)) / norm), 9)
+    rm3 = (
+        j.select("doc_id", con.alias("con"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("con").cast("decimal(27,9)")).cast("double"), 9).alias(
+                "rm3_score"
+            )
+        )
+    )
+    top = rm3.orderBy(F.col("rm3_score").desc(), "doc_id").limit(10)
+    rnk = F.row_number().over(W.orderBy(F.col("rm3_score").desc(), "doc_id"))
+    return top.select("doc_id", "rm3_score", rnk.cast("int").alias("rnk"))
+
+
+_QRR["rm3_query_expansion"].oracle = _rm3_oracle()

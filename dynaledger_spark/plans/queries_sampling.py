@@ -888,3 +888,104 @@ def priority_sample_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+def _hrw_hex_poly(hexpr: str, width: int = 10) -> str:
+    """DuckDB twin of Spark's conv(hex, 16, 10): explicit base-16
+    polynomial over the leading `width` hex chars (exact BIGINT)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (width - 1 - i)}"
+        for i in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_HRW_KEY_DUCK = _hrw_hex_poly("md5(concat(d.doc_id, '#', s.shard))") + " * 16 + s.shard"
+_HRW_KEY_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#',"
+    " CAST(shard AS STRING))), 1, 10), 16, 10) AS BIGINT) * 16 + shard"
+)
+
+
+@register(
+    "rendezvous_hash_shard",
+    doc="HRW (rendezvous) shard assignment at 8 shards + minimal-movement audit vs 9 shards",
+    oracle=f"""
+        WITH shards AS (
+            SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS shard
+        ),
+        keyed AS (
+            SELECT d.doc_id, s.shard,
+                   CAST({_HRW_KEY_DUCK} AS BIGINT) AS hkey
+            FROM documents d CROSS JOIN shards s
+        ),
+        winners AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN shard < 8 THEN hkey END) % 16 AS shard8,
+                   MAX(hkey) % 16 AS shard9
+            FROM keyed GROUP BY doc_id
+        )
+        SELECT CAST(shard8 AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN shard9 <> shard8 THEN 1 END) AS BIGINT) AS n_moved,
+               CAST(COUNT(CASE WHEN shard9 <> shard8 AND shard9 <> 8 THEN 1 END)
+                    AS BIGINT) AS n_moved_wrongly
+        FROM winners GROUP BY shard8 ORDER BY shard8
+    """,
+)
+def rendezvous_hash_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight hashing (Thaler & Ravishankar
+    1998) — the shard assignment a 100 TB pipeline wants when the shard
+    count changes over time: each doc goes to the shard with the highest
+    hash(doc, shard), so growing 8 -> 9 shards moves ONLY the ~1/9 of
+    docs whose new shard-8 key wins (n_moved_wrongly is 0 by
+    construction: a doc never moves BETWEEN old shards). Modulo-hash
+    sharding (hash_split_train_val's scheme) reassigns ~8/9 of all docs
+    on the same resize.
+
+    Determinism: the per-(doc, shard) key is the leading 40 bits of an
+    md5, disambiguated by appending the shard id in the low 4 bits
+    (hkey = h*16 + shard), so MAX() is a total order even under 40-bit
+    hash collisions and both engines pick the identical winner; the
+    winning shard is recovered as hkey % 16. Pure scan-side expressions:
+    a 9-way broadcast cross join then one hash aggregate per doc —
+    stateless, no coordination table, the same plan at any corpus size.
+    """
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    shards = spark.range(0, 9).select(F.col("id").alias("shard"))
+    keyed = docs.select("doc_id").crossJoin(F.broadcast(shards)).select(
+        "doc_id", "shard", F.expr(_HRW_KEY_SPARK).alias("hkey")
+    )
+    winners = keyed.groupBy("doc_id").agg(
+        (F.max(F.when(F.col("shard") < 8, F.col("hkey"))) % 16).alias("shard8"),
+        (F.max("hkey") % 16).alias("shard9"),
+    )
+    return (
+        winners.groupBy("shard8")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("shard9") != F.col("shard8"), 1))
+            .cast("bigint")
+            .alias("n_moved"),
+            F.count(
+                F.when(
+                    (F.col("shard9") != F.col("shard8")) & (F.col("shard9") != 8), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_moved_wrongly"),
+        )
+        .select(
+            F.col("shard8").cast("bigint").alias("shard"),
+            "n_docs",
+            "n_moved",
+            "n_moved_wrongly",
+        )
+        .orderBy("shard")
+    )

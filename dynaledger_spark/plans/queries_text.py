@@ -2042,3 +2042,135 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold("aerr") / F.count(F.lit(1)), 9).alias("mae"),
         F.round(F.max("aerr"), 9).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (integer fixed-point, round-10 batch 2)
+# ---------------------------------------------------------------------------
+_TR_SCALE = 10**12
+_TR_ROUNDS = 5
+_TR_TOPK = 20
+
+
+def _textrank_oracle() -> str:
+    steps = []
+    for i in range(1, _TR_ROUNDS + 1):
+        steps.append(f"""
+        tr{i} AS MATERIALIZED (
+            SELECT d.w, d.deg,
+                   CAST((15 * {_TR_SCALE} // 100) // (SELECT n FROM nw)
+                        + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT) AS r
+            FROM deg d
+            LEFT JOIN (
+                SELECT a.dst AS w, SUM(p.r // p.deg) AS s
+                FROM arcs a JOIN tr{i - 1} p ON a.src = p.w
+                GROUP BY a.dst
+            ) c ON c.w = d.w
+        )""")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, i AS pos, t[i] AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 unnest(range(1, len(t) + 1)) AS u(i)
+        ),
+        cooc AS (
+            SELECT DISTINCT a.w AS src, b.w AS dst
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.w <> a.w
+        ),
+        arcs AS MATERIALIZED (
+            SELECT src, dst FROM cooc UNION SELECT dst, src FROM cooc
+        ),
+        deg AS MATERIALIZED (SELECT src AS w, COUNT(*) AS deg FROM arcs GROUP BY src),
+        nw AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+        tr0 AS MATERIALIZED (
+            SELECT w, deg, CAST({_TR_SCALE} // (SELECT n FROM nw) AS BIGINT) AS r
+            FROM deg
+        ),
+        {",".join(steps)}
+        SELECT w AS word, r AS tr_fixed
+        FROM tr{_TR_ROUNDS}
+        ORDER BY r DESC, w LIMIT {_TR_TOPK}
+    """
+
+
+@register(
+    "textrank_keywords",
+    doc=f"TextRank keywords: window-2 co-occurrence graph + {_TR_ROUNDS} integer fixed-point PageRank rounds, top-{_TR_TOPK}",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) keyword extraction over the
+    corpus: adjacent-word pairs form an undirected co-occurrence graph
+    (the paper's window-2 default, DISTINCT edges corpus-wide) and the
+    keyword score is PageRank on that graph. Reuses the integer
+    fixed-point iteration of pagerank_portable_fixedpoint
+    (queries_graph): ranks scaled by 10^12, damping as the rational
+    17/20, floor divisions and bigint sums only — {_TR_ROUNDS} rounds
+    match the unrolled DuckDB CTEs bitwise, ties in the top-{_TR_TOPK}
+    break on the word.
+
+    Plan: one token explode with a posexplode-derived adjacency join
+    keyed (doc_id, pos) — pushed down to a single exchange on doc_id —
+    then DISTINCT vocab-pair edges (vocab-bounded, NOT corpus-bounded:
+    the 3000-dup probe doc adds zero new edges), a |vocab|-row degree
+    table, and per-round join+aggregate on the arc list with eager
+    localCheckpoint keeping the iterative plan flat. At 100 TB the
+    edge set grows with VOCABULARY, so the five iterations run on a
+    graph orders of magnitude smaller than the corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1)
+            & (F.col("b.w") != F.col("a.w")),
+        )
+        .select(F.col("a.w").alias("src"), F.col("b.w").alias("dst"))
+        .distinct()
+    )
+    arcs = (
+        cooc.unionByName(cooc.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .transform(tracked_persist)
+    )
+    deg = arcs.groupBy(F.col("src").alias("w")).agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # |vocab|: bounded, deterministic driver scalar
+    base = _TR_SCALE // n
+    teleport = (15 * _TR_SCALE // 100) // n
+    cur = deg.withColumn("r", F.lit(base).cast("bigint")).localCheckpoint(eager=True)
+    for _ in range(_TR_ROUNDS):
+        contrib = (
+            arcs.join(
+                cur.select(F.col("w").alias("src"), F.expr("r div deg").alias("share")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("w"))
+            .agg(F.sum("share").alias("s"))
+        )
+        cur = (
+            deg.join(contrib, "w", "left")
+            .withColumn(
+                "r",
+                (
+                    F.lit(teleport)
+                    + F.expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
+                ).cast("bigint"),
+            )
+            .select("w", "deg", "r")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.select(F.col("w").alias("word"), F.col("r").alias("tr_fixed"))
+        .orderBy(F.col("tr_fixed").desc(), "word")
+        .limit(_TR_TOPK)
+    )
+
+
+from dynaledger_spark.plans.registry import QUERY_REGISTRY as _QRT  # noqa: E402
+
+_QRT["textrank_keywords"].oracle = _textrank_oracle()

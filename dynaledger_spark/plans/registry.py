@@ -101,7 +101,15 @@ def register(
 # A failed driver row never counts as verified, so a regression marches
 # straight back into the next window.
 
-_PINNED = ("fact_build", "minhash_portable_pairs", "simhash_portable_fingerprints")
+# Two pins, not three: every pinned slot permanently costs one rotation
+# slot, and at 333 registered queries a third pin pushes the worst-case
+# re-verification staleness past the 7-round SLA
+# (ceil((N-|pinned|)/(50-|pinned|)) — tests/test_plans.py::
+# test_rotation_staleness_sla). simhash_portable_fingerprints (pinned
+# rounds 8-10) now rotates like every other query; fact_build is
+# entry()'s flagship and minhash_portable_pairs is the LLM-pipeline
+# flagship.
+_PINNED = ("fact_build", "minhash_portable_pairs")
 
 _DRIVER_WINDOW = 50  # the driver truncates CORRECTNESS to this many entries
 
@@ -223,6 +231,7 @@ def load_all() -> dict[str, QuerySpec]:
         # round 6; locally parity-proven at both SFs like every batch
         queries_tpch,  # round-6 batch-1: TPC-H Q3/Q5/Q6/Q10/Q14
         queries_sparse,  # round-8: FastSS edit join + sparse TF-IDF cosine
+        queries_experiment,  # round-10 batch 2: SRM, IPS/SNIPS, EB shrinkage, Huber, AR(1)
     )
 
     return {name: QUERY_REGISTRY[name] for name in driver_order(QUERY_REGISTRY)}

@@ -91,6 +91,11 @@ def test_no_cartesian_products(plans):
             "ab_power_analysis",  # 1-row × 1-row arm combine
             "bigram_interpolated_logprob",  # 1-row broadcast of the token total
             "tpch_q1_pricing_summary",  # 1-row broadcast of the shipdate anchor
+            "ab_srm_check",  # 2-row broadcast of the split configs
+            "beta_binomial_shrinkage",  # 1-row broadcast of the MoM prior
+            "ar1_forecast",  # 1-row broadcasts of stats/denominator/last-day scalars
+            "rendezvous_hash_shard",  # 9-row broadcast of the shard ring
+            "rm3_query_expansion",  # 1-row corpus-stats + expansion-weight-sum broadcasts
             "theil_sen_daily_trend",  # calendar-bounded |days|x|days| pair loop
             "schema_drift_report",  # 1-row × 1-row half-stats combine
             "freshness_lag_by_type",  # 1-row broadcast of the corpus watermark
@@ -591,6 +596,8 @@ GLOBAL_WINDOW_WHITELIST = {
     # total-order by design, distributed alternative documented in the
     # query docstring
     "ntile_acctbal_quartiles", "shard_round_robin",
+    # bounded: the rank window runs AFTER the top-10 limit (10 rows)
+    "rm3_query_expansion",
 }
 
 

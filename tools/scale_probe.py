@@ -172,6 +172,14 @@ QUERIES = [
     # round-10: the RAG retrieval composition (3000-dup hot doc makes one
     # fingerprint block and one index cell hot; bench grams stay broadcast)
     "rag_pipeline_e2e",
+    # round-10 batch 2: experimentation / decision-science + sharding + RM3
+    "ab_srm_check",            # one distinct over 10x events (hot user collapses to 1 unit)
+    "ips_offline_eval",        # per-user lookups; hot user's 100k purchases skew ONE join key
+    "beta_binomial_shrinkage", # |users|-row rates + 1-row prior broadcast
+    "huber_mean_irls",         # 4 map-side-combined aggregates over 10x events
+    "ar1_forecast",            # |days|-bounded series after one 10x rollup
+    "rendezvous_hash_shard",   # stateless 9-way expression fan-out; 3000-dup doc is 3000 distinct ids
+    "rm3_query_expansion",     # two term-filtered tf shuffles; hot doc joins the feedback set at most once
 ]
 
 # CLI: `python tools/scale_probe.py q1 q2 ...` probes only the named
