@@ -181,7 +181,7 @@ QUERIES = [
     "rendezvous_hash_shard",   # stateless 9-way expression fan-out; 3000-dup doc is 3000 distinct ids
     "rm3_query_expansion",     # two term-filtered tf shuffles; hot doc joins the feedback set at most once
     # round-10 batch 3
-    "sequential_test_readout", # min-date pass + ONE 16-way conditional aggregate: two linear scans, no keys to skew
+    "sequential_test_readout", # ONE scan into a (day, arm) pre-aggregate; looks derive on |days| rows
     "psm_stratified_att",      # per-user aggregate collapses the hot user to one row before the NTILE
     "ucb1_allocation",         # one map-side aggregate to |arms| rows
     "forecast_backtest_mase",  # |days|-bounded windows after one daily rollup
