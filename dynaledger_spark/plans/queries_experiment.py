@@ -903,9 +903,13 @@ def psm_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one per-user aggregate over the log (map-side combined), a
     |users|-row NTILE window, a {_PSM_STRATA}-row cell aggregate and a
     1-row ATT broadcast. The log is scanned once; everything after is
-    user-table-sized. Per-user means and per-cell sums follow the
-    rounded-DECIMAL accumulation contract, so both engines agree
-    bitwise including the NULL cells.
+    user-table-sized. The NTILE is a total order over the user table —
+    fine to ~10^8 users; past that swap it for broadcast quantile
+    boundaries of `trials` (the quantile_binning_migration pattern:
+    approx percentiles -> broadcast thresholds -> scan-side CASE),
+    which changes stratum EDGES only, not the estimator. Per-user means
+    and per-cell sums follow the rounded-DECIMAL accumulation contract,
+    so both engines agree bitwise including the NULL cells.
     """
     ev = _t(spark, sf_dir, "events")
     treated = (
