@@ -51,12 +51,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-# Knuth multiplicative hash for unit->arm assignment (same portable
-# exact-arithmetic scheme as queries_sampling._mhash: DECIMAL(38,0)
-# widening so Spark's ANSI mode and DuckDB's int128 promotion agree at
-# any id magnitude).
+# Knuth multiplicative hash for unit->arm assignment, through the
+# property-locked exact-arithmetic helper (DECIMAL(38,0) widening so
+# Spark's ANSI mode and DuckDB's int128 promotion agree at any id
+# magnitude — hypothesis-found overflow, see _mhash's docstring).
+from dynaledger_spark.plans.queries_sampling import _M32, _mhash  # noqa: E402
+
 _HA = 2654435761
-_M32 = 4294967296
+
+
+def _arm_a(col, pct: int):
+    """True when the unit hashes into arm A at a pct split."""
+    return _mhash(col, _HA) % 100 < pct
+
+
+def _daily_cents(ev: DataFrame) -> DataFrame:
+    """Daily purchase revenue as exact cents — the same (day, cents)
+    series acf_daily_revenue (queries_featurestore) analyzes; the
+    forecasting queries here must stay on the identical rollup contract
+    (purchase filter, to_date, round-to-cents BIGINT sum) or their fits
+    silently diverge from the ACF diagnostics."""
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -134,9 +153,7 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = spark.createDataFrame(
         [("50_50", 50), ("90_10", 90)], "split_name string, pct_a int"
     )
-    h100 = (
-        (F.col("user_id").cast("decimal(38,0)") * _HA) % _M32 % 100
-    ).cast("bigint")
+    h100 = _mhash(F.col("user_id"), _HA) % 100
     assigned = units.crossJoin(F.broadcast(splits)).select(
         "split_name",
         "pct_a",
@@ -260,9 +277,7 @@ def ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_action"))
     )
-    explore = (
-        (F.col("event_id").cast("decimal(38,0)") * _HA) % _M32 % 10
-    ).cast("bigint")
+    explore = _mhash(F.col("event_id"), _HA) % 10
     target = F.when(explore < 8, F.col("modal_action")).otherwise(F.lit("view"))
     # fold the three per-user lookups into ONE (user_id, event_type)
     # table BEFORE touching the log: the |users x actions|-sized merge is
@@ -610,11 +625,7 @@ def ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily series and is broadcast-sized even at 100 TB.
     """
     ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
-    )
+    daily = _daily_cents(ev)
     stats = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("cents").alias("s")
     )
@@ -772,11 +783,7 @@ def sequential_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     per_day = ev.groupBy(
         F.to_date("ts").alias("day"),
-        F.when(
-            (F.col("user_id").cast("decimal(38,0)") * _HA) % _M32 % 100 < 50, 1
-        )
-        .otherwise(0)
-        .alias("in_a"),
+        F.when(_arm_a(F.col("user_id"), 50), 1).otherwise(0).alias("in_a"),
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.count(F.when(F.col("event_type") == "purchase", 1))
@@ -912,11 +919,7 @@ def psm_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines agree bitwise including the NULL cells.
     """
     ev = _t(spark, sf_dir, "events")
-    treated = (
-        F.when(
-            (F.col("user_id").cast("decimal(38,0)") * _HA) % _M32 % 100 < 50, 1
-        ).otherwise(0)
-    )
+    treated = F.when(_arm_a(F.col("user_id"), 50), 1).otherwise(0)
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("trials"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
@@ -1127,11 +1130,7 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecast-day dimension, not a bigger shuffle.
     """
     ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
-    )
+    daily = _daily_cents(ev)
     w = W.orderBy("day")
     lagged = daily.select(
         "day",
@@ -1183,14 +1182,10 @@ def forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mae_cents"),
     )
     maes = naive.unionByName(snaive).unionByName(expm)
-    scale = er.agg(
-        (
-            F.sum(F.abs(F.col("cents") - F.col("l1")).cast("decimal(27,0)")).cast(
-                "double"
-            )
-            / F.count(F.lit(1))
-        ).alias("naive_mae")
-    )
+    # the MASE denominator IS the naive MAE — derive it from the same
+    # frame so the definition lives in one place (the naive-MASE==1.0
+    # invariant cannot drift apart)
+    scale = naive.select(F.col("mae_cents").alias("naive_mae"))
     return (
         maes.crossJoin(F.broadcast(scale))
         .select(
