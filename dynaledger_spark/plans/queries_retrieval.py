@@ -102,8 +102,11 @@ def _bm25_oracle_ctes() -> str:
         )"""
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc BM25 score (docs containing ≥1 query term), rounded at 9."""
+def _toks_dls_corpus(spark: SparkSession, sf_dir: str):
+    """(token stream, per-doc lengths, 1-row corpus stats) — the shared
+    derivation behind BM25 scoring AND the RM3 re-ranker: both must see
+    the identical tokenization/avgdl or expansion silently diverges
+    from its own feedback retrieval."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -115,6 +118,12 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avgdl"
         ),
     )
+    return toks, dls, corpus
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 score (docs containing ≥1 query term), rounded at 9."""
+    toks, dls, corpus = _toks_dls_corpus(spark, sf_dir)
     tf = (
         toks.filter(F.col("term").isin(*QUERY_TERMS))
         .groupBy("doc_id", "term")
@@ -573,6 +582,14 @@ _QRR["mmr_rerank"].oracle = _mmr_oracle()
 # with the oracle re-deriving the WHOLE pipeline (curation_pipeline_e2e's
 # proven pattern applied to the retrieval family).
 # ---------------------------------------------------------------------------
+# chunk_id = doc_id * stride + chunk_idx. The stride bounds the longest
+# representable document at stride*24 tokens (~24M words at 1e6) —
+# doc_id*1000 collided for any doc past 24k tokens, silently merging two
+# documents' feature vectors in BOTH engines (the oracle used the same
+# formula, so parity stayed green while results were wrong).
+_RAG_CHUNK_STRIDE = 1_000_000
+
+
 def _rag_oracle() -> str:
     from dynaledger_spark.plans.queries_stats import _duck_hex_poly
 
@@ -605,7 +622,7 @@ def _rag_oracle() -> str:
             FROM toks
         ),
         chunks AS (
-            SELECT doc_id, doc_id * 1000 + c.chunk_idx AS chunk_id, c.chunk_text
+            SELECT doc_id, doc_id * {_RAG_CHUNK_STRIDE} + c.chunk_idx AS chunk_id, c.chunk_text
             FROM raw_chunks WHERE c.n > 0
         ),
         words AS (
@@ -702,7 +719,7 @@ def rag_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(~is_bench).join(F.broadcast(bench_g), "g").select("doc_id").distinct()
     )
 
-    # 32/24 sliding-window chunks, chunk_id = doc_id*1000 + idx
+    # 32/24 sliding-window chunks, chunk_id = doc_id*stride + idx
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(
         (F.greatest(F.size(toks) - 8, F.lit(1))) / F.lit(24.0)
@@ -722,7 +739,9 @@ def rag_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c.n") > 0)
         .select(
             "doc_id",
-            (F.col("doc_id") * 1000 + F.col("c.chunk_idx")).alias("chunk_id"),
+            (F.col("doc_id") * _RAG_CHUNK_STRIDE + F.col("c.chunk_idx")).alias(
+                "chunk_id"
+            ),
             F.col("c.chunk_text").alias("chunk_text"),
         )
     )
@@ -916,13 +935,7 @@ def rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive stage is the pass-2 token scan, which is embarrassingly
     parallel and shuffle-light.
     """
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    dls = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    corpus = dls.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
-    )
+    toks, dls, corpus = _toks_dls_corpus(spark, sf_dir)
     fb = (
         _bm25_scores(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")

@@ -893,18 +893,13 @@ def priority_sample_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Rendezvous (highest-random-weight) shard assignment
 # ---------------------------------------------------------------------------
-def _hrw_hex_poly(hexpr: str, width: int = 10) -> str:
-    """DuckDB twin of Spark's conv(hex, 16, 10): explicit base-16
-    polynomial over the leading `width` hex chars (exact BIGINT)."""
-    terms = [
-        f"(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1)"
-        f" * {16 ** (width - 1 - i)}"
-        for i in range(width)
-    ]
-    return "(" + " + ".join(terms) + ")"
+# DuckDB twin of Spark's conv(hex, 16, 10): the shared base-16
+# strpos-polynomial helper (one definition repo-wide).
+from dynaledger_spark.plans.queries_stats import _duck_hex_poly  # noqa: E402
 
-
-_HRW_KEY_DUCK = _hrw_hex_poly("md5(concat(d.doc_id, '#', s.shard))") + " * 16 + s.shard"
+_HRW_KEY_DUCK = (
+    _duck_hex_poly("md5(concat(d.doc_id, '#', s.shard))", 10) + " * 16 + s.shard"
+)
 _HRW_KEY_SPARK = (
     "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#',"
     " CAST(shard AS STRING))), 1, 10), 16, 10) AS BIGINT) * 16 + shard"
@@ -955,9 +950,7 @@ def rendezvous_hash_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 9-way broadcast cross join then one hash aggregate per doc —
     stateless, no coordination table, the same plan at any corpus size.
     """
-    import os
-
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _docs(spark, sf_dir)
     shards = spark.range(0, 9).select(F.col("id").alias("shard"))
     keyed = docs.select("doc_id").crossJoin(F.broadcast(shards)).select(
         "doc_id", "shard", F.expr(_HRW_KEY_SPARK).alias("hkey")

@@ -1681,8 +1681,9 @@ def _lsh_recall_oracle() -> str:
         ),
         t_agg AS (
             SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS n_cross,
-                   {_FOLD_TXT.format(x=_LSH_THEO_SQL + " * CAST(w AS DOUBLE)")}
-                       AS theo_sum
+                   COALESCE(
+                       {_FOLD_TXT.format(x=_LSH_THEO_SQL + " * CAST(w AS DOUBLE)")},
+                       0.0) AS theo_sum
             FROM cross_pairs
         ),
         found AS (SELECT id_a, id_b FROM ({found}) f),

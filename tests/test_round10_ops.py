@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import os
 from collections import defaultdict
 
 from dynaledger_spark.plans.registry import load_all
+from dynaledger_spark.plans.queries_retrieval import _RAG_CHUNK_STRIDE
 
 REGISTRY = load_all()
 
@@ -25,6 +27,20 @@ def test_rag_pipeline_decontamination_and_ranks(spark, sf_dir):
     out = REGISTRY["rag_pipeline_e2e"].build(spark, sf_dir).collect()
     assert len(out) > 10  # non-vacuous
 
+    # chunk_id encoding headroom: the stride must exceed any doc's chunk
+    # count by orders of magnitude, else two docs' chunks collide and
+    # merge silently (the oracle shares the formula, so parity alone
+    # cannot catch it — this guard can)
+    import pandas as _pd
+
+    texts = _pd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    max_chunks = max(
+        -(-max(len(t.split()) - 8, 1) // 24) for t in texts.text
+    )
+    assert max_chunks * 100 < _RAG_CHUNK_STRIDE, (
+        f"chunk stride {_RAG_CHUNK_STRIDE} too tight for max {max_chunks} chunks/doc"
+    )
+
     # python re-derivation of the contaminated set (independent of the
     # Spark shingle machinery)
     docs = _doc_rows(spark, sf_dir)
@@ -43,12 +59,12 @@ def test_rag_pipeline_decontamination_and_ranks(spark, sf_dir):
 
     by_query = defaultdict(list)
     for r in out:
-        src_doc = r["retrieved_chunk"] // 1000
+        src_doc = r["retrieved_chunk"] // _RAG_CHUNK_STRIDE
         assert src_doc % 97 != 0, "retrieved a benchmark passage"
         assert src_doc not in contaminated, (
             f"retrieved chunk from contaminated doc {src_doc}"
         )
-        assert r["query_chunk"] // 1000 in bench_docs
+        assert r["query_chunk"] // _RAG_CHUNK_STRIDE in bench_docs
         assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
         by_query[r["query_chunk"]].append((r["rnk"], r["cosine"]))
     for q, rows in by_query.items():
@@ -86,7 +102,7 @@ def test_rag_pipeline_retrieval_replay(spark, sf_dir):
             words = t[i * 24 : i * 24 + 32]
             if not words:
                 continue
-            cid = r["doc_id"] * 1000 + i
+            cid = r["doc_id"] * _RAG_CHUNK_STRIDE + i
             doc_of[cid] = r["doc_id"]
             vec: dict[int, int] = defaultdict(int)
             for w in words:
