@@ -80,3 +80,14 @@ def test_non_utc_foreign_session_timezone_is_corrected(bare_conf_spark, sf_dir):
             assert got.replace(tzinfo=None) == want
     finally:
         bare_conf_spark.conf.set(tz_conf, old)
+
+
+def test_round10_timestamp_queries_under_foreign_session(bare_conf_spark, sf_dir):
+    """The round-10 forecasting/readout family derives calendar days
+    from the NTZ event timestamps (to_date over the normalized ts);
+    the same normalization guarantee must hold for them in a session
+    the library didn't build."""
+    reg = load_all()
+    for name in ("ar1_forecast", "forecast_backtest_mase", "sequential_test_readout"):
+        rows = reg[name].build(bare_conf_spark, sf_dir).collect()
+        assert rows, name
