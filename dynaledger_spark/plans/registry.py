@@ -87,8 +87,8 @@ def register(
 # root instead of hand-pinned per-round lists (rounds 1-8 used explicit
 # window tuples; git history has them). Tiers:
 #   0. pinned flagships — never age out (fact_build is entry()'s query;
-#      the two portable dedup fingerprint queries are the LLM-pipeline
-#      flagships);
+#      minhash_portable_pairs is the LLM-pipeline flagship — round 10
+#      cut the pin set to two, see the note at _PINNED);
 #   1. never-verified — no green or official rows-only driver record in
 #      any round (new queries, or queries whose last run FAILED);
 #      oracle-backed before rows-only (an oracle row is the stronger
