@@ -861,11 +861,17 @@ def test_unpersist_discipline(spark, sf_dir):
         ids = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
         return ids - base_ids
 
-    deadline = time.time() + 30
+    # 90s: at the tail of a full-suite run the ContextCleaner's weak-ref
+    # queue can lag tens of seconds behind System.gc() (observed once at
+    # 30s on a 23-minute loaded session; passes in seconds when quiet).
+    # The CacheManager assertion above is the strong-reference leak
+    # check; this block only waits out the cleaner.
+    deadline = time.time() + 90
     leaked = new_ids()
     while leaked and time.time() < deadline:
         gc.collect()
         jvm.System.gc()
+        jvm.System.runFinalization()
         time.sleep(0.5)
         leaked = new_ids()
     assert not leaked, (
