@@ -1262,26 +1262,33 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pareto_abc_parts",
     doc="ABC (Pareto) classification of parts by cumulative revenue share",
-    oracle=f"""
+    oracle="""
         WITH per_part AS (
-            SELECT l_partkey, {osum('l_extendedprice * (1 - l_discount)', 'revenue')}
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(27,6))) AS rev_dec
             FROM lineitem GROUP BY l_partkey
         ),
         ranked AS (
-            SELECT l_partkey, revenue,
-                   CAST(SUM(CAST(revenue AS DECIMAL(27,6)))
-                        OVER (ORDER BY revenue DESC, l_partkey
-                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
-                   CAST(SUM(CAST(revenue AS DECIMAL(27,6))) OVER () AS DOUBLE)
-                       AS total_rev
+            SELECT l_partkey, rev_dec,
+                   CAST(SUM(rev_dec)
+                        OVER (ORDER BY rev_dec DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) * 1000000 AS HUGEINT)
+                       AS c,
+                   CAST(SUM(rev_dec) OVER () * 1000000 AS HUGEINT) AS t
             FROM per_part
+        ),
+        scaled AS (
+            SELECT l_partkey, rev_dec,
+                   (2 * c * 1000000000000 + t) // (2 * t) AS share12
+            FROM ranked
         )
-        SELECT l_partkey, revenue,
-               round(cum_rev / total_rev, 12) AS cum_share,
-               CASE WHEN round(cum_rev / total_rev, 12) <= 0.8 THEN 'A'
-                    WHEN round(cum_rev / total_rev, 12) <= 0.95 THEN 'B'
+        SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(share12 AS DOUBLE) / 1000000000000.0 AS cum_share,
+               CASE WHEN share12 <= 800000000000 THEN 'A'
+                    WHEN share12 <= 950000000000 THEN 'B'
                     ELSE 'C' END AS abc_class
-        FROM ranked
+        FROM scaled
     """,
 )
 def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1295,27 +1302,51 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment tree) divided once and rounded BEFORE the class thresholds
     so boundary parts classify identically in both engines. The classic
     answer to 'which SKUs deserve exact tracking'.
+
+    The share is rounded in EXACT INTEGER arithmetic, never on a
+    double: share12 = round-half-up(cum*10^12/total) via
+    (2*c*10^12 + t) // (2*t) on exact micro-cent integers. The first
+    version rounded the double ratio at 12 digits and sf0.1 surfaced a
+    half-ulp boundary (x = 0.57635519228449993978...) where DuckDB's
+    multiply-based round(DOUBLE, 12) returns ...285 while Spark's
+    BigDecimal shortest-repr round returns ...284 — with ~20k parts a
+    boundary case becomes likely, and no amount of decimal accumulation
+    upstream fixes a divergent final rounding. The integer share is
+    then converted to double (exact: < 2^53) and the ABC thresholds
+    compare integers.
     """
     li = _t(spark, sf_dir, "lineitem")
     net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    per_part = li.groupBy("l_partkey").agg(dsum(net, "revenue"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(net.cast("decimal(27,6)")).alias("rev_dec")
+    )
     w_cum = (
-        W.orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+        W.orderBy(F.col("rev_dec").desc(), F.col("l_partkey"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    rev_dec = F.col("revenue").cast("decimal(27,6)")
     ranked = per_part.select(
         "l_partkey",
-        "revenue",
-        F.sum(rev_dec).over(w_cum).cast("double").alias("cum_rev"),
-        F.sum(rev_dec).over(W.partitionBy()).cast("double").alias("total_rev"),
+        "rev_dec",
+        (F.sum("rev_dec").over(w_cum) * 1000000).cast("decimal(38,0)").alias("c"),
+        (F.sum("rev_dec").over(W.partitionBy()) * 1000000)
+        .cast("decimal(38,0)")
+        .alias("t"),
     )
-    share = F.round(F.col("cum_rev") / F.col("total_rev"), 12)
-    return ranked.select(
+    scaled = ranked.select(
+        "l_partkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.expr(
+            "(2 * c * CAST(1000000000000 AS DECIMAL(13,0)) + t) div (2 * t)"
+        ).alias("share12"),
+    )
+    return scaled.select(
         "l_partkey",
         "revenue",
-        share.alias("cum_share"),
-        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+        (F.col("share12").cast("double") / 1000000000000.0).alias("cum_share"),
+        F.when(F.col("share12") <= 800000000000, "A")
+        .when(F.col("share12") <= 950000000000, "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )
 
 

@@ -586,8 +586,13 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
     )
     nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    # integer floor-division, matching the oracle's (np + 1) // 2: a
+    # bare `/` on bigints is DOUBLE division in Spark, so with an EVEN
+    # pair count the lower-median rank became fractional and matched
+    # nothing — 0 rows at any SF whose |days| made C(n,2) even (first
+    # seen at sf0.1; both driver-verify SFs happened to be odd)
     return (
-        ranked.filter(F.col("rn") == (F.col("np") + 1).cast("bigint") / 2)
+        ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
         .crossJoin(F.broadcast(nd))
         .select(
             "n_days",
