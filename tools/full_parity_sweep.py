@@ -12,6 +12,15 @@ half-ulp boundary where DuckDB's multiply-based round and Spark's
 BigDecimal round disagree. Run once per round after registry changes:
 
     python tools/full_parity_sweep.py [sf_dir] [budget_s]
+    python tools/full_parity_sweep.py --10x [budget_s] [names...]
+
+--10x builds the CLEAN 10x corpus (tools/scale_probe.build_probe,
+skew=False) in a temp dir and parity-checks there — at sf1 every doc
+has ~10 near-clones, so bucket caps, hub caps, estimator cutoffs and
+exact-dup collapse paths actually ENGAGE (VERDICT r9 item 4's class;
+sf0.001-0.1 never exercised them for parity). Default name set = the
+33 cap/cutoff-bearing queries whose oracles mirror their caps; round-10
+run: 33/33 green.
 """
 from __future__ import annotations
 
@@ -24,16 +33,64 @@ sys.path.insert(0, ".")
 from pyspark.sql import SparkSession  # noqa: E402
 
 from dynaledger_spark.plans.registry import load_all  # noqa: E402
-from tests.oracle_compare import compare, duck_connection  # noqa: E402
+from tests.oracle_compare import compare  # noqa: E402
 
 
 class _Timeout(Exception):
     pass
 
 
+# cap/cutoff-bearing queries whose ORACLES mirror the caps — the --10x
+# default set (queries whose caps intentionally diverge from a naive
+# oracle are excluded: their parity is proven by oracle-mirrored twins)
+CAP_BEARING = [
+    "minhash_portable_pairs", "minhash_portable_incremental",
+    "simhash_portable_fingerprints",
+    "link_prediction_common_neighbors", "adamic_adar_link_prediction",
+    "lpa_communities_fixed", "kcore_copurchase", "copurchase_triangles",
+    "pagerank_portable_fixedpoint",
+    "kmv_theta_sketch_pairs", "gk_portable_quantiles",
+    "hll_portable_estimate", "cms_heavy_hitters", "bloom_filter_probe",
+    "ngram_jaccard", "containment_scores", "dedup_clusters",
+    "dedup_keep_best", "near_dup_purge_e2e", "near_dup_split_leakage",
+    "winnowing_overlap_pairs", "tfidf_cosine_pairs", "fastss_edit1_pairs",
+    "segment_dedup_boilerplate", "boilerplate_strip_stats",
+    "dup_span_marking", "minhash_estimation_error",
+    "semdedup_prune", "quantized_cosine_pairs", "cosine_near_dup_windowed",
+    "rendezvous_hash_shard", "rm3_query_expansion", "textrank_keywords",
+]
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _duck_for(path: str):
+    """DuckDB views over single-file OR Spark-directory parquet."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{path}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+        )
+    return con
+
+
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    budget = int(sys.argv[2]) if len(sys.argv) > 2 else 180
+    ten_x = "--10x" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--10x"]
+    if ten_x:
+        budget = int(args[0]) if args and args[0].isdigit() else 420
+        names = [a for a in args if not a.isdigit()] or CAP_BEARING
+    else:
+        budget = int(args[1]) if len(args) > 1 else 180
+        names = None
     spark = (
         SparkSession.builder.master("local[16]")
         .appName("full_parity_sweep")
@@ -43,7 +100,20 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
-    duck = duck_connection(sf)
+    cleanup = None
+    if ten_x:
+        import shutil
+        import tempfile
+
+        from tools.scale_probe import build_probe
+
+        sf = tempfile.mkdtemp(prefix="dl_sf1p_")
+        cleanup = lambda: shutil.rmtree(sf, ignore_errors=True)  # noqa: E731
+        build_probe(spark, sf, mult=10, skew=False)
+        reg = {n: reg[n] for n in names}
+    else:
+        sf = args[0] if args else "/root/testdata/sf0.1"
+    duck = _duck_for(sf)
 
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_Timeout()))
     ok = rows_only = 0
@@ -75,6 +145,8 @@ def main() -> int:
         print(f"SKIPPED {n} after {t}s (budget {budget}s)")
     for n, e in failed:
         print(f"FAILED {n}: {e}")
+    if cleanup is not None:
+        cleanup()
     return 1 if failed else 0
 
 
