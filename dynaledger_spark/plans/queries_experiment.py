@@ -727,17 +727,27 @@ def _srq_sums_sql() -> str:
 def _srq_look_sql(k: int, bound: float) -> str:
     na, nb, xa, xb = f"n{k}a", f"n{k}b", f"x{k}a", f"x{k}b"
     p = f"(CAST({xa} + {xb} AS DOUBLE) / CAST({na} + {nb} AS DOUBLE))"
+    # degenerate looks (an empty arm, or 0%/100% pooled conversion) have
+    # no defined z: NULL in both engines instead of an ANSI 0/0 error
+    # (found by the empty-corpus sweep; Spark ANSI raises even on
+    # double/0, DuckDB returns inf — either way not a statistic)
+    ok = (
+        f"({na} > 0 AND {nb} > 0 AND ({xa} + {xb}) > 0"
+        f" AND ({xa} + {xb}) < ({na} + {nb}))"
+    )
     z = (
-        f"((CAST({xa} AS DOUBLE) / CAST({na} AS DOUBLE)"
+        f"(CASE WHEN {ok} THEN"
+        f" (CAST({xa} AS DOUBLE) / CAST({na} AS DOUBLE)"
         f" - CAST({xb} AS DOUBLE) / CAST({nb} AS DOUBLE))"
         f" / sqrt({p} * (1.0 - {p})"
-        f" * (1.0 / CAST({na} AS DOUBLE) + 1.0 / CAST({nb} AS DOUBLE))))"
+        f" * (1.0 / CAST({na} AS DOUBLE) + 1.0 / CAST({nb} AS DOUBLE)))"
+        f" END)"
     )
     return f"""
         SELECT {k} AS look, {na} AS n_a, {nb} AS n_b, {xa} AS conv_a,
                {xb} AS conv_b, round({z}, 9) AS z,
                CAST({bound} AS DOUBLE) AS of_bound,
-               abs({z}) > {bound} AS crossed
+               COALESCE(abs({z}) > {bound}, FALSE) AS crossed
         FROM sums"""
 
 
@@ -819,7 +829,20 @@ def sequential_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         xa = F.col(f"x{k}a").cast("double")
         xb = F.col(f"x{k}b").cast("double")
         p = (xa + xb) / (na + nb)
-        z = (xa / na - xb / nb) / F.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+        ok = (
+            (F.col(f"n{k}a") > 0)
+            & (F.col(f"n{k}b") > 0)
+            & (F.col(f"x{k}a") + F.col(f"x{k}b") > 0)
+            & (
+                F.col(f"x{k}a") + F.col(f"x{k}b")
+                < F.col(f"n{k}a") + F.col(f"n{k}b")
+            )
+        )
+        z = F.when(
+            ok,
+            (xa / na - xb / nb)
+            / F.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb)),
+        )
         looks.append(
             sums.select(
                 F.lit(k).alias("look"),
@@ -829,7 +852,9 @@ def sequential_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"x{k}b").alias("conv_b"),
                 F.round(z, 9).alias("z"),
                 F.lit(bound).cast("double").alias("of_bound"),
-                (F.abs(z) > bound).alias("crossed"),
+                # FALSE, not NULL, on a degenerate look: "no evidence"
+                # never reads as "crossed the boundary"
+                F.coalesce(F.abs(z) > bound, F.lit(False)).alias("crossed"),
             )
         )
     out = looks[0]

@@ -235,6 +235,10 @@ def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85) -> DataFra
     ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))).transform(tracked_persist)
     deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(tracked_persist)
     n = deg.count()  # scalar: |V|, bounded driver value (also primes the caches)
+    if n == 0:  # empty graph: no vertices, no ranks (empty-corpus sweep)
+        return deg.select(
+            F.col("src").alias("v"), F.lit(0.0).alias("rank")
+        ).limit(0)
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for i in range(iters):
@@ -519,6 +523,8 @@ def pagerank_portable_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("deg")
     )
     n = deg.count()  # driver scalar: |V|, bounded, deterministic
+    if n == 0:  # empty graph (empty-corpus sweep): emit the empty schema
+        return deg.select("v", F.col("deg").cast("bigint").alias("pr_fixed"))
     base = _PR_SCALE // n
     teleport = (15 * _PR_SCALE // 100) // n
     cur = deg.withColumn("r", F.lit(base).cast("bigint")).localCheckpoint(eager=True)

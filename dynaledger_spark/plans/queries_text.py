@@ -2141,6 +2141,10 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = arcs.groupBy(F.col("src").alias("w")).agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # |vocab|: bounded, deterministic driver scalar
+    if n == 0:  # empty/degenerate corpus: no graph, no keywords
+        return deg.select(
+            F.col("w").alias("word"), F.col("deg").cast("bigint").alias("tr_fixed")
+        )
     base = _TR_SCALE // n
     teleport = (15 * _TR_SCALE // 100) // n
     cur = deg.withColumn("r", F.lit(base).cast("bigint")).localCheckpoint(eager=True)
