@@ -236,7 +236,8 @@ def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_events, n_matched,
                round(CAST(n_matched AS DOUBLE) / n_events, 9) AS match_rate,
                round(wr_sum / n_events / 100.0, 9) AS ips_value,
-               round(wr_sum / w_sum / 100.0, 9) AS snips_value
+               CASE WHEN w_sum > 0
+                    THEN round(wr_sum / w_sum / 100.0, 9) END AS snips_value
         FROM agg
     """,
 )
@@ -330,7 +331,12 @@ def ips_offline_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_rate"
         ),
         F.round(F.col("wr_sum") / F.col("n_events") / 100.0, 9).alias("ips_value"),
-        F.round(F.col("wr_sum") / F.col("w_sum") / 100.0, 9).alias("snips_value"),
+        # SNIPS is undefined when no logged event matches the target
+        # policy (w_sum = 0) — NULL, not a 0/0 NaN, mirrored in the
+        # oracle's CASE (module empty-corpus convention).
+        F.when(
+            F.col("w_sum") > 0, F.round(F.col("wr_sum") / F.col("w_sum") / 100.0, 9)
+        ).alias("snips_value"),
     )
 
 
@@ -568,7 +574,7 @@ def huber_mean_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS s FROM daily),
         dev AS (
-            SELECT day, cents, CAST(n * cents - s AS BIGINT) AS dn
+            SELECT day, cents, CAST(CAST(n AS HUGEINT) * cents - s AS HUGEINT) AS dn
             FROM daily CROSS JOIN stats
         ),
         den AS (SELECT SUM(CAST(dn AS HUGEINT) * dn) AS d2 FROM dev),
@@ -634,7 +640,13 @@ def ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         "n",
         "s",
-        (F.col("n") * F.col("cents") - F.col("s")).cast("bigint").alias("dn"),
+        # dn = n*cents - s stays exact at any magnitude: the product is
+        # widened through decimal(38,0) / HUGEINT BEFORE subtracting —
+        # at 100 TB daily cents (~1e15) times multi-year day counts the
+        # bigint product would near int64 range (ADVICE r10).
+        (F.col("n").cast("decimal(38,0)") * F.col("cents") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("dn"),
     )
     big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     den = dev.agg(F.sum(big("dn") * big("dn")).alias("d2"))
@@ -1034,7 +1046,9 @@ _UCB_REWARD_SCALE = 40000.0  # cents; normalizes rewards into [0, 1)
         SELECT event_type, n_plays,
                round(mean_reward, 9) AS mean_reward,
                round(ucb, 9) AS ucb_score,
-               ucb = (SELECT MAX(ucb) FROM scored) AS next_pull
+               event_type = (SELECT event_type FROM scored
+                             ORDER BY ucb DESC, event_type ASC LIMIT 1)
+                   AS next_pull
         FROM scored
         ORDER BY event_type
     """,
@@ -1047,7 +1061,9 @@ def ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     next given this history (the exploration bonus can beat a higher
     empirical mean for an under-played arm). The argmax is computed on
     the unrounded double in both engines, so the flag survives the
-    9-digit display rounding.
+    9-digit display rounding — and it is a UNIQUE argmax: ties on ucb
+    break on event_type asc (limit-1 under a total order), so exactly
+    one arm ever carries next_pull = true.
 
     Plan: one map-side-combined aggregate to |arms| rows, a 1-row total
     broadcast, and a |arms|-row max comparison — the log is scanned
@@ -1069,15 +1085,23 @@ def ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_cents / 100.0).alias("mean_reward"),
         ucb.alias("ucb"),
     )
-    mx = scored.agg(F.max("ucb").alias("mx"))
+    # unique deterministic argmax: an exact float tie on ucb must not
+    # flag two arms, so "next pull" is the FIRST arm under
+    # (ucb desc, event_type asc) — a TakeOrdered limit-1, broadcast
+    # back (ADVICE r10).
+    best = (
+        scored.orderBy(F.desc("ucb"), F.asc("event_type"))
+        .limit(1)
+        .select(F.col("event_type").alias("best_arm"))
+    )
     return (
-        scored.crossJoin(F.broadcast(mx))
+        scored.crossJoin(F.broadcast(best))
         .select(
             "event_type",
             "n_plays",
             F.round(F.col("mean_reward"), 9).alias("mean_reward"),
             F.round(F.col("ucb"), 9).alias("ucb_score"),
-            (F.col("ucb") == F.col("mx")).alias("next_pull"),
+            (F.col("event_type") == F.col("best_arm")).alias("next_pull"),
         )
         .orderBy("event_type")
     )

@@ -270,7 +270,7 @@ def rolling_purchase_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT COUNT(*) AS n, SUM(cents) AS s FROM daily
         ),
         dev AS (
-            SELECT day, CAST(n * cents - s AS BIGINT) AS dn
+            SELECT day, CAST(CAST(n AS HUGEINT) * cents - s AS HUGEINT) AS dn
             FROM daily CROSS JOIN stats
         ),
         den AS (
@@ -313,7 +313,12 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
     dev = daily.crossJoin(F.broadcast(stats)).select(
-        "day", (F.col("n") * F.col("cents") - F.col("s")).cast("bigint").alias("dn")
+        "day",
+        # widen n*cents through decimal(38,0)/HUGEINT before subtracting
+        # so dn stays exact even when the product nears int64 (ADVICE r10)
+        (F.col("n").cast("decimal(38,0)") * F.col("cents") - F.col("s"))
+        .cast("decimal(38,0)")
+        .alias("dn"),
     )
     big = F.col("dn").cast("decimal(38,0)")
     den = dev.agg(F.sum(big * big).alias("d2"))

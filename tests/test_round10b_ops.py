@@ -37,9 +37,13 @@ def test_ips_snips_replay(spark, sf_dir):
     ev = _events(sf_dir)
     n_ua = Counter(zip(ev.user_id, ev.event_type))
     n_u = Counter(ev.user_id)
+    # group (user, action) counts per user in ONE pass — a per-user scan
+    # of all pairs is O(|users| x |pairs|) and quadratic at higher SFs
+    per_user_acts: defaultdict[object, list] = defaultdict(list)
+    for (uu, a), c in n_ua.items():
+        per_user_acts[uu].append((a, c))
     modal = {}
-    for u in n_u:
-        acts = [(a, c) for (uu, a), c in n_ua.items() if uu == u]
+    for u, acts in per_user_acts.items():
         acts.sort(key=lambda t: (-t[1], t[0]))
         modal[u] = acts[0][0]
 
@@ -450,7 +454,8 @@ def test_ucb1_replay_and_exploration_property(spark, sf_dir):
         a: c / n / _UCB_REWARD_SCALE + math.sqrt(2 * math.log(n_total) / n)
         for a, (n, c) in arms.items()
     }
-    best = max(ucb, key=lambda a: ucb[a])
+    # unique argmax with the plan's tie-break: (ucb desc, event_type asc)
+    best = min(ucb, key=lambda a: (-ucb[a], a))
 
     got = {r["event_type"]: r for r in REGISTRY["ucb1_allocation"].build(spark, sf_dir).collect()}
     assert set(got) == set(arms)
