@@ -99,7 +99,20 @@ def register(
 #      (tests/test_plans.py::test_rotation_staleness_sla simulates the
 #      rotation forward and asserts the bound).
 # A failed driver row never counts as verified, so a regression marches
-# straight back into the next window.
+# straight back into the next window.  Likewise a REWRITTEN query
+# (VERDICT r10 item 1): greens are keyed to a plan version via the
+# committed PLAN_HASHES.json ledger (tools/update_plan_hashes.py), so
+# a green recorded against an older builder/oracle stops counting and
+# the query re-enters tier 1 until the driver re-attests the new plan.
+# Tier-1 floods from mass edits transiently displace tier-2 rotation —
+# the SLA bound holds in steady state (no edits), which is what
+# test_rotation_staleness_sla simulates.
+#
+# Registry-size decision (VERDICT r10 item 6): at N=338 with 2 pins the
+# worst-case staleness is ceil(336/48) = 7 rounds — exactly at the SLA.
+# Round 11 therefore adds NO new registry entries and spends its budget
+# on rotation correctness + hardening; any future addition must either
+# raise _DRIVER_WINDOW (driver permitting) or re-document the SLA at 8.
 
 # Two pins, not three: every pinned slot permanently costs one rotation
 # slot, and at 333 registered queries a third pin pushes the worst-case
@@ -116,6 +129,45 @@ _DRIVER_WINDOW = 50  # the driver truncates CORRECTNESS to this many entries
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
+
+_PLAN_HASH_FILE = "PLAN_HASHES.json"
+
+
+def plan_hash(spec: QuerySpec) -> str:
+    """Content hash of a query's plan definition: the builder function's
+    source (which, via the decorator syntax, includes the oracle SQL in
+    the @register call) plus the oracle text again for robustness.
+
+    Limitation (documented, conservative direction is fine): a change
+    to a shared helper the builder calls does not change this hash —
+    only edits to the registered function body / oracle re-tier the
+    query. Comment-only edits DO re-tier (costs one window slot, never
+    hides a semantic change)."""
+    import hashlib
+    import inspect
+
+    fn = getattr(spec.build, "__wrapped__", spec.build)
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # frozen / interactively-defined builders
+        src = fn.__code__.co_code.hex()
+    blob = src + "\x00" + (spec.oracle or "")
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def plan_state(root: str | None = None) -> dict[str, dict]:
+    """The committed plan-version ledger (PLAN_HASHES.json): for each
+    query, the hash of the plan version the CORRECTNESS greens attest
+    and `since`, the first round whose driver record can attest it.
+    Maintained by tools/update_plan_hashes.py; kept current by
+    tests/test_plans.py::test_plan_hashes_ledger_current."""
+    path = os.path.join(root or _REPO_ROOT, _PLAN_HASH_FILE)
+    try:
+        with open(path) as fh:
+            state = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    return state if isinstance(state, dict) else {}
 
 
 def correctness_history(root: str | None = None) -> dict[str, int]:
@@ -174,13 +226,27 @@ def correctness_history(root: str | None = None) -> dict[str, int]:
 
 
 def driver_order(
-    registry: dict[str, QuerySpec], history: dict[str, int] | None = None
+    registry: dict[str, QuerySpec],
+    history: dict[str, int] | None = None,
+    state: dict[str, dict] | None = None,
 ) -> list[str]:
     """Registry names in driver-window priority order (see the policy
     comment above _PINNED).  `history` overrides the parsed
     CORRECTNESS_r*.json history — used by the staleness-SLA test to
-    simulate the rotation forward."""
+    simulate the rotation forward.  `state` overrides the committed
+    PLAN_HASHES.json plan-version ledger.
+
+    Changed-plan rule (VERDICT r10 item 1): a green only counts if it
+    attests the CURRENT plan. A query re-enters tier 1 (never-verified)
+    when its ledger entry says the plan version is newer than its last
+    green (`since` > last-green round) or when the live source no
+    longer matches the ledger hash (edited without running
+    tools/update_plan_hashes.py) — exactly parallel to the
+    failed-latest-record rule in correctness_history. Names absent
+    from the ledger fall back to plain history (fresh clones with no
+    ledger behave as before)."""
     hist = correctness_history() if history is None else history
+    ledger = plan_state() if state is None else state
 
     def key(name: str):
         spec = registry[name]
@@ -188,6 +254,11 @@ def driver_order(
             return (0, _PINNED.index(name), 0, "")
         oracle_rank = 0 if spec.oracle is not None else 1
         last = hist.get(name, -1)
+        entry = ledger.get(name)
+        if entry is not None and last >= 0:
+            changed = entry.get("hash") != plan_hash(spec)
+            if changed or last < entry.get("since", 0):
+                last = -1  # green attests an older plan → re-verify
         if last < 0:  # never verified (or only ever failed)
             return (1, oracle_rank, 0, name)
         return (2, last, oracle_rank, name)

@@ -933,6 +933,69 @@ def test_regression_reenters_window():
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_changed_plan_reenters_window():
+    """VERDICT r10 item 1: a green only counts for rotation if it
+    attests the CURRENT plan.  Simulate 'edit a green query' two ways —
+    the ledger records a newer plan version (since > last green), and
+    the live source no longer matches the ledger hash (edited without
+    re-running tools/update_plan_hashes.py) — and assert the query
+    re-enters tier 1 ahead of every ordinary green."""
+    from dynaledger_spark.plans import registry as R
+
+    names = ("q_edited_since", "q_edited_hash", "q_green")
+    reg = {n: REGISTRY["fact_build"] for n in names}
+    h = R.plan_hash(REGISTRY["fact_build"])
+    hist = {n: 5 for n in names}  # all last green in round 5
+    state = {
+        "q_edited_since": {"hash": h, "since": 6},  # rewritten after green
+        "q_edited_hash": {"hash": "0" * 16, "since": 0},  # stale ledger
+        "q_green": {"hash": h, "since": 0},
+    }
+    order = R.driver_order(reg, history=hist, state=state)
+    assert order.index("q_edited_since") < order.index("q_green")
+    assert order.index("q_edited_hash") < order.index("q_green")
+    # and once the driver re-greens it (round >= since, ledger synced),
+    # it drops back to ordinary rotation
+    hist2 = dict(hist, q_edited_since=6)
+    state2 = dict(state, q_edited_hash={"hash": h, "since": 0})
+    order2 = R.driver_order(reg, history=hist2, state=state2)
+    assert order2[-1] == "q_edited_since"  # newest green → back of queue
+
+
+def test_plan_hashes_ledger_current():
+    """The committed PLAN_HASHES.json must cover every registered query
+    with its CURRENT hash — an edited builder/oracle without a ledger
+    update would silently keep stale greens valid.  Fix with:
+    python tools/update_plan_hashes.py"""
+    from dynaledger_spark.plans import registry as R
+
+    state = R.plan_state()
+    assert state, "PLAN_HASHES.json missing or unreadable"
+    missing = sorted(n for n in REGISTRY if n not in state)
+    extra = sorted(n for n in state if n not in REGISTRY)
+    stale = sorted(
+        n for n in REGISTRY
+        if n in state and state[n].get("hash") != R.plan_hash(REGISTRY[n])
+    )
+    assert not (missing or extra or stale), (
+        f"PLAN_HASHES.json out of date (run tools/update_plan_hashes.py): "
+        f"missing={missing[:5]} extra={extra[:5]} stale={stale[:5]}"
+    )
+    # `since` must never exceed the next driver round — a future round
+    # would permanently pin the query into tier 1
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(f"{R._REPO_ROOT}/CORRECTNESS_r*.json")
+        if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    nxt = max(rounds, default=0) + 1
+    bad = sorted(n for n, e in state.items() if e.get("since", 0) > nxt)
+    assert not bad, f"since beyond next driver round {nxt}: {bad[:5]}"
+
+
 def test_round9_query_plan_shapes(plans):
     """Round-9 additions: the corpus-sized joins must be hash/equi
     (user_id extracted as the equi key in the pattern probe; the FS
