@@ -881,6 +881,11 @@ def sequential_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PSM_STRATA = 4
 
 
+def _psm_cut_fracs(k: int) -> list[float]:
+    """Interior quantile fractions for k equal-frequency strata."""
+    return [i / k for i in range(1, k)]
+
+
 @register(
     "psm_stratified_att",
     doc="ATT of the hash-treatment on mean event value via activity-quartile stratification",
@@ -893,11 +898,18 @@ _PSM_STRATA = 4
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
             FROM events GROUP BY user_id
         ),
-        strat AS (
-            SELECT *, CAST(NTILE({_PSM_STRATA}) OVER (ORDER BY trials, user_id)
-                           AS INT) AS stratum,
-                   CAST(cents AS DOUBLE) / CAST(trials AS DOUBLE) / 100.0 AS y
+        bounds AS (
+            SELECT list_transform(
+                       quantile_cont(trials, [{", ".join(str(f) for f in _psm_cut_fracs(_PSM_STRATA))}]),
+                       b -> round(b, 4)) AS bs
             FROM per_user
+        ),
+        strat AS (
+            SELECT per_user.*,
+                   CAST(1 + len(list_filter(bs, b -> b < CAST(trials AS DOUBLE)))
+                        AS INT) AS stratum,
+                   CAST(cents AS DOUBLE) / CAST(trials AS DOUBLE) / 100.0 AS y
+            FROM per_user CROSS JOIN bounds
         ),
         cells AS (
             SELECT stratum,
@@ -941,19 +953,26 @@ def psm_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy users differ from light ones), the treated-vs-control gap in
     mean event value is computed WITHIN each stratum, and the ATT is
     the treated-weighted average of the per-stratum gaps over strata
-    that have both arms. NTILE orders by (trials, user_id) — the unique
-    tiebreak keeps the quartile assignment identical in both engines.
+    that have both arms.
+
+    Stratification is boundary-based, NOT a global NTILE (VERDICT r10
+    item 2): the interior quantile boundaries of `trials` are computed
+    once as a 1-row aggregate, rounded to 4dp so both engines cut at
+    identical thresholds, broadcast back, and each user is assigned by
+    counting boundaries strictly below their trials — a scan-side
+    expression (the quantile_binning_migration pattern). No total-order
+    sort anywhere, so the plan survives any user count; at 100 TB the
+    exact percentile becomes a sketch and the assignment is unchanged.
+    Heavy ties on small integer trials can make strata unequal (or
+    empty, when adjacent boundaries coincide) — equal-frequency is
+    approximate by design, the estimator is not.
 
     Plan: one per-user aggregate over the log (map-side combined), a
-    |users|-row NTILE window, a {_PSM_STRATA}-row cell aggregate and a
-    1-row ATT broadcast. The log is scanned once; everything after is
-    user-table-sized. The NTILE is a total order over the user table —
-    fine to ~10^8 users; past that swap it for broadcast quantile
-    boundaries of `trials` (the quantile_binning_migration pattern:
-    approx percentiles -> broadcast thresholds -> scan-side CASE),
-    which changes stratum EDGES only, not the estimator. Per-user means
-    and per-cell sums follow the rounded-DECIMAL accumulation contract,
-    so both engines agree bitwise including the NULL cells.
+    1-row boundary broadcast, a <= {_PSM_STRATA}-row cell aggregate and
+    a 1-row ATT broadcast. The log is scanned once; everything after is
+    user-table-sized. Per-user means and per-cell sums follow the
+    rounded-DECIMAL accumulation contract, so both engines agree
+    bitwise including the NULL cells.
     """
     ev = _t(spark, sf_dir, "events")
     treated = F.when(_arm_a(F.col("user_id"), 50), 1).otherwise(0)
@@ -961,10 +980,20 @@ def psm_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("trials"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
     ).withColumn("treated", treated)
-    strat = per_user.select(
-        "*",
-        F.ntile(_PSM_STRATA)
-        .over(W.orderBy("trials", "user_id"))
+    cuts = ", ".join(str(f) for f in _psm_cut_fracs(_PSM_STRATA))
+    bounds = per_user.agg(
+        F.expr(
+            f"transform(percentile(trials, array({cuts})), b -> round(b, 4))"
+        ).alias("bs")
+    )
+    strat = per_user.crossJoin(F.broadcast(bounds)).select(
+        per_user["*"],
+        (
+            1
+            + F.size(
+                F.filter(F.col("bs"), lambda b: b < F.col("trials").cast("double"))
+            )
+        )
         .cast("int")
         .alias("stratum"),
         (

@@ -97,8 +97,8 @@ def test_no_cartesian_products(plans):
             "rendezvous_hash_shard",  # 9-row broadcast of the shard ring
             "rm3_query_expansion",  # 1-row corpus-stats + expansion-weight-sum broadcasts
             "sequential_test_readout",  # 1-row min-date broadcast onto the days-sized rollup
-            "psm_stratified_att",  # 1-row ATT broadcast back onto the 4 stratum rows
-            "ucb1_allocation",  # 1-row total-plays + 1-row max-score broadcasts
+            "psm_stratified_att",  # 1-row boundary + 1-row ATT broadcasts
+            "ucb1_allocation",  # 1-row total-plays + 1-row best-arm broadcasts
             "forecast_backtest_mase",  # 1-row naive-MAE scale broadcast onto 3 method rows
             "theil_sen_daily_trend",  # calendar-bounded |days|x|days| pair loop
             "schema_drift_report",  # 1-row × 1-row half-stats combine
@@ -604,10 +604,6 @@ GLOBAL_WINDOW_WHITELIST = {
     "rm3_query_expansion",
     # bounded: lag/prefix windows over the |days|-row daily revenue series
     "forecast_backtest_mase",
-    # total-order NTILE over the |users|-row aggregate; distributed
-    # alternative (broadcast quantile boundaries, the
-    # quantile_binning_migration pattern) documented in the docstring
-    "psm_stratified_att",
 }
 
 
