@@ -589,6 +589,16 @@ _QRR["mmr_rerank"].oracle = _mmr_oracle()
 # formula, so parity stayed green while results were wrong).
 _RAG_CHUNK_STRIDE = 1_000_000
 
+# IVF-list truncation (VERDICT r10 item 7): a probed cell contributes at
+# most this many corpus candidates, ranked by embedding energy (n2 desc,
+# chunk_id tiebreak). Near-clone-heavy corpora (the clean-10x probe)
+# multiply cell sizes ~10x; without the cap every query pairs against
+# the whole hot cell. Mirrored exactly in the oracle, so parity holds
+# whether or not the cap engages. Recall tradeoff is the standard IVF
+# nprobe/list-length one, and it is observable: cells over the cap are
+# truncated, never silently dropped.
+_RAG_CELL_CAP = 512
+
 
 def _rag_oracle() -> str:
     from dynaledger_spark.plans.queries_stats import _duck_hex_poly
@@ -649,10 +659,18 @@ def _rag_oracle() -> str:
                 FROM feats) WHERE r = 1
         ),
         qcells AS (SELECT chunk_id, cell FROM cells WHERE doc_id % 97 = 0),
+        xcells_all AS (
+            SELECT c.chunk_id, c.cell, n.n2
+            FROM cells c JOIN norms n USING (chunk_id)
+            WHERE c.doc_id % 97 <> 0
+              AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
         xcells AS (
-            SELECT chunk_id, cell FROM cells
-            WHERE doc_id % 97 <> 0
-              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+            SELECT chunk_id, cell FROM (
+                SELECT chunk_id, cell,
+                       row_number() OVER (PARTITION BY cell
+                                          ORDER BY n2 DESC, chunk_id) AS cr
+                FROM xcells_all) WHERE cr <= {_RAG_CELL_CAP}
         ),
         dots AS (
             SELECT q.chunk_id AS query_chunk, x.chunk_id AS retrieved_chunk,
@@ -703,9 +721,12 @@ def rag_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an eval set is small by construction); the corpus-side work is
     explode → (chunk, bucket) hash aggregate → equi-joins on cell and
     (chunk, bucket) — no all-pairs product anywhere; candidates are
-    bounded by the probed cell, exactly like ann_ivf_persisted_topk's
-    partition-pruned cells (D=16 here is the oracle-exact miniature;
-    the production path raises D/cells and multiprobes).
+    bounded by the probed cell AND by _RAG_CELL_CAP (per-cell IVF-list
+    truncation ranked by embedding energy, mirrored in the oracle), so
+    a near-clone-heavy corpus cannot quadratically inflate the pairing
+    stage. Exactly like ann_ivf_persisted_topk's partition-pruned cells
+    (D=16 here is the oracle-exact miniature; the production path
+    raises D/cells and multiprobes).
     """
     from dynaledger_spark.operators.dedup import _shingles
 
@@ -772,9 +793,18 @@ def rag_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("chunk_id", "doc_id", F.col("bucket").alias("cell"))
     )
     qcells = cells.filter(F.col("doc_id") % 97 == 0).select("chunk_id", "cell")
+    # IVF-list truncation: keep the _RAG_CELL_CAP highest-energy corpus
+    # chunks per cell (n2 desc, chunk_id tiebreak) — the rank runs in the
+    # spillable window sorter over the cell partitioning, so a hot cell
+    # never materializes as one aggregation buffer (the LSH bucket-cap
+    # discipline, operators/dedup.py).
+    cw = W.partitionBy("cell").orderBy(F.col("n2").desc(), "chunk_id")
     xcells = (
         cells.filter(F.col("doc_id") % 97 != 0)
         .join(contaminated, "doc_id", "left_anti")
+        .join(norms, "chunk_id")
+        .withColumn("cr", F.row_number().over(cw))
+        .filter(F.col("cr") <= _RAG_CELL_CAP)
         .select("chunk_id", "cell")
     )
 

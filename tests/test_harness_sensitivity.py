@@ -91,6 +91,8 @@ PLAN_MUTATIONS = [
     # round-10 batch 3: a dropped iteration and a wrong stratum count
     ("textrank_keywords", queries_text, "_TR_ROUNDS", 2),
     ("psm_stratified_att", queries_experiment, "_PSM_STRATA", 2),
+    # round-11: an over-tight IVF cell cap silently truncating retrieval
+    ("rag_pipeline_e2e", queries_retrieval, "_RAG_CELL_CAP", 2),
 ]
 
 

@@ -58,6 +58,7 @@ CAP_BEARING = [
     "dup_span_marking", "minhash_estimation_error",
     "semdedup_prune", "quantized_cosine_pairs", "cosine_near_dup_windowed",
     "rendezvous_hash_shard", "rm3_query_expansion", "textrank_keywords",
+    "rag_pipeline_e2e",  # round-11: per-cell IVF truncation cap
 ]
 
 TABLES = (
