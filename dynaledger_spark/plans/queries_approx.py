@@ -424,10 +424,11 @@ _HLL_M = 512
                           THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
                           ELSE raw_u END, 4) AS est_hll,
                CAST(exact_distinct AS BIGINT) AS exact_distinct,
-               round(abs(CASE WHEN raw_u <= 2.5 * {_HLL_M} AND v > 0
-                              THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
-                              ELSE raw_u END - exact_distinct)
-                     / exact_distinct, 6) AS rel_err
+               CASE WHEN exact_distinct > 0 THEN
+                    round(abs(CASE WHEN raw_u <= 2.5 * {_HLL_M} AND v > 0
+                                   THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
+                                   ELSE raw_u END - exact_distinct)
+                          / exact_distinct, 6) END AS rel_err
         FROM est
     """,
 )
@@ -492,8 +493,13 @@ def hll_portable_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(raw_u, 4).alias("est_raw"),
         F.round(corr_u, 4).alias("est_hll"),
         F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
-        F.round(
-            F.abs(corr_u - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        # rel_err has no defined value on an empty corpus (exact = 0):
+        # NULL under a guard mirrored in the oracle, never ANSI div/0
+        F.when(
+            F.col("exact_distinct") > 0,
+            F.round(
+                F.abs(corr_u - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ),
         ).alias("rel_err"),
     )
 

@@ -1163,14 +1163,17 @@ _NOV_N = 3  # token n-gram order
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_val_grams,
                CAST(SUM(novel) AS BIGINT) AS n_novel,
-               round(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 9)
-                   AS novelty_rate,
+               CASE WHEN COUNT(*) > 0 THEN
+                    round(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 9)
+               END AS novelty_rate,
                CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_val_distinct,
                CAST(COUNT(DISTINCT CASE WHEN novel = 1 THEN gram END)
                     AS BIGINT) AS n_novel_distinct,
-               round(CAST(COUNT(DISTINCT CASE WHEN novel = 1 THEN gram END)
-                          AS DOUBLE)
-                     / COUNT(DISTINCT gram), 9) AS distinct_novelty_rate
+               CASE WHEN COUNT(DISTINCT gram) > 0 THEN
+                    round(CAST(COUNT(DISTINCT CASE WHEN novel = 1 THEN gram END)
+                               AS DOUBLE)
+                          / COUNT(DISTINCT gram), 9)
+               END AS distinct_novelty_rate
         FROM flags
     """,
 )
@@ -1226,20 +1229,26 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gram",
         F.when(F.col("_hit").isNull(), 1).otherwise(0).alias("novel"),
     )
+    # rates undefined with zero val grams (empty corpus / empty split):
+    # NULL under guards mirrored in the oracle, never ANSI div/0
     return flags.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_val_grams"),
         F.sum("novel").cast("bigint").alias("n_novel"),
-        F.round(F.sum("novel").cast("double") / F.count(F.lit(1)), 9).alias(
-            "novelty_rate"
-        ),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(F.sum("novel").cast("double") / F.count(F.lit(1)), 9),
+        ).alias("novelty_rate"),
         F.count_distinct("gram").cast("bigint").alias("n_val_distinct"),
         F.count_distinct(
             F.when(F.col("novel") == 1, F.col("gram"))
         ).cast("bigint").alias("n_novel_distinct"),
-        F.round(
-            F.count_distinct(F.when(F.col("novel") == 1, F.col("gram")))
-            .cast("double")
-            / F.count_distinct("gram"),
-            9,
+        F.when(
+            F.count_distinct("gram") > 0,
+            F.round(
+                F.count_distinct(F.when(F.col("novel") == 1, F.col("gram")))
+                .cast("double")
+                / F.count_distinct("gram"),
+                9,
+            ),
         ).alias("distinct_novelty_rate"),
     )

@@ -226,9 +226,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pts
         )
         SELECT m AS n_ranks,
-               round((m * sxy - sx * sy) / (m * sxx - sx * sx), 9) AS zipf_slope,
-               round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 9)
-                   AS zipf_intercept
+               CASE WHEN m * sxx - sx * sx <> 0 THEN
+                    round((m * sxy - sx * sy) / (m * sxx - sx * sx), 9)
+               END AS zipf_slope,
+               CASE WHEN m > 0 AND m * sxx - sx * sx <> 0 THEN
+                    round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx)
+                          / m, 9)
+               END AS zipf_intercept
         FROM sums
     """,
 )
@@ -269,15 +273,17 @@ def zipf_fit_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fold("xy").alias("sxy"),
         _fold("xx").alias("sxx"),
     )
-    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    # a <=1-point (or degenerate) vocabulary has no defined fit: NULL
+    # under guards mirrored in the oracle, never ANSI div/0
     return sums.select(
         F.col("m").alias("n_ranks"),
-        F.round(slope, 9).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 9).alias(
-            "zipf_intercept"
-        ),
+        F.when(den != 0, F.round(slope, 9)).alias("zipf_slope"),
+        F.when(
+            (F.col("m") > 0) & (den != 0),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("m"), 9),
+        ).alias("zipf_intercept"),
     )
 
 

@@ -278,8 +278,9 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="orphan counts and rates for all six FK edges in one report",
     oracle="""
         SELECT edge, child_rows, orphans,
-               round(CAST(orphans AS DOUBLE) / CAST(child_rows AS DOUBLE), 9)
-                   AS orphan_rate
+               CASE WHEN child_rows > 0 THEN
+                    round(CAST(orphans AS DOUBLE) / CAST(child_rows AS DOUBLE), 9)
+               END AS orphan_rate
         FROM (
             SELECT 'lineitem->orders' AS edge,
                    (SELECT COUNT(*) FROM lineitem) AS child_rows,
@@ -350,10 +351,15 @@ def fk_orphan_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("edge"),
                 F.col("child_rows").cast("bigint").alias("child_rows"),
                 F.col("orphans").cast("bigint").alias("orphans"),
-                F.round(
-                    F.col("orphans").cast("double")
-                    / F.col("child_rows").cast("double"),
-                    9,
+                # rate undefined on an empty child table: NULL under a
+                # guard mirrored in the oracle, never ANSI div/0
+                F.when(
+                    F.col("child_rows") > 0,
+                    F.round(
+                        F.col("orphans").cast("double")
+                        / F.col("child_rows").cast("double"),
+                        9,
+                    ),
                 ).alias("orphan_rate"),
             )
         )

@@ -1003,7 +1003,12 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c, kind in _PROFILE_COLS:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__null"),
+            # COALESCE: SUM over an empty table is NULL in Spark while
+            # the oracle's COUNT(*) FILTER is 0 — same count on any
+            # non-empty input
+            F.coalesce(F.sum(F.col(c).isNull().cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias(f"{c}__null"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
@@ -2840,33 +2845,41 @@ def diff_in_diff_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         fit AS (
             SELECT *,
-                   (CAST(s11_0 AS DOUBLE) - CAST(sx1_0 * sx1_0 AS DOUBLE) / n0)
-                 + (CAST(s11_1 AS DOUBLE) - CAST(sx1_1 * sx1_1 AS DOUBLE) / n1)
-                       AS a11,
-                   (CAST(s22_0 AS DOUBLE) - CAST(sx2_0 * sx2_0 AS DOUBLE) / n0)
-                 + (CAST(s22_1 AS DOUBLE) - CAST(sx2_1 * sx2_1 AS DOUBLE) / n1)
-                       AS a22,
-                   (CAST(s12_0 AS DOUBLE) - CAST(sx1_0 * sx2_0 AS DOUBLE) / n0)
-                 + (CAST(s12_1 AS DOUBLE) - CAST(sx1_1 * sx2_1 AS DOUBLE) / n1)
-                       AS a12,
-                   CAST(sx1_1 AS DOUBLE) / n1 - CAST(sx1_0 AS DOUBLE) / n0
-                       AS d1,
-                   CAST(sx2_1 AS DOUBLE) / n1 - CAST(sx2_0 AS DOUBLE) / n0
-                       AS d2
+                   CASE WHEN n0 > 0 AND n1 > 0 THEN
+                       (CAST(s11_0 AS DOUBLE) - CAST(sx1_0 * sx1_0 AS DOUBLE) / n0)
+                     + (CAST(s11_1 AS DOUBLE) - CAST(sx1_1 * sx1_1 AS DOUBLE) / n1)
+                   END AS a11,
+                   CASE WHEN n0 > 0 AND n1 > 0 THEN
+                       (CAST(s22_0 AS DOUBLE) - CAST(sx2_0 * sx2_0 AS DOUBLE) / n0)
+                     + (CAST(s22_1 AS DOUBLE) - CAST(sx2_1 * sx2_1 AS DOUBLE) / n1)
+                   END AS a22,
+                   CASE WHEN n0 > 0 AND n1 > 0 THEN
+                       (CAST(s12_0 AS DOUBLE) - CAST(sx1_0 * sx2_0 AS DOUBLE) / n0)
+                     + (CAST(s12_1 AS DOUBLE) - CAST(sx1_1 * sx2_1 AS DOUBLE) / n1)
+                   END AS a12,
+                   CASE WHEN n0 > 0 AND n1 > 0 THEN
+                       CAST(sx1_1 AS DOUBLE) / n1 - CAST(sx1_0 AS DOUBLE) / n0
+                   END AS d1,
+                   CASE WHEN n0 > 0 AND n1 > 0 THEN
+                       CAST(sx2_1 AS DOUBLE) / n1 - CAST(sx2_0 AS DOUBLE) / n0
+                   END AS d2
             FROM m
         ),
         wfit AS (
             SELECT *,
-                   (a22 * d1 - a12 * d2) / (a11 * a22 - a12 * a12) AS w1,
-                   (a11 * d2 - a12 * d1) / (a11 * a22 - a12 * a12) AS w2
+                   CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+                       (a22 * d1 - a12 * d2) / (a11 * a22 - a12 * a12) END AS w1,
+                   CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+                       (a11 * d2 - a12 * d1) / (a11 * a22 - a12 * a12) END AS w2
             FROM fit
         ),
         model AS (
             SELECT n0, n1, w1, w2,
-                   (w1 * (CAST(sx1_0 AS DOUBLE) / n0
-                          + CAST(sx1_1 AS DOUBLE) / n1)
-                    + w2 * (CAST(sx2_0 AS DOUBLE) / n0
-                            + CAST(sx2_1 AS DOUBLE) / n1)) / 2 AS thr
+                   CASE WHEN n0 > 0 AND n1 > 0 THEN
+                       (w1 * (CAST(sx1_0 AS DOUBLE) / n0
+                              + CAST(sx1_1 AS DOUBLE) / n1)
+                        + w2 * (CAST(sx2_0 AS DOUBLE) / n0
+                                + CAST(sx2_1 AS DOUBLE) / n1)) / 2 END AS thr
             FROM wfit
         ),
         conf AS (
@@ -2890,8 +2903,9 @@ def diff_in_diff_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(model.w2, 12) AS w2,
                round(model.thr, 9) AS threshold,
                conf.tp, conf.fp, conf.fn, conf.tn,
-               CAST(conf.tp + conf.tn AS DOUBLE) / (model.n0 + model.n1)
-                   AS accuracy
+               CASE WHEN model.n0 + model.n1 > 0 THEN
+                   CAST(conf.tp + conf.tn AS DOUBLE) / (model.n0 + model.n1)
+               END AS accuracy
         FROM model CROSS JOIN conf
     """,
 )
@@ -2957,32 +2971,44 @@ def fisher_lda_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col(f"sx{a}_1") * F.col(f"sx{b}_1")).cast("double") / F.col("n1")
         )
 
+    # both classes must be present for any moment ratio to exist: NULL
+    # under guards mirrored in the oracle (empty-corpus convention)
+    both = (F.col("n0") > 0) & (F.col("n1") > 0)
     fit = m.select(
         "*",
-        _sc((1, 1), None).alias("a11"),
-        _sc((2, 2), None).alias("a22"),
-        _sc((1, 2), None).alias("a12"),
-        (
+        F.when(both, _sc((1, 1), None)).alias("a11"),
+        F.when(both, _sc((2, 2), None)).alias("a22"),
+        F.when(both, _sc((1, 2), None)).alias("a12"),
+        F.when(
+            both,
             F.col("sx1_1").cast("double") / F.col("n1")
-            - F.col("sx1_0").cast("double") / F.col("n0")
+            - F.col("sx1_0").cast("double") / F.col("n0"),
         ).alias("d1"),
-        (
+        F.when(
+            both,
             F.col("sx2_1").cast("double") / F.col("n1")
-            - F.col("sx2_0").cast("double") / F.col("n0")
+            - F.col("sx2_0").cast("double") / F.col("n0"),
         ).alias("d2"),
     )
     det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
     wfit = fit.select(
         "*",
-        ((F.col("a22") * F.col("d1") - F.col("a12") * F.col("d2")) / det).alias("w1"),
-        ((F.col("a11") * F.col("d2") - F.col("a12") * F.col("d1")) / det).alias("w2"),
+        F.when(
+            det != 0,
+            (F.col("a22") * F.col("d1") - F.col("a12") * F.col("d2")) / det,
+        ).alias("w1"),
+        F.when(
+            det != 0,
+            (F.col("a11") * F.col("d2") - F.col("a12") * F.col("d1")) / det,
+        ).alias("w2"),
     )
     model = wfit.select(
         "n0",
         "n1",
         "w1",
         "w2",
-        (
+        F.when(
+            both,
             (
                 F.col("w1")
                 * (
@@ -2995,7 +3021,7 @@ def fisher_lda_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.col("sx2_1").cast("double") / F.col("n1")
                 )
             )
-            / 2
+            / 2,
         ).alias("thr"),
     )
     scored = feats.crossJoin(F.broadcast(model))
@@ -3017,9 +3043,10 @@ def fisher_lda_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp",
             "fn",
             "tn",
-            (
+            F.when(
+                F.col("n0") + F.col("n1") > 0,
                 (F.col("tp") + F.col("tn")).cast("double")
-                / (F.col("n0") + F.col("n1"))
+                / (F.col("n0") + F.col("n1")),
             ).alias("accuracy"),
         )
     )
@@ -3058,7 +3085,8 @@ _HILL_K = 50
         SELECT CAST({_HILL_K} AS BIGINT) AS k,
                (SELECT x_thr FROM thr) AS x_threshold,
                hill_gamma,
-               round(1.0 / hill_gamma, 9) AS hill_alpha
+               CASE WHEN hill_gamma > 0
+                    THEN round(1.0 / hill_gamma, 9) END AS hill_alpha
         FROM g
     """,
 )
@@ -3102,7 +3130,11 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HILL_K).cast("bigint").alias("k"),
         F.col("x_thr").alias("x_threshold"),
         "hill_gamma",
-        F.round(1.0 / F.col("hill_gamma"), 9).alias("hill_alpha"),
+        # gamma = 0 (empty corpus, or all top-(k+1) lengths tied) has no
+        # tail index: NULL under a guard mirrored in the oracle
+        F.when(
+            F.col("hill_gamma") > 0, F.round(1.0 / F.col("hill_gamma"), 9)
+        ).alias("hill_alpha"),
     )
 
 

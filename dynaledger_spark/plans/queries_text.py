@@ -1707,11 +1707,13 @@ def _lsh_recall_oracle() -> str:
         f_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM found)
         SELECT t.n_cross + w.n_within AS n_true,
                f.n_found, h.n_hit,
-               round(CAST(h.n_hit AS DOUBLE) / (t.n_cross + w.n_within), 9)
-                   AS recall,
-               round((t.theo_sum + CAST(w.n_within AS DOUBLE) * 1.0)
-                     / (t.n_cross + w.n_within), 9)
-                   AS mean_theoretical_recall
+               CASE WHEN t.n_cross + w.n_within > 0 THEN
+                   round(CAST(h.n_hit AS DOUBLE) / (t.n_cross + w.n_within), 9)
+               END AS recall,
+               CASE WHEN t.n_cross + w.n_within > 0 THEN
+                   round((t.theo_sum + CAST(w.n_within AS DOUBLE) * 1.0)
+                         / (t.n_cross + w.n_within), 9)
+               END AS mean_theoretical_recall
         FROM t_agg t CROSS JOIN within w CROSS JOIN f_agg f CROSS JOIN h_agg h
     """
 
@@ -1890,15 +1892,23 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_true,
             "n_found",
             "n_hit",
-            F.round(
-                F.col("n_hit").cast("double")
-                / (F.col("n_cross") + F.col("n_within")),
-                9,
+            # recall is undefined against an empty truth set (empty
+            # corpus): NULL under a guard mirrored in the oracle
+            F.when(
+                F.col("n_cross") + F.col("n_within") > 0,
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / (F.col("n_cross") + F.col("n_within")),
+                    9,
+                ),
             ).alias("recall"),
-            F.round(
-                (F.col("theo_sum") + F.col("n_within").cast("double") * 1.0)
-                / (F.col("n_cross") + F.col("n_within")),
-                9,
+            F.when(
+                F.col("n_cross") + F.col("n_within") > 0,
+                F.round(
+                    (F.col("theo_sum") + F.col("n_within").cast("double") * 1.0)
+                    / (F.col("n_cross") + F.col("n_within")),
+                    9,
+                ),
             ).alias("mean_theoretical_recall"),
         )
     )
@@ -1981,8 +1991,10 @@ def _minhash_calibration_oracle(
             FROM scored
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               round({_FOLD_TXT.format(x='err')} / COUNT(*), 9) AS bias,
-               round({_FOLD_TXT.format(x='aerr')} / COUNT(*), 9) AS mae,
+               CASE WHEN COUNT(*) > 0 THEN
+                    round({_FOLD_TXT.format(x='err')} / COUNT(*), 9) END AS bias,
+               CASE WHEN COUNT(*) > 0 THEN
+                    round({_FOLD_TXT.format(x='aerr')} / COUNT(*), 9) END AS mae,
                round(MAX(aerr), 9) AS max_abs_err
         FROM errs
     """
@@ -2037,10 +2049,16 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = lambda c: F.aggregate(  # noqa: E731
         F.array_sort(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
     )
+    # calibration is undefined with zero verified pairs (empty corpus):
+    # NULL under guards mirrored in the oracle, never ANSI div/0
     return scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(fold("err") / F.count(F.lit(1)), 9).alias("bias"),
-        F.round(fold("aerr") / F.count(F.lit(1)), 9).alias("mae"),
+        F.when(
+            F.count(F.lit(1)) > 0, F.round(fold("err") / F.count(F.lit(1)), 9)
+        ).alias("bias"),
+        F.when(
+            F.count(F.lit(1)) > 0, F.round(fold("aerr") / F.count(F.lit(1)), 9)
+        ).alias("mae"),
         F.round(F.max("aerr"), 9).alias("max_abs_err"),
     )
 
