@@ -248,15 +248,30 @@ def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    cos = (
-        cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=100)
-        .withColumn(
-            "r_dense",
-            F.row_number().over(W.orderBy(F.col("cos_sim").desc(), "vec_id")),
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:
+        # empty embeddings: the dense arm contributes nothing; the
+        # fusion degrades to the lexical ranking (oracle: empty cos CTE)
+        from pyspark.sql import types as T
+
+        cos = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_id", emb.schema["vec_id"].dataType, True),
+                    T.StructField("r_dense", T.IntegerType(), True),
+                ]
+            ),
         )
-        .select(F.col("vec_id").alias("doc_id"), "r_dense")
-    )
+    else:
+        cos = (
+            cosine_topk(emb.filter(F.col("vec_id") != 0), list(qrow[0]), k=100)
+            .withColumn(
+                "r_dense",
+                F.row_number().over(W.orderBy(F.col("cos_sim").desc(), "vec_id")),
+            )
+            .select(F.col("vec_id").alias("doc_id"), "r_dense")
+        )
     fused = lex.join(cos, "doc_id", "full_outer")
     rrf = F.coalesce(
         1.0 / (60.0 + F.col("r_lex").cast("double")), F.lit(0.0)
@@ -397,11 +412,26 @@ def ndcg_lexical_vs_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "r")
     )
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    gold = (
-        cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=20)
-        .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("rel"))
-    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:
+        # empty embeddings: no pseudo-relevance labels — every lexical
+        # hit scores 0 (oracle: empty gold CTE, LEFT JOIN misses)
+        from pyspark.sql import types as T
+
+        gold = spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("doc_id", emb.schema["vec_id"].dataType, True),
+                    T.StructField("rel", T.IntegerType(), True),
+                ]
+            ),
+        )
+    else:
+        gold = (
+            cosine_topk(emb.filter(F.col("vec_id") != 0), list(qrow[0]), k=20)
+            .select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("rel"))
+        )
     log2r = F.log(F.col("r").cast("double") + 1.0) / F.log(F.lit(2.0))
     terms = lex.join(F.broadcast(gold), "doc_id", "left").select(
         "r",
@@ -501,8 +531,21 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
+    from pyspark.sql import types as T
+
+    _empty_mmr = T.StructType(
+        [
+            T.StructField("mmr_rank", T.IntegerType(), True),
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("relevance", T.DoubleType(), True),
+            T.StructField("mmr_score", T.DoubleType(), True),
+        ]
+    )
     emb = _t(spark, sf_dir, "embeddings")
-    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).head().embedding]
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    if qrow is None:  # empty corpus: no query, no pool (oracle chain empty)
+        return spark.createDataFrame([], _empty_mmr)
+    q = [float(v) for v in qrow.embedding]
     nq = 0.0
     for v in q:
         nq += v * v
@@ -528,6 +571,8 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MMR_POOL)
     )
     block = cands.collect()  # bounded: exactly _MMR_POOL rows
+    if not block:  # query exists but candidate pool is empty
+        return spark.createDataFrame([], _empty_mmr)
     vecs = {int(r.vec_id): [float(v) for v in r.embedding] for r in block}
     rels = {int(r.vec_id): float(r.rel) for r in block}
 
@@ -552,6 +597,8 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             score = (lam * rels[v]) - (mu * maxsim)
             if best is None or score > best[1]:
                 best = (v, score)
+        if best is None:  # pool exhausted before _MMR_K picks
+            break
         picked.append(best)
         chosen.add(best[0])
     rankm, scorem = F.lit(None), F.lit(None).cast("double")

@@ -754,6 +754,14 @@ def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max(year(o_orderdate) * 12 + month(o_orderdate))",
         ).collect()[0]
     )
+    if lo is None:
+        # empty orders: the oracle's recursive anchor is the NULL min,
+        # recursion stops immediately, and the left join coalesces to
+        # one (NULL, 0, 0.0) row — emit the identical row
+        return spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS month_n,"
+            " CAST(0 AS BIGINT) AS n_orders, CAST(0.0 AS DOUBLE) AS revenue"
+        )
     return spark.sql(
         _RCTE_MONTHS.format(orders="_q_orders_rcte", lo=int(lo), hi=int(hi))
     )

@@ -27,6 +27,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def _qvec0(emb: DataFrame) -> list[float] | None:
+    """The vec_id=0 probe embedding, or None on an empty corpus (the
+    documented K-row driver fetch; empty-corpus contract, round 11)."""
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return None if row is None else [float(v) for v in row[0]]
+
+
+def _empty_topk(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Typed empty (vec_id, cos_sim) frame — the empty-corpus value of
+    every single-probe ANN top-k (the oracles yield 0 rows too)."""
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", emb.schema["vec_id"].dataType, True),
+                T.StructField("cos_sim", T.DoubleType(), True),
+            ]
+        ),
+    )
+
+
 # Sequential left-fold sum of squares — identical fold order both engines.
 _SQ_FOLD_SPARK = (
     "aggregate(embedding, CAST(0.0 AS DOUBLE),"
@@ -74,8 +97,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.similarity import cosine_topk
 
     emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    qvec = _qvec0(emb)
+    if qvec is None:  # empty corpus: no probe, no candidates
+        return _empty_topk(spark, emb)
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
 
 
 # Sign-LSH oracle machinery: the hyperplanes are pure seed-derived
@@ -133,10 +158,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _qvec0(emb)
+    if qvec is None:  # empty corpus: no probe, no candidates
+        return _empty_topk(spark, emb)
     return lsh_topk(
         emb.filter(F.col("vec_id") != 0),
-        list(qvec),
+        qvec,
         k=10,
         n_planes=_LSH_PLANES_N,
         seed=_LSH_SEED,
@@ -159,9 +186,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _qvec0(emb)
+    if qvec is None:  # empty corpus: no probe, no index to fit
+        return _empty_topk(spark, emb)
     return ivf_topk(
-        emb.filter(F.col("vec_id") != 0), list(qvec), k=10, n_probes=6
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, n_probes=6
     )
 
 
@@ -242,7 +271,9 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    qvec = list(emb.filter("vec_id = 0").head()["embedding"])
+    qvec = _qvec0(emb)
+    if qvec is None:  # empty corpus: nothing to index or probe
+        return _empty_topk(spark, emb)
     corpus = emb.filter("vec_id != 0")
     assigned, centroids = ivf_index(corpus, n_centroids=16)
     path = tempfile.mkdtemp(prefix="ivf_cells_")
@@ -665,6 +696,10 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.plans.queries_mlprep import embedding_covariance
 
     cov_rows = embedding_covariance(spark, sf_dir).collect()
+    if not cov_rows:  # empty corpus: no covariance, no component
+        return spark.createDataFrame(
+            [], "dim INT, loading DOUBLE, eigenvalue DOUBLE"
+        )
     d = int(max(r.dim_j for r in cov_rows))
     A = [[0.0] * d for _ in range(d)]
     for r in cov_rows:
@@ -855,11 +890,19 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.similarity import cosine_topk, lsh_topk
 
     emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _qvec0(emb)
+    if qvec is None:
+        # empty corpus: both rankings are empty, their intersection is
+        # 0 of 10 — the oracle's global aggregate emits the same row
+        return spark.range(1).select(
+            F.lit(10).cast("bigint").alias("k"),
+            F.lit(0).cast("bigint").alias("n_common"),
+            F.round(F.lit(0.0), 9).alias("recall_at_10"),
+        )
     corpus = emb.filter(F.col("vec_id") != 0)
-    exact = cosine_topk(corpus, list(qvec), k=10).select("vec_id")
+    exact = cosine_topk(corpus, qvec, k=10).select("vec_id")
     lsh = lsh_topk(
-        corpus, list(qvec), k=10, n_planes=_LSH_PLANES_N, seed=_LSH_SEED
+        corpus, qvec, k=10, n_planes=_LSH_PLANES_N, seed=_LSH_SEED
     ).select("vec_id")
     return exact.join(lsh, "vec_id").agg(
         F.lit(10).cast("bigint").alias("k"),
@@ -1299,6 +1342,8 @@ def power_iteration_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_PI_DIMS)
     ]
     row = emb.select(xv.alias("xv")).agg(*exprs).head()
+    if row["g_0_0"] is None:  # SUM over an empty corpus: no Gram matrix
+        return spark.createDataFrame([], "dim int, pc_fixed bigint")
     G = [[int(row[f"g_{i}_{j}"]) for j in range(_PI_DIMS)] for i in range(_PI_DIMS)]
 
     def _trunc_div(a: int, b: int) -> int:
@@ -1503,6 +1548,19 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     seed = pool.filter(F.col("vec_id") == 0).head()
+    if seed is None:  # empty pool: no coreset (oracle CTE chain is empty too)
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("order_idx", T.IntegerType(), True),
+                    T.StructField("vec_id", emb.schema["vec_id"].dataType, True),
+                    T.StructField("radius", T.DoubleType(), True),
+                ]
+            ),
+        )
     selected = [(int(seed.vec_id), [float(v) for v in seed.embedding], None)]
 
     def _sqdist(center: list[float]):
@@ -1525,6 +1583,8 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .head()
         )
+        if r is None:  # pool exhausted before k centers (oracle picks 0 rows too)
+            break
         selected.append(
             (int(r.vec_id), [float(v) for v in r.embedding], float(r.md))
         )
