@@ -406,7 +406,9 @@ def _pois_case_sql(u: str) -> str:
         )
         SELECT n_events,
                CAST({_BOOT_B} AS BIGINT) AS n_replicates,
-               round(CAST(tot AS DOUBLE) / n_events / 100.0, 9) AS point_mean,
+               CASE WHEN n_events > 0 THEN
+                    round(CAST(tot AS DOUBLE) / n_events / 100.0, 9)
+               END AS point_mean,
                round((SELECT m FROM means
                       WHERE rk = CAST(ceil(0.025 * {_BOOT_B}) AS BIGINT)), 9)
                    AS ci_lo,
@@ -479,11 +481,14 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lo_rk = int(_math.ceil(0.025 * _BOOT_B))
     hi_rk = int(_math.ceil(0.975 * _BOOT_B))
-    lo = means.filter(F.col("rk") == lo_rk).select(
-        F.round("m", 9).alias("ci_lo")
+    # 1-row aggregates (not filter->select): on an empty corpus the rank
+    # rows don't exist and the oracle's scalar subqueries yield NULL —
+    # MAX over the empty group is the same NULL in a guaranteed 1 row
+    lo = means.filter(F.col("rk") == lo_rk).agg(
+        F.round(F.max("m"), 9).alias("ci_lo")
     )
-    hi = means.filter(F.col("rk") == hi_rk).select(
-        F.round("m", 9).alias("ci_hi")
+    hi = means.filter(F.col("rk") == hi_rk).agg(
+        F.round(F.max("m"), 9).alias("ci_hi")
     )
     pt = s.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -495,8 +500,11 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_events",
             F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
-            F.round(
-                F.col("tot").cast("double") / F.col("n_events") / 100.0, 9
+            F.when(
+                F.col("n_events") > 0,
+                F.round(
+                    F.col("tot").cast("double") / F.col("n_events") / 100.0, 9
+                ),
             ).alias("point_mean"),
             "ci_lo",
             "ci_hi",
