@@ -1201,14 +1201,23 @@ def _dpp_parts(spark: SparkSession, sf_dir: str, root: str):
     from dynaledger_spark.functions.agg import dsum
 
     ev = _t(spark, sf_dir, "events")
-    ev.select("event_id", "user_id", "value", "event_type").write.mode(
-        "overwrite"
-    ).partitionBy("event_type").parquet(f"{root}/events_part")
-    ev.select("event_type").distinct().select(
+    fact_src = ev.select("event_id", "user_id", "value", "event_type")
+    fact_src.write.mode("overwrite").partitionBy("event_type").parquet(
+        f"{root}/events_part"
+    )
+    dim_src = ev.select("event_type").distinct().select(
         "event_type", F.length("event_type").alias("name_len")
-    ).write.mode("overwrite").parquet(f"{root}/event_dim")
-    fact = spark.read.parquet(f"{root}/events_part")
-    dim = spark.read.parquet(f"{root}/event_dim").filter(F.col("name_len") <= 5)
+    )
+    dim_src.write.mode("overwrite").parquet(f"{root}/event_dim")
+    # explicit schemas: a 0-row input writes zero data files and schema
+    # inference would fail — with the schema pinned the empty round
+    # trips cleanly (empty-corpus contract); DPP itself is unaffected
+    fact = spark.read.schema(fact_src.schema).parquet(f"{root}/events_part")
+    dim = (
+        spark.read.schema(dim_src.schema)
+        .parquet(f"{root}/event_dim")
+        .filter(F.col("name_len") <= 5)
+    )
     return (
         fact.join(dim.select("event_type"), "event_type")
         .groupBy("event_type")

@@ -223,6 +223,16 @@ def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, gold, ckpt,
             keys=["user_id"], order_col="ts", tiebreak_col="event_id",
         )
+    import os
+
+    if not os.path.isdir(gold):
+        # empty input: no microbatch ever merged, so no gold table was
+        # materialized — the latest-per-key of nothing is the typed
+        # empty table (oracle yields 0 rows too)
+        shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame([], schema).select(
+            "user_id", "ts", "event_type", "value"
+        )
     out = (
         spark.read.parquet(gold)
         .select("user_id", "ts", "event_type", "value")
