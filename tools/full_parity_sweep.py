@@ -13,6 +13,7 @@ BigDecimal round disagree. Run once per round after registry changes:
 
     python tools/full_parity_sweep.py [sf_dir] [budget_s]
     python tools/full_parity_sweep.py --10x [budget_s] [names...]
+    python tools/full_parity_sweep.py --10x --all [budget_s]   # whole registry
 
 --10x builds the CLEAN 10x corpus (tools/scale_probe.build_probe,
 skew=False) in a temp dir and parity-checks there — at sf1 every doc
@@ -85,10 +86,17 @@ def _duck_for(path: str):
 
 def main() -> int:
     ten_x = "--10x" in sys.argv[1:]
-    args = [a for a in sys.argv[1:] if a != "--10x"]
+    run_all = "--all" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a not in ("--10x", "--all")]
     if ten_x:
         budget = int(args[0]) if args and args[0].isdigit() else 420
-        names = [a for a in args if not a.isdigit()] or CAP_BEARING
+        # --all: the ENTIRE registry at clean-10x (VERDICT r10 item 4 —
+        # each new SF regime has surfaced a new divergence class);
+        # budget skips are REPORTED, never silent
+        names = (
+            None if run_all
+            else ([a for a in args if not a.isdigit()] or CAP_BEARING)
+        )
     else:
         budget = int(args[1]) if len(args) > 1 else 180
         names = None
@@ -111,7 +119,8 @@ def main() -> int:
         sf = tempfile.mkdtemp(prefix="dl_sf1p_")
         cleanup = lambda: shutil.rmtree(sf, ignore_errors=True)  # noqa: E731
         build_probe(spark, sf, mult=10, skew=False)
-        reg = {n: reg[n] for n in names}
+        if names is not None:
+            reg = {n: reg[n] for n in names}
     else:
         sf = args[0] if args else "/root/testdata/sf0.1"
     duck = _duck_for(sf)
