@@ -105,6 +105,11 @@ def main() -> int:
         .appName("full_parity_sweep")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
+        # NOT part of the foreign-ness contract (that's SQL confs/tz):
+        # local mode runs executors inside the driver JVM, and the 1g
+        # default heap OOMs on the 10x corpus (round-11 full-registry
+        # run died at ~20 queries in). Driver-sized like bench/driver_sim.
+        .config("spark.driver.memory", "32g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
