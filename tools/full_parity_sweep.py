@@ -62,6 +62,14 @@ CAP_BEARING = [
     "rag_pipeline_e2e",  # round-11: per-cell IVF truncation cap
 ]
 
+# Oracles that are QUADRATIC in the corpus (uncapped pairwise DuckDB
+# joins, by design — they are ground-truth evaluators). At 10x they run
+# for hours inside one C call the SIGALRM budget cannot interrupt, so
+# --10x --all runs their SPARK side only and reports them as
+# oracle-excluded (both are long-window oracle-proven at sf0.1:
+# lsh_recall_eval 755 s, jaccard_prefix_filter_join 669 s, round 11).
+ORACLE_QUADRATIC_10X = {"jaccard_prefix_filter_join", "lsh_recall_eval"}
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -131,16 +139,19 @@ def main() -> int:
     duck = _duck_for(sf)
 
     signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(_Timeout()))
-    ok = rows_only = 0
+    ok = rows_only = oracle_excluded = 0
     skipped: list[tuple[str, float]] = []
     failed: list[tuple[str, str]] = []
     for name, spec in reg.items():
         t0 = time.time()
         signal.alarm(budget)
         try:
-            if spec.oracle is None:
+            if spec.oracle is None or (ten_x and name in ORACLE_QUADRATIC_10X):
                 assert spec.build(spark, sf).count() >= 0
-                rows_only += 1
+                if spec.oracle is None:
+                    rows_only += 1
+                else:
+                    oracle_excluded += 1
             else:
                 compare(spec.build(spark, sf), duck, spec.oracle)
                 ok += 1
@@ -154,6 +165,7 @@ def main() -> int:
         print(f"{name}: {round(time.time() - t0, 1)}s", flush=True)
     print(
         f"RESULT sf={sf} ok={ok} rows_only={rows_only} "
+        f"oracle_excluded={oracle_excluded} "
         f"skipped={len(skipped)} failed={len(failed)}"
     )
     for n, t in skipped:
