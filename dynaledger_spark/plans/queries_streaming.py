@@ -342,11 +342,20 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    # directory-layout tables (documents.parquet/part-*.parquet, the
+    # at-scale layout): descend instead of leaf-file glob-filtering,
+    # which would silently match zero files (round-11 10x sweep find)
+    import os
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(doc_path):
+        stream = spark.readStream.schema(schema).parquet(doc_path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
     deduped = stream.select("text").dropDuplicates(["text"])
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):

@@ -67,6 +67,17 @@ def events_stream(
     # parquet needs nanosAsLong even with an explicit long schema
     # (runtime-settable; same defensive set as catalog.read_table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # `glob` names the table within the landing dir. pathGlobFilter
+    # matches LEAF FILE names only — when the table is a Spark-written
+    # DIRECTORY (<glob>/part-*.parquet, the normal at-scale layout, and
+    # the 10x probe's), no leaf matches and the stream silently reads 0
+    # rows (round-11 10x sweep find). Descend into the directory and
+    # drop the filter instead.
+    import os
+
+    if glob is not None and os.path.isdir(os.path.join(landing_dir, glob)):
+        landing_dir = os.path.join(landing_dir, glob)
+        glob = None
     if schema is None:
         # Probe the resolved batch schema (footer read) so the declared
         # stream schema matches whichever timestamp physical type these
