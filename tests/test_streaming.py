@@ -282,3 +282,21 @@ def test_replay_as_batches_corpus_sized_takes_scale_path(spark, landing):
     # within the cap the exact ntile path still runs
     replay_as_batches(df, landing + "_small", n_batches=2, max_rows=1000)
     assert spark.read.parquet(landing + "_small").count() == 50
+
+
+def test_events_stream_reads_directory_layout_tables(spark, landing):
+    """Round-11 10x-sweep find: pathGlobFilter matches leaf FILE names,
+    so a Spark-written DIRECTORY table (events.parquet/part-*.parquet —
+    the at-scale layout) matched zero files and every stream read 0
+    rows. events_stream must consume BOTH layouts identically."""
+    import os
+
+    rows = [_ev(i, i, 1, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, EVENT_DDL)
+    # directory layout: <landing>/events.parquet/part-*.parquet
+    df.write.mode("overwrite").parquet(os.path.join(landing, "events.parquet"))
+    stream = events_stream(spark, landing, glob="events.parquet")
+    out = run_available_now(
+        stream.select("event_id"), "dir_layout_probe", output_mode="append"
+    )
+    assert sorted(r.event_id for r in out.collect()) == list(range(6))
