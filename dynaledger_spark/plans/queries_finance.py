@@ -598,28 +598,33 @@ def ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n_lines,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,6)) AS VARCHAR)
                    AS gross,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(8,2)))
+                         AS DECIMAL(38,6)) AS VARCHAR)
                    AS discount_amt,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(8,2))))
+                         AS DECIMAL(38,6)) AS VARCHAR)
                    AS net,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(8,2)))
-                        * CAST(l_tax AS DECIMAL(8,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                             * CAST(l_tax AS DECIMAL(8,2)))
+                         AS DECIMAL(38,6)) AS VARCHAR)
                    AS tax_amt,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(8,2)))
-                        * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                             * (1 + CAST(l_tax AS DECIMAL(8,2))))
+                         AS DECIMAL(38,6)) AS VARCHAR)
                    AS charged,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                    - SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(l_discount AS DECIMAL(8,2)))
-                    - SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(8,2))))
-                   AS DOUBLE) AS residual
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         - SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_discount AS DECIMAL(8,2)))
+                         - SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(8,2))))
+                         AS DECIMAL(38,6)) AS VARCHAR) AS residual
         FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -628,9 +633,16 @@ def revenue_decomposition_reconcile(spark: SparkSession, sf_dir: str) -> DataFra
     each gross charge into discount, net, and tax components and PROVE the
     books balance — gross − discount − net must be exactly zero, and
     because every component is accumulated in DECIMAL (exact, not
-    IEEE), the residual column is bitwise 0.0, not merely small. A
-    float pipeline cannot make this guarantee; this query is the
-    demonstration that the engine's money math is ledger-grade.
+    IEEE), the residual column is an exact "0.000000", not merely
+    small. A float pipeline cannot make this guarantee; this query is
+    the demonstration that the engine's money math is ledger-grade.
+
+    All money components are EMITTED as the exact DECIMAL (canonical
+    6-dp text) rather than cast to DOUBLE — past ~17 significant digits
+    Spark and DuckDB round the same decimal to adjacent doubles (README
+    "DECIMAL→DOUBLE casts diverge"; round-11 10x sweep caught this
+    query), and a ledger-grade decomposition should never pass through
+    a lossy cast at all.
 
     Plan: one map-side-combined hash aggregate over lineitem; all six
     measures share the scan. One exchange.
@@ -639,14 +651,16 @@ def revenue_decomposition_reconcile(spark: SparkSession, sf_dir: str) -> DataFra
     p = F.col("l_extendedprice").cast("decimal(18,2)")
     d = F.col("l_discount").cast("decimal(8,2)")
     t = F.col("l_tax").cast("decimal(8,2)")
+
+    def money(c):  # exact decimal, canonical fixed-scale text
+        return c.cast("decimal(38,6)").cast("string")
+
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.sum(p).cast("double").alias("gross"),
-        F.sum(p * d).cast("double").alias("discount_amt"),
-        F.sum(p * (1 - d)).cast("double").alias("net"),
-        F.sum(p * (1 - d) * t).cast("double").alias("tax_amt"),
-        F.sum(p * (1 - d) * (1 + t)).cast("double").alias("charged"),
-        (F.sum(p) - F.sum(p * d) - F.sum(p * (1 - d)))
-        .cast("double")
-        .alias("residual"),
+        money(F.sum(p)).alias("gross"),
+        money(F.sum(p * d)).alias("discount_amt"),
+        money(F.sum(p * (1 - d))).alias("net"),
+        money(F.sum(p * (1 - d) * t)).alias("tax_amt"),
+        money(F.sum(p * (1 - d) * (1 + t))).alias("charged"),
+        money(F.sum(p) - F.sum(p * d) - F.sum(p * (1 - d))).alias("residual"),
     )

@@ -31,6 +31,11 @@ _H1 = 2654435761
 _H2 = 1103515245
 _M32 = 4294967296
 
+# shard_round_robin: fixed-width range buckets over the 2^32 hash domain
+# (power of two so _M32 // _RR_BUCKETS is exact and bucket ids stay in
+# [0, _RR_BUCKETS)).
+_RR_BUCKETS = 1024
+
 
 def _mhash(col, mult: int, add: int = 0):
     """(col * mult + add) % 2^32 as exact arithmetic at ANY id magnitude.
@@ -109,15 +114,49 @@ def shard_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global deterministic shuffle (order by hash) then round-robin into
     8 shards: shard sizes are exactly equal (hash-mod alone is binomial),
     and the order within a shard is a reproducible pseudo-random permutation
-    — what a training loader wants for epoch order. The global row_number
-    is the scale limit: at 100 TB the same layout ships as
-    repartitionByRange(hash) + per-partition offsets (monotonically_
-    increasing_id-style), keeping the sort distributed."""
+    — what a training loader wants for epoch order.
+
+    The global rank is computed DISTRIBUTED (VERDICT r11 item 4 — the
+    documented twin, now the implementation): the hash domain [0, 2^32)
+    is cut into {_RR_BUCKETS} fixed-width range buckets (a pure
+    projection — no sampling, unlike repartitionByRange, so the
+    assignment is deterministic on any cluster), each bucket ranks its
+    own rows with a PARTITIONED row_number, and a {_RR_BUCKETS}-row
+    count aggregate yields per-bucket base offsets via a broadcast
+    inequality self-join (grid-sized BroadcastNestedLoop, ≤2^20
+    comparisons — never corpus-sized). global_rank = offset + local
+    rank reproduces ORDER BY (h, doc_id) exactly because the bucket id
+    is monotone in h and doc_id is unique. No total-order sort, no
+    single-partition window; the multiplicative hash keeps buckets
+    uniform at any corpus size."""
     docs = _docs(spark, sf_dir)
     h = _mhash(F.col("doc_id"), _H1, 97)
-    w = W.orderBy(h, "doc_id")
-    return docs.select(
-        "doc_id", (F.row_number().over(w) % 8).cast("int").alias("shard")
+    width = _M32 // _RR_BUCKETS
+    base = docs.select(
+        "doc_id", h.alias("h"), (h / width).cast("int").alias("b")
+    )
+    from dynaledger_spark.plans.cache import tracked_persist
+
+    # ≤ _RR_BUCKETS rows, read by both sides of the offset join — persist
+    # so the corpus is scanned once for the counts, not twice.
+    counts = base.groupBy("b").agg(F.count(F.lit(1)).alias("n")).transform(
+        tracked_persist
+    )
+    lower = counts.select(
+        F.col("b").alias("lb"), F.col("n").alias("ln")
+    )
+    offsets = (
+        counts.join(F.broadcast(lower), F.col("lb") < F.col("b"), "left")
+        .groupBy("b")
+        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("offset"))
+    )
+    rn = F.row_number().over(W.partitionBy("b").orderBy("h", "doc_id"))
+    return (
+        base.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            ((F.col("offset") + rn) % 8).cast("int").alias("shard"),
+        )
     )
 
 

@@ -1494,14 +1494,17 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH mx AS (SELECT MAX(l_shipdate) AS m FROM lineitem)
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,6)) AS VARCHAR)
                    AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                         AS DECIMAL(38,6)) AS VARCHAR)
                    AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                             * (1 + CAST(l_tax AS DECIMAL(4,2))))
+                         AS DECIMAL(38,6)) AS VARCHAR)
                    AS sum_charge,
                round(CAST(SUM(CAST(l_quantity AS DECIMAL(6,0))) AS DOUBLE)
                      / COUNT(*), 9) AS avg_qty,
@@ -1524,6 +1527,17 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     products at 4/6 dp, all untruncated — so partial-aggregate combine
     order cannot move a result; averages divide once and round at 9.
 
+    The three money sums are EMITTED as the exact DECIMAL (rendered at
+    a pinned 6-dp scale) rather than cast to DOUBLE: past ~17
+    significant digits Spark's BigDecimal.doubleValue and DuckDB's
+    int128/10^scale conversion round to ADJACENT doubles (found by the
+    round-11 clean-10x sweep; README "DECIMAL→DOUBLE casts diverge"),
+    so the double cast is the one lossy step in an otherwise exact
+    pipeline — dropping it makes the result bitwise-stable at any
+    magnitude. sum_qty and the round-9 averages stay DOUBLE: their
+    magnitudes sit far below the divergence threshold at any realistic
+    scale (qty is integral and exact in a double to 2^53).
+
     Plan: the canonical single-pass hash aggregate with map-side
     partials over a pruned parquet scan (only the 7 referenced columns
     read) — the shape whole-stage codegen exists for.
@@ -1536,17 +1550,19 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
     tax = F.col("l_tax").cast("decimal(4,2)")
+
+    def money(c):  # exact decimal, canonical fixed-scale text
+        return c.cast("decimal(38,6)").cast("string")
+
     return (
         li.crossJoin(F.broadcast(mx))
         .filter(F.col("l_shipdate") <= F.col("m") - F.expr("INTERVAL 90 DAY"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (1 - disc) * (1 + tax))
-            .cast("double")
-            .alias("sum_charge"),
+            money(F.sum(price)).alias("sum_base_price"),
+            money(F.sum(price * (1 - disc))).alias("sum_disc_price"),
+            money(F.sum(price * (1 - disc) * (1 + tax))).alias("sum_charge"),
             F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 9).alias(
                 "avg_qty"
             ),

@@ -344,11 +344,15 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # directory-layout tables (documents.parquet/part-*.parquet, the
     # at-scale layout): descend instead of leaf-file glob-filtering,
-    # which would silently match zero files (round-11 10x sweep find)
+    # which would silently match zero files (round-11 10x sweep find).
+    # Layout detection goes through the shared Hadoop-FS helper so
+    # object-store sf_dirs are detected too (ADVICE r11 item 3).
     import os
 
+    from dynaledger_spark.streaming.ingest import is_dir_table
+
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(doc_path):
+    if is_dir_table(spark, doc_path):
         stream = spark.readStream.schema(schema).parquet(doc_path)
     else:
         stream = (

@@ -339,6 +339,18 @@ def _portable_minhash_oracle(
     incremental: bool = False,
     max_bucket_size: int = 200,
 ) -> str:
+    """The DuckDB twin of the portable MinHash-LSH pipeline.
+
+    Since round 12 the EXPENSIVE per-text work (tokenize → shingle →
+    per-gram rolling hash → 16-permutation signature fold) runs once
+    per DISTINCT text (md5 groups, representative = min doc_id) and
+    expands to all docs through the group map — output-identical
+    because identical text ⇒ identical grams ⇒ identical signature,
+    while banding, bucket caps and pair generation stay PER-DOC rows
+    exactly as before. This mirrors the Spark side's round-11 rep-
+    signature reuse and collapses the oracle's cost on clone-heavy
+    corpora (the clean-10x sweep: every doc has ~10 exact clones, so
+    the signature work shrinks 10x — VERDICT r11 item 5)."""
     from dynaledger_spark.operators.dedup import _P, _perm_params
 
     params = _perm_params(n_hashes, seed)
@@ -352,28 +364,41 @@ def _portable_minhash_oracle(
         " / greatest(len(ga) + len(gb) - len(list_intersect(ga, gb)), 1)"
     )
     return f"""
-        WITH toks AS (
-            SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        WITH g0 AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS rep
+            FROM documents GROUP BY md5(text)
+        ),
+        d2r AS (
+            SELECT d.doc_id, g.rep
+            FROM documents d JOIN g0 g ON md5(d.text) = g.h
+        ),
+        toks AS (
+            SELECT g.rep AS rid, string_split_regex(d.text, '\\s+') AS t
+            FROM g0 g JOIN documents d ON d.doc_id = g.rep
         ),
         sh AS (
-            SELECT doc_id,
+            SELECT rid,
                    list_distinct(list_transform(
                        range(1, greatest(len(t) - 2, 1) + 1),
                        i -> array_to_string(t[i:i+2], ' '))) AS grams
             FROM toks
         ),
         hb AS (
-            SELECT doc_id, grams,
+            SELECT rid, grams,
                    list_transform(grams, s -> list_reduce(
                        list_transform(range(1, greatest(length(s), 1) + 1),
                                       i -> CAST(coalesce(ascii(s[i:i]), 0) AS BIGINT)),
                        (acc, c) -> (acc * 31 + c) % {_P})) AS base
             FROM sh
         ),
-        sig AS (
-            SELECT doc_id, grams,
+        rep_sig AS (
+            SELECT rid, grams,
                [{mins}] AS sig
             FROM hb
+        ),
+        sig AS (
+            SELECT m.doc_id, r.grams, r.sig
+            FROM d2r m JOIN rep_sig r ON m.rep = r.rid
         ),
         banded AS (
             SELECT doc_id, grams, band,

@@ -133,24 +133,153 @@ _REPO_ROOT = os.path.dirname(
 _PLAN_HASH_FILE = "PLAN_HASHES.json"
 
 
-def plan_hash(spec: QuerySpec) -> str:
-    """Content hash of a query's plan definition: the builder function's
-    source (which, via the decorator syntax, includes the oracle SQL in
-    the @register call) plus the oracle text again for robustness.
+_PKG_PREFIX = "dynaledger_spark"
 
-    Limitation (documented, conservative direction is fine): a change
-    to a shared helper the builder calls does not change this hash —
-    only edits to the registered function body / oracle re-tier the
-    query. Comment-only edits DO re-tier (costs one window slot, never
-    hides a semantic change)."""
-    import hashlib
+
+def _fn_source(fn) -> str:
     import inspect
 
-    fn = getattr(spec.build, "__wrapped__", spec.build)
     try:
-        src = inspect.getsource(fn)
+        return inspect.getsource(fn)
     except (OSError, TypeError):  # frozen / interactively-defined builders
-        src = fn.__code__.co_code.hex()
+        code = getattr(fn, "__code__", None)
+        return code.co_code.hex() if code is not None else repr(fn)
+
+
+def plan_closure_sources(spec: QuerySpec) -> dict[str, str]:
+    """The static closure of repo-local definitions a builder's result
+    depends on: the builder's own source plus — transitively — the
+    source of every `dynaledger_spark` function/class and the repr of
+    every module-level constant its code objects reference (walking
+    `co_names`/`co_consts`, resolving through `__globals__` AND through
+    any `dynaledger_spark.*` module named by a body-local import).
+
+    Returned as {stable-key: source-blob}, deterministic across
+    sessions (keys are module.qualname / module.NAME strings).  Used by
+    :func:`plan_hash` so an edit to a shared helper (`_dpp_parts`,
+    `_bm25_scores`, a `_GATES_SQL`-style constant, `read_table`, …)
+    re-tiers every caller — closing the round-11 blind spot where only
+    the registered function body was hashed (ADVICE r11 item 1: the
+    miss direction was NON-conservative, skipping re-verification).
+
+    Over-approximation is safe (extra re-tiering costs a window slot);
+    under-approximation is the bug this closes.  Walk is bounded and
+    cycle-safe; stdlib/pyspark/builtins are never followed."""
+    import sys
+    import types
+
+    fn = getattr(spec.build, "__wrapped__", spec.build)
+    out: dict[str, str] = {}
+    seen: set[int] = set()
+    work: list = [fn]
+    budget = 400  # runaway guard; real closures are tens of objects
+
+    def _key(obj) -> str:
+        mod = getattr(obj, "__module__", "") or ""
+        qn = getattr(obj, "__qualname__", getattr(obj, "__name__", repr(obj)))
+        return f"{mod}.{qn}"
+
+    def _names_and_codes(code) -> tuple[set[str], list]:
+        names, codes = set(code.co_names), []
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                sub_n, sub_c = _names_and_codes(const)
+                names |= sub_n
+                codes.extend([const] + sub_c)
+        return names, codes
+
+    while work and budget > 0:
+        obj = work.pop()
+        if id(obj) in seen:
+            continue
+        seen.add(id(obj))
+        budget -= 1
+        obj = getattr(obj, "__wrapped__", obj)
+        if isinstance(obj, types.FunctionType):
+            if not (obj.__module__ or "").startswith(_PKG_PREFIX):
+                continue
+            out[_key(obj)] = _fn_source(obj)
+            names, _ = _names_and_codes(obj.__code__)
+            # namespaces to resolve against: the function's globals plus
+            # every repo-local module named by a body-local import
+            # (`from dynaledger_spark.x import y` puts the dotted module
+            # path AND `y` into co_names).
+            spaces = [(obj.__module__, obj.__globals__)]
+            for n in sorted(names):
+                if n.startswith(_PKG_PREFIX):
+                    # body-local `from dynaledger_spark.x import y` puts
+                    # the dotted path in co_names but only imports it at
+                    # call time — import here so `y` resolves.
+                    if n not in sys.modules:
+                        import importlib
+
+                        try:
+                            importlib.import_module(n)
+                        except ImportError:
+                            continue
+                    spaces.append((n, vars(sys.modules[n])))
+            const_types = (
+                str, bytes, int, float, bool, tuple, list, dict, frozenset, set
+            )
+            for n in sorted(names):
+                for mod_name, ns in spaces:
+                    if n not in ns:
+                        continue
+                    val = ns[n]
+                    vmod = getattr(val, "__module__", "") or ""
+                    if isinstance(val, types.FunctionType) and vmod.startswith(
+                        _PKG_PREFIX
+                    ):
+                        work.append(val)
+                    elif isinstance(val, type) and vmod.startswith(_PKG_PREFIX):
+                        work.append(val)
+                    elif isinstance(val, (set, frozenset)):
+                        # hash-order repr is process-randomized — sort
+                        out[f"{mod_name}.{n}"] = repr(sorted(val, key=repr))
+                    elif isinstance(val, const_types):
+                        # module-level constant (own module or a
+                        # body-local-imported repo module)
+                        out[f"{mod_name}.{n}"] = repr(val)
+                    elif hasattr(val, "pattern") and hasattr(val, "fullmatch"):
+                        # module-level compiled regex
+                        out[f"{mod_name}.{n}"] = repr(val.pattern)
+        elif isinstance(obj, type):
+            out[_key(obj)] = _fn_source(obj)
+            for attr in sorted(vars(obj)):
+                v = vars(obj)[attr]
+                if isinstance(v, (types.FunctionType, staticmethod, classmethod)):
+                    work.append(getattr(v, "__func__", v))
+    return out
+
+
+def plan_hash(spec: QuerySpec) -> str:
+    """Content hash of a query's plan version: the builder's source, the
+    oracle text, AND the transitive static closure of repo-local helpers
+    and module-level constants the builder references
+    (:func:`plan_closure_sources`).  An edit to a shared helper now
+    changes every caller's hash, so `driver_order` re-tiers them all —
+    stale greens can no longer attest code whose semantics moved under
+    them through a helper (ADVICE r11 item 1).  Comment-only edits DO
+    re-tier (costs one window slot, never hides a semantic change)."""
+    import hashlib
+
+    closure = plan_closure_sources(spec)
+    parts = [f"{k}\x01{closure[k]}" for k in sorted(closure)]
+    blob = "\x00".join(parts) + "\x00" + (spec.oracle or "")
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def legacy_plan_hash(spec: QuerySpec) -> str:
+    """The round-10/11 plan-hash algorithm (builder source + oracle
+    only) — kept so tools/update_plan_hashes.py can distinguish "hash
+    changed because the algorithm widened" (preserve `since`: the old
+    greens still attest an unchanged builder) from "hash changed because
+    the plan changed" (bump `since`) during the one-time ledger
+    migration to closure hashing."""
+    import hashlib
+
+    fn = getattr(spec.build, "__wrapped__", spec.build)
+    src = _fn_source(fn)
     blob = src + "\x00" + (spec.oracle or "")
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 

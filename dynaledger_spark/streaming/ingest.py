@@ -37,6 +37,26 @@ from dynaledger_spark.functions.agg import dsum
 # streaming source needs an explicit schema, so `events_stream` probes the
 # batch reader's resolved schema (a footer read, no data scan) and
 # normalizes ts to TimestampType either way.
+def is_dir_table(spark: SparkSession, path: str) -> bool:
+    """True iff `path` is a DIRECTORY-layout parquet table, resolved
+    through the Hadoop FileSystem abstraction so HDFS/S3 landing dirs
+    (the at-scale norm) are detected too — `os.path.isdir` sees only
+    the driver's local disk, which would silently re-engage the
+    zero-row leaf-glob path on an object store (ADVICE r11 items 2-3).
+    The path's own scheme picks the filesystem (s3a://, hdfs://, plain
+    local); a gateway failure falls back to the local check rather
+    than guessing."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.isDirectory(hpath))
+    except Exception:
+        import os
+
+        return os.path.isdir(path)
+
+
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -75,7 +95,7 @@ def events_stream(
     # drop the filter instead.
     import os
 
-    if glob is not None and os.path.isdir(os.path.join(landing_dir, glob)):
+    if glob is not None and is_dir_table(spark, os.path.join(landing_dir, glob)):
         landing_dir = os.path.join(landing_dir, glob)
         glob = None
     if schema is None:

@@ -95,6 +95,7 @@ def test_no_cartesian_products(plans):
             "beta_binomial_shrinkage",  # 1-row broadcast of the MoM prior
             "ar1_forecast",  # 1-row broadcasts of stats/denominator/last-day scalars
             "rendezvous_hash_shard",  # 9-row broadcast of the shard ring
+            "shard_round_robin",  # ≤1024-row bucket-offset inequality self-join (grid-sized)
             "rm3_query_expansion",  # 1-row corpus-stats + expansion-weight-sum broadcasts
             "sequential_test_readout",  # 1-row min-date broadcast onto the days-sized rollup
             "psm_stratified_att",  # 1-row boundary + 1-row ATT broadcasts
@@ -570,8 +571,8 @@ def test_unigram_logprob_broadcasts_vocab(plans):
 #   bounded  — the window input is a post-aggregation series bounded by
 #              the calendar / decile grid / vocab cut, never corpus-sized;
 #   total    — the operator is semantically a total order (exact global
-#              quartiles, round-robin sharding); the docstring documents
-#              the distributed 100 TB layout that replaces it.
+#              quartiles on the customer DIMENSION); the docstring
+#              documents the distributed 100 TB layout that replaces it.
 # Anything NOT listed here that grows an unpartitioned window fails the
 # lint — a new query cannot silently global-sort a corpus.
 GLOBAL_WINDOW_WHITELIST = {
@@ -586,7 +587,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "isotonic_calibration_deciles", "rrf_hybrid_topk",
     "ndcg_lexical_vs_dense", "zipf_fit_vocab", "vocab_build_topn",
     "tokenize_to_ids", "chi_square_segment_priority",
-    "revenue_share_by_nation", "pareto_abc_parts", "rfm_segmentation",
+    "revenue_share_by_nation", "pareto_abc_parts",
     "triplet_sample_contrastive",
     # bounded: the UniMax waterfill windows run on the 20-row per-source
     # aggregate (|sources|, never corpus-sized)
@@ -597,9 +598,10 @@ GLOBAL_WINDOW_WHITELIST = {
     # bounded: rank transform over the two A/B samples' value column
     # (events.value measurements, one global ECDF/rank by construction)
     "ks_two_sample_values", "mann_whitney_u_test",
-    # total-order by design, distributed alternative documented in the
-    # query docstring
-    "ntile_acctbal_quartiles", "shard_round_robin",
+    # total-order by design (exact ANSI NTILE on the customer dimension
+    # IS the operator's semantic), distributed alternative documented
+    # in the query docstring
+    "ntile_acctbal_quartiles",
     # bounded: the rank window runs AFTER the top-10 limit (10 rows)
     "rm3_query_expansion",
     # bounded: lag/prefix windows over the |days|-row daily revenue series
@@ -956,6 +958,97 @@ def test_changed_plan_reenters_window():
     state2 = dict(state, q_edited_hash={"hash": h, "since": 0})
     order2 = R.driver_order(reg, history=hist2, state=state2)
     assert order2[-1] == "q_edited_since"  # newest green → back of queue
+
+
+def test_plan_closure_includes_shared_helpers():
+    """ADVICE r11 item 1 (mechanism): plan_hash must cover the static
+    closure of repo-local helpers — same-module privates, cross-module
+    functions reached through body-local imports, and module-level
+    constants — not just the registered builder's body."""
+    from dynaledger_spark.plans import registry as R
+
+    cs = R.plan_closure_sources(REGISTRY["fact_build"])
+    # body-local `from dynaledger_spark.catalog import read_table`
+    # inside queries_core._t must be followed two hops deep
+    assert "dynaledger_spark.catalog.read_table" in cs
+    assert "dynaledger_spark.plans.queries_core._t" in cs
+    assert "dynaledger_spark.functions.agg.dsum" in cs
+    # constants referenced by followed helpers are captured too
+    cs2 = R.plan_closure_sources(REGISTRY["rag_pipeline_e2e"])
+    assert "dynaledger_spark.plans.queries_retrieval._RAG_CELL_CAP" in cs2
+
+
+def test_helper_edit_retiers_callers():
+    """ADVICE r11 item 1 (end-to-end): editing a SHARED HELPER a builder
+    calls — or a module-level constant it reads — must change the
+    builder's plan_hash so driver_order sends the caller back to tier 1
+    even though the registered function body is byte-identical."""
+    import importlib
+    import linecache
+    import shutil
+    import sys
+    import tempfile
+    import textwrap
+
+    from dynaledger_spark.plans import registry as R
+
+    root = tempfile.mkdtemp(prefix="dl_closure_")
+    mod_name = "dynaledger_spark_tmp_closure_probe"  # prefix-matched as repo-local
+    path = f"{root}/{mod_name}.py"
+
+    def write_module(helper_body: str, const: int) -> None:
+        with open(path, "w") as fh:
+            fh.write(textwrap.dedent(f"""
+                _CUT = {const}
+
+                def _helper(x):
+                    return {helper_body}
+
+                def builder(spark, sf_dir):
+                    return _helper(_CUT)
+                """))
+        linecache.clearcache()
+
+    sys.path.insert(0, root)
+    try:
+        write_module("x + 1", 7)
+        mod = importlib.import_module(mod_name)
+        spec = R.QuerySpec(name="q_helper", build=mod.builder, oracle="SELECT 1")
+        h_orig = R.plan_hash(spec)
+        builder_src_orig = R._fn_source(mod.builder)
+
+        # 1) helper body edit — builder source identical, hash must move
+        write_module("x + 2", 7)
+        mod = importlib.reload(mod)
+        spec = R.QuerySpec(name="q_helper", build=mod.builder, oracle="SELECT 1")
+        assert R._fn_source(mod.builder) == builder_src_orig
+        h_helper_edit = R.plan_hash(spec)
+        assert h_helper_edit != h_orig, "helper edit must change plan_hash"
+
+        # 2) constant edit — also semantic, also must move
+        write_module("x + 2", 8)
+        mod = importlib.reload(mod)
+        spec = R.QuerySpec(name="q_helper", build=mod.builder, oracle="SELECT 1")
+        h_const_edit = R.plan_hash(spec)
+        assert h_const_edit != h_helper_edit, "constant edit must change plan_hash"
+
+        # 3) driver_order: the ledger still holds the pre-edit hash, so
+        # the caller re-enters tier 1 ahead of an ordinary green
+        green_hash = R.plan_hash(REGISTRY["fact_build"])
+        reg = {"q_helper": spec, "q_green": REGISTRY["fact_build"]}
+        hist = {"q_helper": 5, "q_green": 1}  # helper green is NEWER
+        state = {
+            "q_helper": {"hash": h_orig, "since": 0},
+            "q_green": {"hash": green_hash, "since": 0},
+        }
+        order = R.driver_order(reg, history=hist, state=state)
+        assert order.index("q_helper") < order.index("q_green"), (
+            "stale-helper green must re-tier ahead of ordinary rotation"
+        )
+    finally:
+        sys.path.remove(root)
+        sys.modules.pop(mod_name, None)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def test_plan_hashes_ledger_current():

@@ -62,13 +62,48 @@ CAP_BEARING = [
     "rag_pipeline_e2e",  # round-11: per-cell IVF truncation cap
 ]
 
-# Oracles that are QUADRATIC in the corpus (uncapped pairwise DuckDB
-# joins, by design — they are ground-truth evaluators). At 10x they run
-# for hours inside one C call the SIGALRM budget cannot interrupt, so
-# --10x --all runs their SPARK side only and reports them as
-# oracle-excluded (both are long-window oracle-proven at sf0.1:
-# lsh_recall_eval 755 s, jaccard_prefix_filter_join 669 s, round 11).
-ORACLE_QUADRATIC_10X = {"jaccard_prefix_filter_join", "lsh_recall_eval"}
+# Ground-truth evaluators whose oracles deliberately do naive
+# all-pairs verification over DISTINCT texts (the round-12 exact-dup
+# collapse removed the clone-quadratic blowup — VERDICT r11 item 5 —
+# but the distinct-text pair join is still the honest quadratic cost
+# of an exact ground truth: 669-755 s at sf0.1 scale). They get a
+# budget MULTIPLIER instead of an exclusion, so --10x --all verifies
+# them fully and reports zero oracle-excluded rows.
+LONG_BUDGET = {"jaccard_prefix_filter_join": 4, "lsh_recall_eval": 4}
+
+# Results too large for the pandas/repr comparator (tens of millions of
+# rows: toPandas + python-tuple canonicalization dominates and OOMs the
+# sweep long before the oracle does). Compared EXACTLY — same multiset-
+# equality contract — via Arrow + DuckDB EXCEPT ALL in both directions
+# (C++-side, no row-at-a-time Python). Not a comparator loosening: the
+# check is still bitwise row-multiset equality plus a row-count match.
+EXCEPT_ALL_COMPARE = {"unpivot_lineitem_measures"}
+
+
+def _compare_except_all(spark_df, con, sql: str) -> None:
+    """Exact multiset compare for huge results: count parity + empty
+    EXCEPT ALL diff in both directions, computed inside DuckDB over the
+    Arrow-exported Spark result. NaN-free results only (EXCEPT treats
+    NaN as non-equal) — the registered users are plain numeric."""
+    tbl = spark_df.toArrow()
+    cols = ", ".join(f'"{c}"' for c in sorted(tbl.column_names))
+    con.register("_spark_res", tbl)
+    try:
+        n_spark = con.execute("SELECT COUNT(*) FROM _spark_res").fetchone()[0]
+        n_oracle = con.execute(
+            f"SELECT COUNT(*) FROM ({sql}) t"
+        ).fetchone()[0]
+        assert n_spark == n_oracle, f"row count: spark={n_spark} oracle={n_oracle}"
+        for a, b in (
+            (f"SELECT {cols} FROM _spark_res", f"SELECT {cols} FROM ({sql}) t"),
+            (f"SELECT {cols} FROM ({sql}) t", f"SELECT {cols} FROM _spark_res"),
+        ):
+            d = con.execute(
+                f"SELECT COUNT(*) FROM (({a}) EXCEPT ALL ({b})) x"
+            ).fetchone()[0]
+            assert d == 0, f"value mismatch: {d} rows differ ({a[:40]}...)"
+    finally:
+        con.unregister("_spark_res")
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -144,14 +179,14 @@ def main() -> int:
     failed: list[tuple[str, str]] = []
     for name, spec in reg.items():
         t0 = time.time()
-        signal.alarm(budget)
+        signal.alarm(budget * LONG_BUDGET.get(name, 1))
         try:
-            if spec.oracle is None or (ten_x and name in ORACLE_QUADRATIC_10X):
+            if spec.oracle is None:
                 assert spec.build(spark, sf).count() >= 0
-                if spec.oracle is None:
-                    rows_only += 1
-                else:
-                    oracle_excluded += 1
+                rows_only += 1
+            elif name in EXCEPT_ALL_COMPARE:
+                _compare_except_all(spec.build(spark, sf), duck, spec.oracle)
+                ok += 1
             else:
                 compare(spec.build(spark, sf), duck, spec.oracle)
                 ok += 1
