@@ -157,6 +157,24 @@ def _int_off_by_one(df):
     return df.withColumn(c, (F.col(c) + F.lit(1)).cast(dict(df.dtypes)[c]))
 
 
+def _money_text_tail_bump(df):
+    """The decimal-text analog of _ulp_drift (round 12: money sums are
+    emitted as exact DECIMAL text, not DOUBLE): a wrong accumulator
+    changes trailing digits first, so bump the last digit of the money
+    column and the repr-exact gate must fire."""
+    for c in ("gross", "sum_charge"):
+        if c in df.columns:
+            break
+    else:
+        raise AssertionError(f"no money-text column in {df.columns}")
+    last = F.substring(F.col(c), -1, 1)
+    repl = F.when(last == "9", F.lit("8")).otherwise(F.lit("9"))
+    return df.withColumn(
+        c,
+        F.concat(F.expr(f"substring({c}, 1, length({c}) - 1)"), repl),
+    )
+
+
 def _cross_row_value_swap(df):
     """Swap a column's min and max values between rows: every PER-COLUMN
     multiset is preserved, only row tuples change — a column-wise
@@ -242,6 +260,15 @@ RESULT_MUTATIONS = [
     ("sequential_test_readout", _int_off_by_one),
     ("forecast_backtest_mase", _ulp_drift),
     ("ucb1_allocation", _rename_column),
+    # round-12: the decimal-text money emit (both queries), the
+    # boundary-scored RFM rewrite, the distributed round-robin rank,
+    # and the collapsed prefix-filter oracle must all still be
+    # constrained by their gates
+    ("tpch_q1_pricing_summary", _money_text_tail_bump),
+    ("revenue_decomposition_reconcile", _money_text_tail_bump),
+    ("rfm_segmentation", _drop_one_row),
+    ("shard_round_robin", _int_off_by_one),
+    ("jaccard_prefix_filter_join", _drop_one_row),
 ]
 
 
