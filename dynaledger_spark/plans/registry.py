@@ -199,6 +199,20 @@ def plan_closure_sources(spec: QuerySpec) -> dict[str, str]:
             if not (obj.__module__ or "").startswith(_PKG_PREFIX):
                 continue
             out[_key(obj)] = _fn_source(obj)
+            # default-arg helpers and closure cells (factory-made
+            # builders) are references co_names cannot see
+            for d in (obj.__defaults__ or ()) + tuple(
+                (obj.__kwdefaults__ or {}).values()
+            ):
+                if callable(d) or isinstance(d, type):
+                    work.append(d)
+            for cell in obj.__closure__ or ():
+                try:
+                    v = cell.cell_contents
+                except ValueError:  # empty cell
+                    continue
+                if callable(v) or isinstance(v, type):
+                    work.append(v)
             names, _ = _names_and_codes(obj.__code__)
             # namespaces to resolve against: the function's globals plus
             # every repo-local module named by a body-local import
