@@ -263,6 +263,12 @@ def plan_closure_sources(spec: QuerySpec) -> dict[str, str]:
                 v = vars(obj)[attr]
                 if isinstance(v, (types.FunctionType, staticmethod, classmethod)):
                     work.append(getattr(v, "__func__", v))
+    if work:
+        # Budget exhausted with objects unvisited = UNDER-hashing — the
+        # non-conservative miss direction this function exists to close.
+        # Record it in the blob (so the hash still moves as the tail
+        # moves) and let test_plan_closures_never_truncate fail loudly.
+        out["__TRUNCATED__"] = repr(sorted(_key(o) for o in work))
     return out
 
 

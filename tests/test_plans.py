@@ -978,6 +978,24 @@ def test_plan_closure_includes_shared_helpers():
     assert "dynaledger_spark.plans.queries_retrieval._RAG_CELL_CAP" in cs2
 
 
+def test_plan_closures_never_truncate():
+    """The closure walker's runaway budget (400 objects) must never
+    engage on a real registry entry — truncation would under-hash the
+    plan, the exact miss direction the closure exists to close. The
+    walker records a __TRUNCATED__ marker when it happens; no entry may
+    carry one."""
+    from dynaledger_spark.plans import registry as R
+
+    truncated = sorted(
+        n for n, s in REGISTRY.items()
+        if "__TRUNCATED__" in R.plan_closure_sources(s)
+    )
+    assert not truncated, (
+        f"closure budget exhausted for {truncated[:5]} — raise the budget "
+        "in plan_closure_sources (their hashes are under-covering)"
+    )
+
+
 def test_helper_edit_retiers_callers():
     """ADVICE r11 item 1 (end-to-end): editing a SHARED HELPER a builder
     calls — or a module-level constant it reads — must change the
