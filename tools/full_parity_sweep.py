@@ -81,14 +81,25 @@ EXCEPT_ALL_COMPARE = {"unpivot_lineitem_measures"}
 
 
 def _compare_except_all(spark_df, con, sql: str) -> None:
-    """Exact multiset compare for huge results: count parity + empty
-    EXCEPT ALL diff in both directions, computed inside DuckDB over the
+    """Exact multiset compare for huge results: column-type parity
+    (both sides described by DuckDB itself, so set-op coercion cannot
+    mask an int-vs-string mismatch), count parity, and empty EXCEPT ALL
+    diff in both directions, computed inside DuckDB over the
     Arrow-exported Spark result. NaN-free results only (EXCEPT treats
     NaN as non-equal) — the registered users are plain numeric."""
     tbl = spark_df.toArrow()
     cols = ", ".join(f'"{c}"' for c in sorted(tbl.column_names))
     con.register("_spark_res", tbl)
+
+    def _types(src: str) -> list[tuple[str, str]]:
+        rows = con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
+        return sorted((r[0], r[1]) for r in rows)
+
     try:
+        t_spark, t_oracle = _types("_spark_res"), _types(f"({sql}) t")
+        assert t_spark == t_oracle, (
+            f"column/type mismatch: spark={t_spark} oracle={t_oracle}"
+        )
         n_spark = con.execute("SELECT COUNT(*) FROM _spark_res").fetchone()[0]
         n_oracle = con.execute(
             f"SELECT COUNT(*) FROM ({sql}) t"
