@@ -232,6 +232,16 @@ def plan_closure_sources(spec: QuerySpec) -> dict[str, str]:
                         except ImportError:
                             continue
                     spaces.append((n, vars(sys.modules[n])))
+            # module-valued globals (`from dynaledger_spark.plans import
+            # cache` then `cache.helper(...)`): the attribute name is in
+            # co_names but only resolves inside the module's namespace.
+            for n in sorted(names):
+                for _, ns in list(spaces):
+                    v = ns.get(n)
+                    if isinstance(v, types.ModuleType) and (
+                        v.__name__ or ""
+                    ).startswith(_PKG_PREFIX):
+                        spaces.append((v.__name__, vars(v)))
             const_types = (
                 str, bytes, int, float, bool, tuple, list, dict, frozenset, set
             )
