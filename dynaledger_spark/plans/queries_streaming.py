@@ -223,9 +223,9 @@ def stream_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, gold, ckpt,
             keys=["user_id"], order_col="ts", tiebreak_col="event_id",
         )
-    import os
+    from dynaledger_spark.streaming.ingest import is_dir_table
 
-    if not os.path.isdir(gold):
+    if not is_dir_table(spark, gold):
         # empty input: no microbatch ever merged, so no gold table was
         # materialized — the latest-per-key of nothing is the typed
         # empty table (oracle yields 0 rows too)

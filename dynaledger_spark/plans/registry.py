@@ -146,6 +146,57 @@ def _fn_source(fn) -> str:
         return code.co_code.hex() if code is not None else repr(fn)
 
 
+def _stable_render(val, _depth: int = 0) -> str:
+    """Deterministic rendering of a module-level value for closure
+    hashing. Two hazards this exists to close (VERDICT r12 item 2 +
+    ADVICE r12): (1) a set nested inside a tuple/list/dict reprs in
+    hash-randomized order, so a naive repr would make plan_hash flap
+    across processes; (2) default object repr carries a memory address.
+    Rules: primitives repr as-is; containers recurse (dict in insertion
+    order — source-determined); sets at ANY depth render as their
+    elements SORTED in list syntax (byte-identical to the previous
+    top-level `repr(sorted(val, key=repr))` for primitive sets, so no
+    ledger churn); compiled regexes render their pattern; callables,
+    classes and modules render as a dotted-name REFERENCE (the referent
+    is hashed separately iff repo-local); anything whose repr still
+    carries an address renders as a loud __UNHASHED__ marker keyed by
+    type — stable, greppable, and it still moves the hash if the
+    value's TYPE moves."""
+    import types
+
+    if _depth > 8:
+        return "__DEPTH__"
+    if isinstance(val, (str, bytes, int, float, bool, complex, type(None))):
+        return repr(val)
+    if isinstance(val, (set, frozenset)):
+        return "[%s]" % ", ".join(
+            sorted(_stable_render(x, _depth + 1) for x in val)
+        )
+    if isinstance(val, tuple):
+        inner = [_stable_render(x, _depth + 1) for x in val]
+        return "(%s,)" % inner[0] if len(inner) == 1 else "(%s)" % ", ".join(inner)
+    if isinstance(val, list):
+        return "[%s]" % ", ".join(_stable_render(x, _depth + 1) for x in val)
+    if isinstance(val, dict):
+        return "{%s}" % ", ".join(
+            f"{_stable_render(k, _depth + 1)}: {_stable_render(v, _depth + 1)}"
+            for k, v in val.items()
+        )
+    if hasattr(val, "pattern") and hasattr(val, "fullmatch"):
+        return repr(val.pattern)
+    if isinstance(
+        val,
+        (types.FunctionType, types.BuiltinFunctionType, type, types.ModuleType),
+    ):
+        mod = getattr(val, "__module__", "") or getattr(val, "__name__", "")
+        qn = getattr(val, "__qualname__", getattr(val, "__name__", "?"))
+        return f"<{mod}.{qn}>"
+    r = repr(val)
+    if " at 0x" in r:
+        return f"__UNHASHED__:<{type(val).__module__}.{type(val).__qualname__}>"
+    return r
+
+
 def plan_closure_sources(spec: QuerySpec) -> dict[str, str]:
     """The static closure of repo-local definitions a builder's result
     depends on: the builder's own source plus — transitively — the
@@ -242,9 +293,6 @@ def plan_closure_sources(spec: QuerySpec) -> dict[str, str]:
                         v.__name__ or ""
                     ).startswith(_PKG_PREFIX):
                         spaces.append((v.__name__, vars(v)))
-            const_types = (
-                str, bytes, int, float, bool, tuple, list, dict, frozenset, set
-            )
             for n in sorted(names):
                 for mod_name, ns in spaces:
                     if n not in ns:
@@ -257,16 +305,31 @@ def plan_closure_sources(spec: QuerySpec) -> dict[str, str]:
                         work.append(val)
                     elif isinstance(val, type) and vmod.startswith(_PKG_PREFIX):
                         work.append(val)
-                    elif isinstance(val, (set, frozenset)):
-                        # hash-order repr is process-randomized — sort
-                        out[f"{mod_name}.{n}"] = repr(sorted(val, key=repr))
-                    elif isinstance(val, const_types):
-                        # module-level constant (own module or a
-                        # body-local-imported repo module)
-                        out[f"{mod_name}.{n}"] = repr(val)
-                    elif hasattr(val, "pattern") and hasattr(val, "fullmatch"):
-                        # module-level compiled regex
-                        out[f"{mod_name}.{n}"] = repr(val.pattern)
+                    elif isinstance(
+                        val,
+                        (
+                            types.FunctionType,
+                            types.BuiltinFunctionType,
+                            type,
+                            types.ModuleType,
+                        ),
+                    ):
+                        # external callable/class/module: a stable
+                        # REFERENCE to code we deliberately don't hash
+                        # (pyspark is pinned; repo modules were already
+                        # expanded into `spaces` above)
+                        pass
+                    else:
+                        # ANY other module-level value — primitive,
+                        # container, regex, or an arbitrary object (a
+                        # StructType schema constant, a Column expr):
+                        # hash a deterministic rendering rather than
+                        # silently omitting it. Under-approximation is
+                        # the bug this walker exists to close (VERDICT
+                        # r12 item 2); _stable_render is byte-identical
+                        # to the previous primitive/set/regex renderings
+                        # so recognized cases don't churn the ledger.
+                        out[f"{mod_name}.{n}"] = _stable_render(val)
         elif isinstance(obj, type):
             out[_key(obj)] = _fn_source(obj)
             for attr in sorted(vars(obj)):

@@ -66,3 +66,18 @@ def test_compact_refuses_in_place(spark, shattered):
 
     with _pytest.raises(ValueError, match="in place"):
         compact(spark, str(shattered), str(shattered), target_rows_per_file=1000)
+
+
+def test_compact_sizes_source_through_fs_api(spark, shattered, tmp_path):
+    """Object-store-shaped regression (VERDICT r12): the sizing pass
+    must count source files via the Hadoop FileSystem, not os.listdir —
+    with a scheme-qualified path the old local check saw 'not a dir'
+    and reported files_before=1 for a 64-file table."""
+    dest = str(tmp_path / "compacted_uri")
+    stats = compact(
+        spark, "file://" + shattered, "file://" + dest, target_rows_per_file=1000
+    )
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == len(
+        [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    )

@@ -978,6 +978,87 @@ def test_plan_closure_includes_shared_helpers():
     assert "dynaledger_spark.plans.queries_retrieval._RAG_CELL_CAP" in cs2
 
 
+def test_schema_constant_edit_moves_plan_hash():
+    """VERDICT r12 item 2 (done-criterion): a module-level value that is
+    neither function/class/primitive/set/regex — a StructType schema
+    constant is the canonical case — must be part of the closure, so
+    editing the schema re-tiers every builder that references it. The
+    old walker silently omitted such values (under-approximation, the
+    miss direction the closure exists to close)."""
+    import importlib
+    import linecache
+    import shutil
+    import sys
+    import tempfile
+    import textwrap
+
+    from dynaledger_spark.plans import registry as R
+
+    root = tempfile.mkdtemp(prefix="dl_schema_probe_")
+    mod_name = "dynaledger_spark_tmp_schema_probe"  # prefix-matched repo-local
+    path = f"{root}/{mod_name}.py"
+
+    def write_module(extra_field: str) -> None:
+        with open(path, "w") as fh:
+            fh.write(textwrap.dedent(f"""
+                from pyspark.sql import types as T
+
+                SCHEMA = T.StructType([
+                    T.StructField("a", T.LongType()),{extra_field}
+                ])
+
+                def builder(spark, sf_dir):
+                    return spark.createDataFrame([], SCHEMA)
+                """))
+        linecache.clearcache()
+
+    sys.path.insert(0, root)
+    try:
+        write_module("")
+        mod = importlib.import_module(mod_name)
+        spec = R.QuerySpec(name="q_schema", build=mod.builder, oracle="SELECT 1")
+        cs = R.plan_closure_sources(spec)
+        assert f"{mod_name}.SCHEMA" in cs, "StructType constant must be captured"
+        assert "StructField('a'" in cs[f"{mod_name}.SCHEMA"]
+        h_orig = R.plan_hash(spec)
+        builder_src = R._fn_source(mod.builder)
+
+        # schema edit — builder source byte-identical, hash must move
+        write_module(' T.StructField("b", T.StringType()),')
+        mod = importlib.reload(mod)
+        spec = R.QuerySpec(name="q_schema", build=mod.builder, oracle="SELECT 1")
+        assert R._fn_source(mod.builder) == builder_src
+        assert R.plan_hash(spec) != h_orig, "schema edit must change plan_hash"
+    finally:
+        sys.path.remove(root)
+        sys.modules.pop(mod_name, None)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stable_render_is_canonical():
+    """ADVICE r12: nested sets repr in hash-randomized order and objects
+    in containers repr with memory addresses — either would make
+    plan_hash flap across processes. _stable_render must sort sets at
+    any depth, render callables as dotted references, and replace
+    address-bearing reprs with a typed __UNHASHED__ marker."""
+    from dynaledger_spark.plans import registry as R
+
+    # set nested in a tuple: order-independent, sorted
+    assert R._stable_render(({3, 1, 2}, "x")) == R._stable_render(({2, 3, 1}, "x"))
+    assert R._stable_render({1, 2}) == repr(sorted({1, 2}, key=repr))  # no churn
+    # callables/classes/modules render as dotted references, not reprs
+    import math
+    assert "0x" not in R._stable_render((math.sqrt, int, math))
+    # default-repr object inside a dict: loud typed marker, no address
+    class _Opaque:  # noqa: N801
+        pass
+    rendered = R._stable_render({"k": _Opaque()})
+    assert "__UNHASHED__" in rendered and " at 0x" not in rendered
+    # pure-literal containers are byte-identical to repr (ledger no-churn)
+    for v in [(1, "a", 2.5), [1, [2, 3]], {"a": (1,)}, (7,), (), b"x", None]:
+        assert R._stable_render(v) == repr(v), v
+
+
 def test_plan_closures_never_truncate():
     """The closure walker's runaway budget (400 objects) must never
     engage on a real registry entry — truncation would under-hash the

@@ -300,3 +300,33 @@ def test_events_stream_reads_directory_layout_tables(spark, landing):
         stream.select("event_id"), "dir_layout_probe", output_mode="append"
     )
     assert sorted(r.event_id for r in out.collect()) == list(range(6))
+
+
+def test_fs_helpers_resolve_scheme_paths(spark, landing):
+    """Object-store-shaped regression (VERDICT r12): is_dir_table and
+    list_table_files must resolve through the Hadoop FileSystem chosen
+    by the path's OWN scheme. A `file://` URI is the cheapest such
+    path — `os.path.isdir('file:/...')` is False, so the old local-disk
+    check would misclassify every scheme-qualified directory table."""
+    import os
+
+    from dynaledger_spark.streaming.ingest import is_dir_table, list_table_files
+
+    rows = [_ev(i, i, 1, float(i)) for i in range(4)]
+    tbl = os.path.join(landing, "scheme_probe.parquet")
+    spark.createDataFrame(rows, EVENT_DDL).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(tbl)
+    uri = "file://" + tbl
+    assert not os.path.isdir(uri)  # the failure mode being guarded
+    assert is_dir_table(spark, uri)
+    files = list_table_files(spark, uri)
+    assert files and all(f.endswith(".parquet") for f in files)
+    # same listing as the local view of the same directory
+    assert files == sorted(
+        f for f in os.listdir(tbl) if f.endswith(".parquet")
+    )
+    # single-file (non-directory) tables: [path] iff suffix matches
+    one = os.path.join(tbl, files[0])
+    assert list_table_files(spark, "file://" + one) == ["file://" + one]
+    assert not is_dir_table(spark, "file://" + one)

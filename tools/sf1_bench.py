@@ -11,7 +11,11 @@ scan-bound queries land near the I/O ratio).
 Run: python tools/sf1_bench.py          (headline + TPC-H; ~10 min)
      python tools/sf1_bench.py --all    (FULL registry; ~45-90 min)
      python tools/sf1_bench.py q1 q2    (named queries only)
-Results are transcribed into BASELINE.md ("sf1" section).
+     python tools/sf1_bench.py --mult 100 [names...]
+         clean-100x ("sf10": ~60M lineitem / 20M events / 5M docs /
+         200k embeddings) — the VERDICT r12 item-1 datapoint; bar is
+         ratio <= 2x rows = 200
+Results are transcribed into BASELINE.md ("sf1" / "sf10" sections).
 """
 
 from __future__ import annotations
@@ -30,13 +34,19 @@ from tools.scale_probe import SF1, build_probe
 
 
 def main() -> None:
+    argv = sys.argv[1:]
+    mult = 10
+    if "--mult" in argv:
+        i = argv.index("--mult")
+        mult = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     spark = get_spark("sf1_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     reg = load_all()
-    if sys.argv[1:] == ["--all"]:
+    if argv == ["--all"]:
         names = sorted(reg)
     else:
-        names = sys.argv[1:] or (
+        names = argv or (
             [n for n, s in reg.items() if s.headline]
             + sorted(n for n in reg if n.startswith("tpch_"))
         )
@@ -44,9 +54,9 @@ def main() -> None:
     if bad:
         sys.exit(f"sf1_bench: unrecognized query names: {bad}")
 
-    dest = tempfile.mkdtemp(prefix="dl_sf1_")
+    dest = tempfile.mkdtemp(prefix=f"dl_sf{mult // 10}_")
     try:
-        build_probe(spark, dest, mult=10, skew=False)
+        build_probe(spark, dest, mult=mult, skew=False)
 
         def run(sf_dir: str) -> dict[str, float]:
             out = {}
@@ -77,7 +87,8 @@ def main() -> None:
 
         base = run(SF1)
         big = run(dest)
-        print(f"\n{'query':38s} {'sf0.1':>7s} {'sf1':>8s} {'ratio':>6s}")
+        bar = 2 * mult
+        print(f"\n{'query':38s} {'sf0.1':>7s} {f'{mult}x':>8s} {'ratio':>6s}")
         worst = 0.0
         fams: dict[str, list[float]] = {}
         for name in names:
@@ -87,13 +98,16 @@ def main() -> None:
             r = big[name] / base[name]
             worst = max(worst, r)
             fams.setdefault(reg[name].build.__module__.rsplit(".", 1)[-1], []).append(r)
-            flag = "  <-- over 20x row-scaled bar" if r > 20 else ""
+            flag = f"  <-- over {bar}x row-scaled bar" if r > bar else ""
             print(f"{name:38s} {base[name]:7.2f} {big[name]:8.2f} {r:6.1f}{flag}")
         print(f"\nper-family ratios (n, median, max):")
         for fam in sorted(fams):
             rs = sorted(fams[fam])
             print(f"  {fam:24s} n={len(rs):3d}  med={rs[len(rs)//2]:5.1f}  max={rs[-1]:5.1f}")
-        print(f"\nworst ratio: {worst:.1f}x (bar: 20x = 2x per-row floor at 10x rows)")
+        print(
+            f"\nworst ratio: {worst:.1f}x "
+            f"(bar: {bar}x = 2x per-row floor at {mult}x rows)"
+        )
     finally:
         shutil.rmtree(dest, ignore_errors=True)
         spark.stop()
