@@ -49,6 +49,7 @@ def minhash_signatures(
     n_hashes: int = 128,
     shingle_k: int = 3,
     seed: int = 42,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, shingles, sig: array<bigint>[n_hashes]) per document.
 
@@ -85,9 +86,12 @@ def minhash_signatures(
         docs.select(
             F.col(id_col).alias("id"),
             _shingles(F.col(text_col), shingle_k).alias("_shingles"),
+            *[F.col(c) for c in keep_cols],
         )
         .withColumn("_base", base)
-        .select("id", F.col("_shingles").alias("shingles"), sig.alias("sig"))
+        .select(
+            "id", F.col("_shingles").alias("shingles"), sig.alias("sig"), *keep_cols
+        )
     )
 
 
@@ -95,6 +99,7 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     n_bands: int = 32,
     max_bucket_size: int = 1000,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -117,11 +122,28 @@ def lsh_candidate_pairs(
         sorter and are discarded; they never enter an aggregation buffer
         as one giant unspillable array. The groupBy reuses the window's
         hash partitioning, so the pre-filter adds a sort but no shuffle.
+
+    `weights` (optional (id, _w)) makes the size gate CLONE-WEIGHTED —
+    see _surviving_bucket_rows; used by near_duplicates' exact-dup
+    collapse so cap engagement matches the uncollapsed plan exactly.
     """
-    from pyspark.sql.window import Window
+    return _bucket_pairs(
+        _surviving_bucket_rows(
+            _lsh_banded(sigs, n_bands), max_bucket_size, weights=weights
+        )
+    )
+
+
+def _lsh_banded(
+    sigs: DataFrame, n_bands: int, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, band, band_hash) — one row per signature per band.
+    `keep_cols` rides extra (small) columns along, e.g. the clone
+    weight the collapsed plan's bucket gate sums."""
     rows_per_band = F.floor(F.size("sig") / n_bands).cast("int")
-    banded = sigs.select(
+    return sigs.select(
         "id",
+        *[F.col(c) for c in keep_cols],
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -129,15 +151,48 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
-    buckets = (
+
+
+def _surviving_bucket_rows(
+    banded: DataFrame,
+    max_bucket_size: int,
+    weights: DataFrame | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Banded rows whose bucket passes the [2, max_bucket_size] size
+    gate. Without weights each row counts 1 (the classic shape). With
+    `weights` — (id, _w) — or `weight_col` — a weight column already ON
+    the banded rows, saving the join — a bucket's size is its
+    CLONE-WEIGHTED row count, i.e. exactly the row count the
+    uncollapsed plan would have seen, so cap engagement (which buckets
+    drop) is bit-identical to the pre-collapse plan at every scale.
+    The weight column is kept on the output (near_duplicates' alive-rep
+    filter reads it); _bucket_pairs ignores it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "band_hash")
+    if weight_col is not None:
+        bucket_n = F.sum(weight_col).over(w)
+    elif weights is None:
+        bucket_n = F.count(F.lit(1)).over(w)
+    else:
+        banded = banded.join(weights, "id")
+        bucket_n = F.sum("_w").over(w)
+    return (
         banded.withColumn("_n", bucket_n)
         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
-        .groupBy("band", "band_hash")
+        .drop("_n")
+    )
+
+
+def _bucket_pairs(survivors: DataFrame) -> DataFrame:
+    """Upper-triangle pairs per surviving bucket, generated
+    bucket-locally (array expressions), deduped across bands."""
+    buckets = (
+        survivors.groupBy("band", "band_hash")
         .agg(F.collect_list("id").alias("_ids"))
         .select(F.array_sort("_ids").alias("_ids"))
     )
-    # upper-triangle pairs per bucket, generated bucket-locally:
     # for each position i, pair ids[i] with every later element.
     pair_structs = F.flatten(
         F.transform(
@@ -180,12 +235,38 @@ def near_duplicates(
     n_bands: int = 32,
     seed: int = 42,
     materialize: bool = False,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard confirmation ≥ threshold.
 
-    The signature table feeds four plan branches (banding, bucket sizes,
-    and both sides of the verification join) — without materialization
-    the 128-permutation signature pass would recompute each time, so it
+    EXACT-DUP COLLAPSE (round 13): signatures, banding and Jaccard
+    verification run once per DISTINCT text — docs first group by
+    md5(text), the group's min id becomes the representative, and rep-
+    level results expand back to doc-id pairs at the end. Without this,
+    clone-heavy corpora cost quadratically in clone multiplicity: every
+    clone recomputed the 128-hash signature, and every clone PAIR
+    recomputed the same array_intersect (the clean-100x probe measured
+    269.8 s / 170.7x on minhash_lsh_pairs — each of the 5k distinct
+    texts had 100 clones, so each verified pair was re-verified 10,000
+    times; post-collapse the verification count is clone-independent).
+    Output is bit-identical to the uncollapsed plan in EVERY regime:
+      * bucket caps are clone-WEIGHTED (_surviving_bucket_rows), so the
+        set of dropped buckets — including the degenerate-clone-cluster
+        drop the 10x+skew probe relies on — is unchanged;
+      * within-group pairs (clones of one text, jaccard exactly 1.0)
+        emit iff the group's bucket survives in ≥1 band, which is the
+        uncollapsed plan's condition (identical sigs share all bands);
+      * cross-group pairs expand to all member combinations with the
+        group pair's (once-computed) jaccard.
+    The expansion output is still quadratic in clone count — that IS
+    the pair-emission contract; at 100 TB emit clusters instead
+    (dedup_clusters / dedup_keep_best).
+
+    The signature table (which also carries each distinct text's member
+    ids and clone weight) feeds five plan branches (banding+weights,
+    both sides of the verification join, the expansion joins, the
+    within-group triangle) — without materialization the
+    128-permutation signature pass would recompute each time, so it
     is persisted here. With ``materialize=True`` the (small) pair result
     is computed eagerly and the signature cache released immediately —
     ONLY use when the caller will fire several separate actions against
@@ -198,10 +279,87 @@ def near_duplicates(
     """
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures(docs, text_col, id_col, n_hashes=n_hashes, seed=seed)
+    groups = (
+        docs.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_h")
+        )
+        .groupBy("_h")
+        .agg(
+            F.min("id").alias("_rep"),
+            F.sort_array(F.collect_list("id")).alias("_members"),
+            F.count(F.lit(1)).alias("_w"),
+        )
+        .drop("_h")
+    )
+    # ONE persisted table carries signature + shingles + group members +
+    # clone weight per distinct text: the weight rides the banding
+    # projection (no join against a separate weights table) and the
+    # member arrays are read back by the expansion joins from cache.
+    rep_docs = docs.join(
+        groups.select(F.col("_rep").alias(id_col), "_members", "_w"), id_col
+    )
+    sigs = minhash_signatures(
+        rep_docs, text_col, id_col, n_hashes=n_hashes, seed=seed,
+        keep_cols=("_members", "_w"),
+    )
     sigs = tracked_persist(sigs, StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(sigs, n_bands=n_bands)
-    out = exact_jaccard(cands, sigs).filter(F.col("jaccard") >= threshold)
+    survivors = _surviving_bucket_rows(
+        _lsh_banded(sigs, n_bands, keep_cols=("_w",)),
+        max_bucket_size=max_bucket_size,
+        weight_col="_w",
+    )
+    rep_pairs = exact_jaccard(_bucket_pairs(survivors), sigs).filter(
+        F.col("jaccard") >= threshold
+    )
+    members = sigs.select("id", "_members")
+    cross = (
+        rep_pairs.join(
+            members.select(
+                F.col("id").alias("id_a"), F.col("_members").alias("_ma")
+            ),
+            "id_a",
+        )
+        .join(
+            members.select(
+                F.col("id").alias("id_b"), F.col("_members").alias("_mb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ma",
+                        lambda x: F.transform(
+                            F.col("_mb"),
+                            lambda y: F.struct(
+                                F.least(x, y).alias("id_a"),
+                                F.greatest(x, y).alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("_p"),
+            "jaccard",
+        )
+        .select("_p.id_a", "_p.id_b", "jaccard")
+    )
+    tri = F.flatten(
+        F.transform(
+            "_members",
+            lambda x, i: F.transform(
+                F.slice(F.col("_members"), i + 2, F.size(F.col("_members"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    alive = survivors.filter(F.col("_w") >= 2).select("id").distinct()
+    within = (
+        sigs.join(alive, "id", "left_semi")
+        .select(F.explode(tri).alias("_p"))
+        .select("_p.id_a", "_p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    out = cross.unionByName(within) if threshold <= 1.0 else cross
     if materialize:
         out = out.localCheckpoint(eager=True)
         sigs.unpersist()

@@ -80,6 +80,43 @@ def test_simhash_hamming_clusters(corpus):
     assert (0, 3) not in pairs
 
 
+def test_near_dup_collapse_output_identical(spark):
+    """Round-13 exact-dup collapse: near_duplicates computes signatures/
+    banding/Jaccard per DISTINCT text and expands group results back —
+    output must be bit-identical to the uncollapsed composition of the
+    primitive ops in BOTH cap regimes. The clone-weighted bucket cap is
+    the load-bearing piece: a 50-clone group under cap=30 must drop in
+    both plans (its banded rows exceed the cap in the uncollapsed plan;
+    its WEIGHT exceeds it post-collapse), while under cap=1000 both
+    emit all C(50,2) within-group pairs at jaccard exactly 1.0."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then naps in "
+        "the warm sun near the barn"
+    )
+    rows = [(i, base) for i in range(50)]
+    rows += [(100 + i, base.replace("lazy", f"sleepy{i % 2}")) for i in range(4)]
+    rows += [(200, "completely unrelated text about columnar storage "
+                   "engines and vectorized execution")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    def old_plan(cap):
+        sigs = minhash_signatures(docs)
+        cands = lsh_candidate_pairs(sigs, max_bucket_size=cap)
+        return exact_jaccard(cands, sigs).filter(F.col("jaccard") >= 0.5)
+
+    def canon(df):
+        return sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+
+    for cap in (30, 1000):
+        old = canon(old_plan(cap))
+        new = canon(near_duplicates(docs, threshold=0.5, max_bucket_size=cap))
+        assert old == new, f"cap={cap}: collapse changed the output"
+    capped = canon(near_duplicates(docs, threshold=0.5, max_bucket_size=30))
+    assert not any(a < 50 and b < 50 for a, b, _ in capped)  # group dropped
+    uncapped = canon(near_duplicates(docs, threshold=0.5, max_bucket_size=1000))
+    assert sum(1 for a, b, j in uncapped if a < 50 and b < 50 and j == 1.0) == 1225
+
+
 def test_cosine_topk_exact(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

@@ -14,6 +14,8 @@ BigDecimal round disagree. Run once per round after registry changes:
     python tools/full_parity_sweep.py [sf_dir] [budget_s]
     python tools/full_parity_sweep.py --10x [budget_s] [names...]
     python tools/full_parity_sweep.py --10x --all [budget_s]   # whole registry
+    python tools/full_parity_sweep.py --100x [budget_s] [names...]
+    python tools/full_parity_sweep.py --10x --dir /tmp/corpus ...
 
 --10x builds the CLEAN 10x corpus (tools/scale_probe.build_probe,
 skew=False) in a temp dir and parity-checks there — at sf1 every doc
@@ -22,6 +24,12 @@ exact-dup collapse paths actually ENGAGE (VERDICT r9 item 4's class;
 sf0.001-0.1 never exercised them for parity). Default name set = the
 33 cap/cutoff-bearing queries whose oracles mirror their caps; round-10
 run: 33/33 green.
+
+--100x is the same gate at clean-100x ("sf10": 60M lineitem / 10M
+events / 500k docs with ~100 clones each / 200k embeddings) — the
+VERDICT r12 item-1 regime, where caps that never fired at 10x first
+engage. --dir PATH reuses (or builds into) a persistent corpus dir so
+the bench, heavy-tier and parity passes share one build.
 """
 from __future__ import annotations
 
@@ -139,11 +147,22 @@ def _duck_for(path: str):
 
 
 def main() -> int:
-    ten_x = "--10x" in sys.argv[1:]
-    run_all = "--all" in sys.argv[1:]
-    args = [a for a in sys.argv[1:] if a not in ("--10x", "--all")]
+    argv = sys.argv[1:]
+    corpus_dir = None
+    if "--dir" in argv:
+        i = argv.index("--dir")
+        corpus_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    ten_x = "--10x" in argv
+    hundred_x = "--100x" in argv
+    mult = 100 if hundred_x else 10
+    ten_x = ten_x or hundred_x
+    run_all = "--all" in argv
+    args = [a for a in argv if a not in ("--10x", "--100x", "--all")]
     if ten_x:
-        budget = int(args[0]) if args and args[0].isdigit() else 420
+        budget = (
+            int(args[0]) if args and args[0].isdigit() else (420 * mult // 10)
+        )
         # --all: the ENTIRE registry at clean-10x (VERDICT r10 item 4 —
         # each new SF regime has surfaced a new divergence class);
         # budget skips are REPORTED, never silent
@@ -170,14 +189,21 @@ def main() -> int:
     reg = load_all()
     cleanup = None
     if ten_x:
+        import os
         import shutil
         import tempfile
 
         from tools.scale_probe import build_probe
 
-        sf = tempfile.mkdtemp(prefix="dl_sf1p_")
-        cleanup = lambda: shutil.rmtree(sf, ignore_errors=True)  # noqa: E731
-        build_probe(spark, sf, mult=10, skew=False)
+        if corpus_dir is not None:
+            # persistent, shareable corpus: build only if absent
+            sf = corpus_dir
+            if not os.path.exists(os.path.join(sf, "lineitem.parquet")):
+                build_probe(spark, sf, mult=mult, skew=False)
+        else:
+            sf = tempfile.mkdtemp(prefix=f"dl_sf{mult // 10}p_")
+            cleanup = lambda: shutil.rmtree(sf, ignore_errors=True)  # noqa: E731
+            build_probe(spark, sf, mult=mult, skew=False)
         if names is not None:
             reg = {n: reg[n] for n in names}
     else:

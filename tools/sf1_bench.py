@@ -40,6 +40,13 @@ def main() -> None:
         i = argv.index("--mult")
         mult = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    corpus_dir = None
+    if "--dir" in argv:
+        # persistent corpus shared with full_parity_sweep --dir: build
+        # only if absent, never delete
+        i = argv.index("--dir")
+        corpus_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     spark = get_spark("sf1_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     reg = load_all()
@@ -54,9 +61,15 @@ def main() -> None:
     if bad:
         sys.exit(f"sf1_bench: unrecognized query names: {bad}")
 
-    dest = tempfile.mkdtemp(prefix=f"dl_sf{mult // 10}_")
+    if corpus_dir is not None:
+        dest = corpus_dir
+        if not os.path.exists(os.path.join(dest, "lineitem.parquet")):
+            build_probe(spark, dest, mult=mult, skew=False)
+    else:
+        dest = tempfile.mkdtemp(prefix=f"dl_sf{mult // 10}_")
     try:
-        build_probe(spark, dest, mult=mult, skew=False)
+        if corpus_dir is None:
+            build_probe(spark, dest, mult=mult, skew=False)
 
         def run(sf_dir: str) -> dict[str, float]:
             out = {}
@@ -109,7 +122,8 @@ def main() -> None:
             f"(bar: {bar}x = 2x per-row floor at {mult}x rows)"
         )
     finally:
-        shutil.rmtree(dest, ignore_errors=True)
+        if corpus_dir is None:
+            shutil.rmtree(dest, ignore_errors=True)
         spark.stop()
 
 
