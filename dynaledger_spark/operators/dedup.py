@@ -279,13 +279,18 @@ def near_duplicates(
     """
     from pyspark import StorageLevel
 
-    groups = (
-        docs.select(
-            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_h")
-        )
-        .groupBy("_h")
+    # ONE aggregation produces the representative rows directly: group by
+    # md5(text), carry the (identical within the group) text with first()
+    # and the min id as the representative — the r13 round-1 shape
+    # (groupBy + join-back + second corpus scan) paid an extra scan and a
+    # join for the same table. first(text) is value-deterministic because
+    # the group key is md5(text): every member's text is byte-identical.
+    rep_docs = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col))
+        .groupBy(F.md5(F.col(text_col)).alias("_h"))
         .agg(
-            F.min("id").alias("_rep"),
+            F.min("id").alias(id_col),
+            F.first(text_col).alias(text_col),
             F.sort_array(F.collect_list("id")).alias("_members"),
             F.count(F.lit(1)).alias("_w"),
         )
@@ -295,9 +300,6 @@ def near_duplicates(
     # clone weight per distinct text: the weight rides the banding
     # projection (no join against a separate weights table) and the
     # member arrays are read back by the expansion joins from cache.
-    rep_docs = docs.join(
-        groups.select(F.col("_rep").alias(id_col), "_members", "_w"), id_col
-    )
     sigs = minhash_signatures(
         rep_docs, text_col, id_col, n_hashes=n_hashes, seed=seed,
         keep_cols=("_members", "_w"),

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as _np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -138,13 +139,21 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, int]:
     Treats the bytes as utf-8 text and folds codepoints — chosen so a SQL
     oracle can reproduce it exactly. Replace with PIL/soundfile parsing
     when the real libraries exist; the signature is the contract.
+
+    The codepoint fold runs vectorized: a UTF-32-LE re-encode is exactly
+    one uint32 per codepoint, so numpy sums the same integers the old
+    per-character Python loop did (guide §4.2 — this generator loop was
+    the whole decode stage's hot path: ~5-10M interpreted ops per 5k-doc
+    batch set). Codepoints are < 2^21 and docs are < 2^40 bytes, so the
+    int64 accumulator cannot overflow.
     """
     n_bytes = len(content)
     s = content.decode("utf-8", errors="replace")
     first_cp = ord(s[0]) if s else 0
     width = n_bytes % 640 + 16
     height = (first_cp * 7) % 480 + 16
-    checksum = sum(ord(c) for c in s) % _MOD
+    cps = _np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+    checksum = int(cps.sum(dtype="int64")) % _MOD
     return n_bytes, width, height, checksum
 
 
@@ -237,22 +246,26 @@ def sample_frames(decoded: DataFrame, fps_ms: int = 1000) -> DataFrame:
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vids = pdf[pdf["kind"] == "video"]
-            out: dict[str, list] = {
-                "media_id": [],
-                "frame_idx": [],
-                "frame_ts_ms": [],
-                "frame_checksum": [],
-            }
-            for mid, dur, chk in zip(
-                vids["media_id"], vids["duration_ms"], vids["checksum"]
-            ):
-                n_frames = int(dur) // fps_ms + 1
-                for i in range(n_frames):
-                    out["media_id"].append(int(mid))
-                    out["frame_idx"].append(i)
-                    out["frame_ts_ms"].append(i * fps_ms)
-                    out["frame_checksum"].append((int(chk) + i) % _MOD)
-            yield pd.DataFrame(out)
+            # vectorized 1→N expansion: same integers the per-row loop
+            # produced, computed as whole-batch numpy ops (guide §4.2)
+            n = vids["duration_ms"].to_numpy(dtype="int64") // fps_ms + 1
+            total = int(n.sum())
+            starts = _np.cumsum(n) - n
+            fidx = _np.arange(total, dtype="int64") - _np.repeat(starts, n)
+            yield pd.DataFrame(
+                {
+                    "media_id": _np.repeat(
+                        vids["media_id"].to_numpy(dtype="int64"), n
+                    ),
+                    "frame_idx": fidx.astype("int32"),
+                    "frame_ts_ms": fidx * fps_ms,
+                    "frame_checksum": (
+                        _np.repeat(vids["checksum"].to_numpy(dtype="int64"), n)
+                        + fidx
+                    )
+                    % _MOD,
+                }
+            )
 
     return decoded.mapInPandas(stage, schema=FRAMES_SCHEMA)
 
@@ -263,13 +276,23 @@ def extract_features(decoded: DataFrame, dim: int = 8) -> DataFrame:
     comparison. A real extractor would return array<float> embeddings."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = _np.arange(dim, dtype="int64")
         for pdf in batches:
-            out: dict[str, list] = {"media_id": [], "feat_idx": [], "feat": []}
-            for mid, chk in zip(pdf["media_id"], pdf["checksum"]):
-                for i in range(dim):
-                    out["media_id"].append(int(mid))
-                    out["feat_idx"].append(i)
-                    out["feat"].append(((int(chk) * (i + 31)) % 1000) / 1000.0)
-            yield pd.DataFrame(out)
+            # vectorized: chk < 2^31 and (i+31) <= dim+30, so the int64
+            # products are exact — identical values to the per-row loop
+            chks = pdf["checksum"].to_numpy(dtype="int64")
+            feat_idx = _np.tile(idx, len(pdf))
+            yield pd.DataFrame(
+                {
+                    "media_id": _np.repeat(
+                        pdf["media_id"].to_numpy(dtype="int64"), dim
+                    ),
+                    "feat_idx": feat_idx.astype("int32"),
+                    "feat": (
+                        (_np.repeat(chks, dim) * (feat_idx + 31)) % 1000
+                    )
+                    / 1000.0,
+                }
+            )
 
     return decoded.mapInPandas(stage, schema=FEATURES_SCHEMA)

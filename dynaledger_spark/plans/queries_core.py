@@ -280,7 +280,18 @@ def fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the groupBy reuses that clustering; dense_rank is deterministic
     under date ties.
     """
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # The one exchange this plan needs is placed BEFORE the joins, keyed
+    # by o_custkey (≡ c_custkey on every inner-joined row): the window's
+    # clustering is then already satisfied, the groupBy (whose keys
+    # include the partition key) reuses it too, and the join/window/agg
+    # chain runs fully parallel instead of inside the single scan task —
+    # the previous shape shuffled the (wider, 4×-larger) joined rows
+    # after the joins for the same single exchange (guide §2.3/§2.4).
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .repartition(F.col("o_custkey"))
+    )
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -291,6 +302,7 @@ def fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "o_orderkey",
+            "o_custkey",
             "c_custkey",
             "c_name",
             F.col("n_name").alias("nation"),
@@ -299,11 +311,18 @@ def fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
         )
     )
-    w = W.partitionBy("c_custkey").orderBy(F.col("o_orderdate").desc())
+    # partition by o_custkey, not c_custkey: identical groups (inner
+    # equi-join), but expressed in the stream side's attribute so the
+    # upstream repartition satisfies the window without a new exchange
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc())
     return (
         joined.withColumn("rn", F.dense_rank().over(w))
-        .groupBy("o_orderkey", "c_custkey", "c_name", "nation", "order_year", "rn")
+        .groupBy(
+            "o_orderkey", "o_custkey", "c_custkey", "c_name", "nation",
+            "order_year", "rn",
+        )
         .agg(dsum(F.col("net_price"), "total_value"), F.count(F.lit(1)).alias("n_lines"))
+        .drop("o_custkey")
     )
 
 

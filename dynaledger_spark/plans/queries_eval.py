@@ -89,7 +89,13 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins are vocabulary-sized — broadcastable exactly when the
     vocab is (frequency-floor them first, as with the unigram LM).
     """
-    docs = _t(spark, sf_dir, "documents")
+    # single-file corpus → 1-task scan doing the WHOLE bigram explode and
+    # the partial aggregation single-threaded; spread rows first (the
+    # queries_text._docs precedent — dropped at real scale where the scan
+    # has file parallelism)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(toks) >= 2,

@@ -239,6 +239,12 @@ def pagerank(edges: DataFrame, iters: int = 8, damping: float = 0.85) -> DataFra
         return deg.select(
             F.col("src").alias("v"), F.lit(0.0).alias("rank")
         ).limit(0)
+    # NOTE (r13 measure-first): hoisting the deg join out of the loop
+    # (ranks ⋈ (arcs⋈deg)_invariant) was tried both persisted and lazy
+    # and measured SLOWER at sf0.1 (4.7 → 6.3 s min-of-8): the planner
+    # handles this 3-way tiny-join loop by broadcasting the (ranks⋈deg)
+    # pair and streaming the cached arc table, which the pre-joined form
+    # defeats. Kept as-is deliberately.
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for i in range(iters):
@@ -519,10 +525,14 @@ def pagerank_portable_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
         .transform(tracked_persist)
     )
+    # persisted: every round re-reads deg for the left join — without the
+    # cache each of the 8 rounds re-runs the arcs groupBy (a shuffle) for
+    # the same loop-invariant table (guide §2.4; exact integer counts, so
+    # caching cannot change a bit)
     deg = arcs.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
-    n = deg.count()  # driver scalar: |V|, bounded, deterministic
+    ).transform(tracked_persist)
+    n = deg.count()  # driver scalar: |V|, bounded, deterministic (primes the cache)
     if n == 0:  # empty graph (empty-corpus sweep): emit the empty schema
         return deg.select("v", F.col("deg").cast("bigint").alias("pr_fixed"))
     base = _PR_SCALE // n

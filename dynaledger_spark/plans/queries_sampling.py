@@ -475,25 +475,32 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic resampling by construction.
     """
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # single-file corpus → 1-task scan; the ×B explode and the Poisson
+    # CASE chain are the heavy map-side work, so spread the (skinny)
+    # pre-explode rows across all cores first (guide §2.5 input skew; at
+    # 100 TB the scan has natural file parallelism and this is dropped)
     s = ev.select(
         "event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # (e·H1 + r·H2) mod 2³² ≡ ((e·H1 mod 2³²) + (r·H2 mod 2³²)) mod 2³²:
+    # the e-term is one DECIMAL op per EVENT (hoisted above the explode —
+    # the old form paid B decimal multiplies per event), the r-term is a
+    # 200-entry literal array folded at plan time, and the recombination
+    # is pure bigint (< 2³³, exact). Identical h values by modular algebra.
+    rep_h2 = F.array(
+        *[F.lit((r * _H2) % _M32) for r in range(1, _BOOT_B + 1)]
     )
+    a_term = (
+        (F.col("event_id").cast("decimal(38,0)") * _H1) % _M32
+    ).cast("bigint")
     draws = s.select(
         "cents",
+        a_term.alias("_a"),
         F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("rep"),
-        "event_id",
     ).select(
         F.col("rep").cast("bigint").alias("rep"),
         "cents",
-        (
-            (
-                (
-                    F.col("event_id").cast("decimal(38,0)") * _H1
-                    + F.col("rep").cast("decimal(38,0)") * _H2
-                )
-                % _M32
-            ).cast("bigint")
-        ).alias("h"),
+        ((F.col("_a") + F.element_at(rep_h2, F.col("rep"))) % _M32).alias("h"),
     )
     u = F.col("h").cast("double") / float(_M32)
     w = F.lit(6)

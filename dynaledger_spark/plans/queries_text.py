@@ -132,10 +132,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single action run the same pipeline (8-9 s vs 1.2-2.6 s at sf0.1,
     round-4 root-cause of the flat r3 driver bench). The signature cache
     this leaves behind is a few MB and session-scoped.
+
+    Reads the RAW scan (not _docs): near_duplicates opens with the
+    exact-dup groupBy, whose exchange already spreads the corpus across
+    all cores — a round-robin repartition in front would shuffle the
+    full text bytes twice for no added parallelism (the pre-exchange
+    work is one md5 per doc).
     """
+    import os as _os
+
     from dynaledger_spark.operators.dedup import near_duplicates
 
-    return near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    raw = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    return near_duplicates(raw, threshold=0.5)
 
 
 @register(
@@ -2053,8 +2062,15 @@ def minhash_estimation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    found = portable_minhash_pairs(docs)
-    sigs = portable_minhash_signatures(docs).select("id", "sig")
+    # ONE signature table feeds the pair pipeline AND the estimate: the
+    # previous form called portable_minhash_signatures twice (once
+    # directly, once inside portable_minhash_pairs), persisting two
+    # copies of the same table and running the per-character rolling-
+    # hash fold over the corpus twice (guide §1.2 — don't compute
+    # things you throw away). Same signatures, same output.
+    sigs_full = portable_minhash_signatures(docs)
+    found = portable_minhash_pairs(docs, sigs=sigs_full)
+    sigs = sigs_full.select("id", "sig")
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     matches = F.size(

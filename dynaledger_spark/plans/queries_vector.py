@@ -27,10 +27,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-def _qvec0(emb: DataFrame) -> list[float] | None:
+def _qvec0(spark: SparkSession, sf_dir: str) -> list[float] | None:
     """The vec_id=0 probe embedding, or None on an empty corpus (the
-    documented K-row driver fetch; empty-corpus contract, round 11)."""
-    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    documented K-row driver fetch; empty-corpus contract, round 11).
+
+    Reads the RAW scan, not _emb: the probe filter then pushes down to
+    the parquet scan (PushedFilters: EqualTo(vec_id,0)) instead of
+    running scan → round-robin exchange → filter — the repartition only
+    helps the per-row fold passes, and this job folds nothing."""
+    row = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
     return None if row is None else [float(v) for v in row[0]]
 
 
@@ -97,7 +107,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.similarity import cosine_topk
 
     emb = _emb(spark, sf_dir)
-    qvec = _qvec0(emb)
+    qvec = _qvec0(spark, sf_dir)
     if qvec is None:  # empty corpus: no probe, no candidates
         return _empty_topk(spark, emb)
     return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
@@ -158,7 +168,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir)
-    qvec = _qvec0(emb)
+    qvec = _qvec0(spark, sf_dir)
     if qvec is None:  # empty corpus: no probe, no candidates
         return _empty_topk(spark, emb)
     return lsh_topk(
@@ -186,7 +196,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    qvec = _qvec0(emb)
+    qvec = _qvec0(spark, sf_dir)
     if qvec is None:  # empty corpus: no probe, no index to fit
         return _empty_topk(spark, emb)
     return ivf_topk(
@@ -271,7 +281,7 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    qvec = _qvec0(emb)
+    qvec = _qvec0(spark, sf_dir)
     if qvec is None:  # empty corpus: nothing to index or probe
         return _empty_topk(spark, emb)
     corpus = emb.filter("vec_id != 0")
@@ -890,7 +900,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.similarity import cosine_topk, lsh_topk
 
     emb = _emb(spark, sf_dir)
-    qvec = _qvec0(emb)
+    qvec = _qvec0(spark, sf_dir)
     if qvec is None:
         # empty corpus: both rankings are empty, their intersection is
         # 0 of 10 — the oracle's global aggregate emits the same row

@@ -768,7 +768,19 @@ def test_rotation_staleness_sla():
     CORRECTNESS history: each simulated round verifies the first 50
     driver_order entries; assert no query ever waits longer than
     ceil((N - |pinned|) / (50 - |pinned|)) rounds between visits, and
-    that the pinned flagships are inside every window."""
+    that the pinned flagships are inside every window.
+
+    RE-TIER DEBT (round 13): with N=338 the steady-state bound has zero
+    slack (336/48 = exactly 7), so ANY tier-1 backlog at window start —
+    ledger entries whose `since` outruns their last green, i.e. plans
+    re-tiered by a helper edit or the r13 migration audit — displaces
+    rotation slots and stretches some gap past the bound while the debt
+    drains. That debt is the closure-hash mechanism WORKING (stale
+    greens must not attest edited plans), so the SLA degrades by
+    exactly the drain time: max gap <= bound + ceil(debt / slots).
+    Debt itself is capped at two windows — a bulk edit that re-tiers
+    more than 2x48 plans must be split across rounds (same spirit as
+    the registry-growth cap)."""
     import math
 
     from dynaledger_spark.plans import registry as R
@@ -783,6 +795,30 @@ def test_rotation_staleness_sla():
         f"/ {slots - n_pinned} rotation slots -> {bound} rounds; raise the "
         "driver window or split the registry"
     )
+    # tier-1 debt: entries whose committed greens no longer attest their
+    # current plan (since > last green, or live hash != ledger hash)
+    ledger = R.plan_state()
+    debt = sum(
+        1
+        for n in reg
+        if n not in R._PINNED
+        and (
+            hist.get(n, -1) < 0
+            or (
+                n in ledger
+                and (
+                    ledger[n].get("hash") != R.plan_hash(reg[n])
+                    or hist.get(n, -1) < ledger[n].get("since", 0)
+                )
+            )
+        )
+    )
+    rot_slots = slots - n_pinned
+    assert debt <= 2 * rot_slots, (
+        f"re-tier debt {debt} exceeds two driver windows ({2 * rot_slots}); "
+        "split the bulk edit across rounds so greens can keep pace"
+    )
+    debt_rounds = math.ceil(debt / rot_slots)
     start = max(hist.values(), default=0) + 1
     visits: dict[str, list[int]] = {n: [] for n in reg}
     sim = dict(hist)
@@ -794,12 +830,14 @@ def test_rotation_staleness_sla():
             sim[n] = rnd
             visits[n].append(rnd)
     # steady state: every query visited, max gap between consecutive
-    # visits within the bound (ignore the pre-history warm-in gap)
+    # visits within the bound + the debt drain time (ignore the
+    # pre-history warm-in gap)
     for n, vs in visits.items():
         assert vs, f"{n} never entered the window in {3 * bound} rounds"
         gaps = [b - a for a, b in zip(vs, vs[1:])]
-        assert not gaps or max(gaps) <= bound, (
-            f"{n} staleness {max(gaps)} rounds exceeds SLA {bound}"
+        assert not gaps or max(gaps) <= bound + debt_rounds, (
+            f"{n} staleness {max(gaps)} rounds exceeds SLA "
+            f"{bound} + debt drain {debt_rounds}"
         )
 
 
