@@ -651,15 +651,38 @@ def jaccard_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(F.broadcast(dfreq), "g")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "g")
+        .select("doc_id", "n", "g", "rn")
     )
+    # PPJoin length + positional filters at t = 4/5, exact in integers —
+    # the "at 100 TB add the PPJoin positional upper-bound filter" note
+    # made real (the lsh_recall_eval r13 redesign: J >= 4/5 forces
+    # 5*min(n) >= 4*max(n) and, via the first shared prefix gram in the
+    # shared global (df, g) rarity order, I <= 1 + min(n_a - rn_a,
+    # n_b - rn_b) while 9I >= 4(n_a + n_b) is required — pairs failing
+    # either can never verify, so the verified output is bit-identical).
     a, b = prefix.alias("a"), prefix.alias("b")
+    cand_rows = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (5 * F.least("a.n", "b.n") >= 4 * F.greatest("a.n", "b.n")),
+    ).select(
+        F.col("a.doc_id").alias("rep_a"),
+        F.col("b.doc_id").alias("rep_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        F.struct(F.col("a.rn").alias("rna"), F.col("b.rn").alias("rnb")).alias("pos"),
+    )
     cands = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
+        cand_rows.groupBy("rep_a", "rep_b")
+        .agg(F.min("na").alias("na"), F.min("nb").alias("nb"),
+             F.min("pos").alias("mn"))
+        .filter(
+            9 * (1 + F.least(F.col("na") - F.col("mn.rna"),
+                             F.col("nb") - F.col("mn.rnb")))
+            >= 4 * (F.col("na") + F.col("nb"))
         )
-        .distinct()
+        .select("rep_a", "rep_b")
     )
     sa = shingled.select(F.col("doc_id").alias("rep_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("rep_b"), F.col("sh").alias("sh_b"))

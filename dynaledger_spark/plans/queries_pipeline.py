@@ -1322,7 +1322,13 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dynaledger_spark.operators.dedup import _shingles
     from dynaledger_spark.plans.queries_sampling import _H1, _M32, _mhash
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # single-file corpus → 1-task scan feeding THREE heavy map-side
+    # branches (the 5-gram shingle explode, the word explode, the md5
+    # grouping) — spread rows once up front (the queries_text._docs
+    # precedent; dropped at real scale where scans have file parallelism)
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).repartition(spark.sparkContext.defaultParallelism)
     keepers = (
         docs.groupBy(F.md5("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))

@@ -579,11 +579,18 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
+    # np = C(n_days, 2) BY CONSTRUCTION (the t values are distinct, the
+    # pair join keeps exactly every ti < tj), so the old unbounded
+    # COUNT(*) OVER () — a second single-task window pass that BUFFERS
+    # all C(n,2) rows (~2.9M at sf0.1's 2405-day span; the r13 profile
+    # measured it as the query's dominant stage) — is replaced by
+    # integer algebra on the 1-row day count. The remaining row_number
+    # window is a streaming frame over the same total order: identical
+    # rank, identical selected row.
     wall = W.orderBy("slope", "ti", "tj")
     ranked = slopes.select(
         "slope",
         F.row_number().over(wall).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("np"),
     )
     nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     # integer floor-division, matching the oracle's (np + 1) // 2: a
@@ -592,8 +599,9 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing — 0 rows at any SF whose |days| made C(n,2) even (first
     # seen at sf0.1; both driver-verify SFs happened to be odd)
     return (
-        ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
-        .crossJoin(F.broadcast(nd))
+        ranked.crossJoin(F.broadcast(nd))
+        .withColumn("np", F.expr("n_days * (n_days - 1) div 2"))
+        .filter(F.col("rn") == F.expr("(np + 1) div 2"))
         .select(
             "n_days",
             F.col("np").cast("bigint").alias("n_pairs"),
