@@ -54,31 +54,46 @@ def minhash_signatures(
     """(id, shingles, sig: array<bigint>[n_hashes]) per document.
 
     One base xxhash64 per shingle, then ONE fold over the base hashes
-    whose accumulator is the n-wide signature vector: per shingle the n
-    universal-hash values (a·h+b mod p) zip into the accumulator with
-    `least`. Identical output to the textbook n× array_min formulation
-    (equality-tested), but a single higher-order-expression pass instead
-    of n — measured ~2× faster cold at sf0.1 (the HOF evaluation
-    overhead dominates, not the arithmetic). A doc with no shingles
-    would yield p-sentinel rows rather than nulls; `_shingles` always
-    emits ≥1 gram, so the case is unreachable on real input. No explode,
-    no UDF, no shuffle.
+    whose accumulator is the n-wide signature vector. Identical output
+    to the textbook n× array_min formulation (equality-tested), but a
+    single higher-order-expression pass instead of n — measured ~2×
+    faster cold at sf0.1 (the HOF evaluation overhead dominates, not
+    the arithmetic). A doc with no shingles would yield p-sentinel rows
+    rather than nulls; `_shingles` always emits ≥1 gram, so the case is
+    unreachable on real input. No explode, no UDF, no shuffle.
+
+    Measured and REVERTED (r14): a vectorized numpy kernel behind a
+    pandas UDF shipping only the `_base` arrays (guide §4.2) computed
+    the same integers but benched SLOWER under the driver's protocol —
+    fresh-JVM min-of-2 read 3.1-3.8 s vs 2.8-3.0 s for this form even
+    with Python workers pre-warmed, and warm plateau 2.1-2.9 vs
+    1.9-2.3 s: at sf0.1 the fold runs 32-way parallel (~0.2 s of wall),
+    so the Arrow round-trip + 32 ArrowEvalPython task overheads cost
+    more than the interpreted-HOF evaluation they replaced.
     """
     params = _perm_params(n_hashes, seed)
     base = F.transform(
         F.col("_shingles"),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
     )
-    a_arr = "array(" + ",".join(f"{a}L" for a, _ in params) + ")"
-    b_arr = "array(" + ",".join(f"{b}L" for _, b in params) + ")"
+    # ONE zip_with per shingle, pairing the accumulator positionally with
+    # a literal array of (a, b) structs — the r13 form used two nested
+    # zip_withs (build the permuted vector, then least-merge it), i.e.
+    # 2·n_hashes interpreted lambda evaluations per shingle. Fusing them
+    # halves the interpreted-HOF work and shrinks the expression tree the
+    # fresh-JVM JIT must chew through (the driver benches cold; VERDICT
+    # r13 item 1). Arithmetic is positionally identical: acc[k] =
+    # least(acc[k], pmod(a_k*h + b_k, P)) either way.
+    ab_arr = "array(" + ",".join(
+        f"named_struct('a',{a}L,'b',{b}L)" for a, b in params
+    ) + ")"
     sig = F.expr(
         f"""
         aggregate(
             _base,
             array_repeat(CAST({_P} AS BIGINT), {n_hashes}),
-            (acc, h) -> zip_with(acc,
-                zip_with({a_arr}, {b_arr}, (a, b) -> pmod(a * h + b, {_P})),
-                (x, y) -> least(x, y))
+            (acc, h) -> zip_with(acc, {ab_arr},
+                (x, ab) -> least(x, pmod(ab.a * h + ab.b, {_P})))
         )
         """
     )
@@ -187,25 +202,29 @@ def _surviving_bucket_rows(
 
 def _bucket_pairs(survivors: DataFrame) -> DataFrame:
     """Upper-triangle pairs per surviving bucket, generated
-    bucket-locally (array expressions), deduped across bands."""
+    bucket-locally, deduped across bands.
+
+    Pair emission is TWO CHAINED GENERATORS (posexplode the members,
+    then explode the later-elements slice) instead of the r13
+    transform-of-transform + flatten expression: the pair set is
+    identical (for each position i, ids[i] × ids[i+1:]), but the
+    nested-lambda tree was the plan's deepest interpreted expression
+    and dominated fresh-JVM first-run JIT cost — the driver benches
+    cold, so the depth was a headline tax (VERDICT r13 item 1).
+    Generators are codegen'd operators, not interpreted HOFs."""
     buckets = (
         survivors.groupBy("band", "band_hash")
         .agg(F.collect_list("id").alias("_ids"))
         .select(F.array_sort("_ids").alias("_ids"))
     )
-    # for each position i, pair ids[i] with every later element.
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
+        buckets.select(F.posexplode("_ids").alias("_i", "id_a"), "_ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -327,39 +346,28 @@ def near_duplicates(
             ),
             "id_b",
         )
+        # member-pair expansion as chained generators, not nested
+        # transform lambdas — same pairs, shallower expression tree
+        # (cold-JIT cost; see _bucket_pairs)
+        .select(F.explode("_ma").alias("_x"), "_mb", "jaccard")
+        .select("_x", F.explode("_mb").alias("_y"), "jaccard")
         .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "_ma",
-                        lambda x: F.transform(
-                            F.col("_mb"),
-                            lambda y: F.struct(
-                                F.least(x, y).alias("id_a"),
-                                F.greatest(x, y).alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("_p"),
+            F.least("_x", "_y").alias("id_a"),
+            F.greatest("_x", "_y").alias("id_b"),
             "jaccard",
-        )
-        .select("_p.id_a", "_p.id_b", "jaccard")
-    )
-    tri = F.flatten(
-        F.transform(
-            "_members",
-            lambda x, i: F.transform(
-                F.slice(F.col("_members"), i + 2, F.size(F.col("_members"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
         )
     )
     alive = survivors.filter(F.col("_w") >= 2).select("id").distinct()
     within = (
         sigs.join(alive, "id", "left_semi")
-        .select(F.explode(tri).alias("_p"))
-        .select("_p.id_a", "_p.id_b", F.lit(1.0).alias("jaccard"))
+        .select(F.posexplode("_members").alias("_i", "id_a"), "_members")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_members"), F.col("_i") + 2, F.size("_members"))
+            ).alias("id_b"),
+        )
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
     )
     out = cross.unionByName(within) if threshold <= 1.0 else cross
     if materialize:
