@@ -89,12 +89,19 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins are vocabulary-sized — broadcastable exactly when the
     vocab is (frequency-floor them first, as with the unigram LM).
     """
+    import os
+
+    from dynaledger_spark.plans.spread import spread_if_serial
+
     # single-file corpus → 1-task scan doing the WHOLE bigram explode and
     # the partial aggregation single-threaded; spread rows first (the
-    # queries_text._docs precedent — dropped at real scale where the scan
-    # has file parallelism)
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+    # queries_text._docs precedent) — gated on the scan's actual
+    # parallelism, so a multi-file corpus keeps the raw scan
+    # (plans/spread.py)
+    docs = spread_if_serial(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        os.path.join(sf_dir, "documents.parquet"),
     )
     toks = F.split(F.col("text"), " ")
     grams = F.when(

@@ -142,14 +142,15 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from dynaledger_spark.plans.spread import read_spread
+
     # single-file corpus → 1-task scan, and THIS query's map side is the
     # d²/2 outer-product explode (~2080 structs per row) plus the partial
     # collect_list — spread rows across all cores first (the _emb
     # precedent; the fold sorts per-cell values, so placement cannot
-    # change the result). At 100 TB the scan parallelism is natural and
-    # this repartition would be dropped.
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    # change the result). Gated on the scan's actual parallelism: a
+    # multi-file corpus keeps the raw scan (plans/spread.py).
+    emb = read_spread(spark, os.path.join(sf_dir, "embeddings.parquet"))
     # guard the degenerate empty vector: sequence(1, 0) is a DESCENDING
     # [1, 0] in Spark (not empty) and element_at(arr, 0) throws — the
     # oracle's range(1, 1) is empty, so filter to match it.

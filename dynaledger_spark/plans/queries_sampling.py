@@ -474,14 +474,24 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan + B·|partitions| partial rows — the reason this beats
     classic resampling by construction.
     """
+    import os
+
+    from dynaledger_spark.plans.spread import spread_if_serial
+
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     # single-file corpus → 1-task scan; the ×B explode and the Poisson
     # CASE chain are the heavy map-side work, so spread the (skinny)
-    # pre-explode rows across all cores first (guide §2.5 input skew; at
-    # 100 TB the scan has natural file parallelism and this is dropped)
-    s = ev.select(
-        "event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # pre-explode rows across all cores first (guide §2.5 input skew) —
+    # gated on the scan's actual parallelism, so a multi-file events
+    # table keeps the raw scan (plans/spread.py)
+    s = spread_if_serial(
+        spark,
+        ev.select(
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ),
+        os.path.join(sf_dir, "events.parquet"),
+    )
     # (e·H1 + r·H2) mod 2³² ≡ ((e·H1 mod 2³²) + (r·H2 mod 2³²)) mod 2³²:
     # the e-term is one DECIMAL op per EVENT (hoisted above the explode —
     # the old form paid B decimal multiplies per event), the r-term is a

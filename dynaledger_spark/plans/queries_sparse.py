@@ -25,8 +25,10 @@ from dynaledger_spark.plans.cache import tracked_persist
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # spread gated on actual scan parallelism (plans/spread.py)
+    from dynaledger_spark.plans.spread import read_spread
+
+    return read_spread(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 # vocabulary contract shared by both queries: lowercase ascii words,

@@ -23,10 +23,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan, while every text operator does heavy per-row expression work
     # (regex, shingling, hash folds). Spread rows across all cores first;
     # the 0.6 MB shuffle is noise next to the compute it parallelizes.
-    # (At 100 TB the scan has natural file parallelism and this repartition
-    # would be dropped.)
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # read_spread gates the repartition on the scan's ACTUAL parallelism,
+    # so a multi-file corpus (100 TB posture) keeps the raw scan and the
+    # full-text round-robin shuffle never happens (plans/spread.py).
+    from dynaledger_spark.plans.spread import read_spread
+
+    return read_spread(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 # ---------------------------------------------------------------------------

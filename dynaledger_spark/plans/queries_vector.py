@@ -22,9 +22,12 @@ from dynaledger_spark.plans.cache import tracked_persist
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single small file → 1-task scan; the 64-dim fold per row is the
-    # cost, so parallelize it (see _docs in queries_text).
-    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # cost, so parallelize it (see _docs in queries_text). Gated on the
+    # scan's actual parallelism — a multi-file corpus keeps the raw scan
+    # (plans/spread.py).
+    from dynaledger_spark.plans.spread import read_spread
+
+    return read_spread(spark, os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _qvec0(spark: SparkSession, sf_dir: str) -> list[float] | None:
