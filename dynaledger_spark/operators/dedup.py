@@ -500,18 +500,35 @@ def portable_minhash_signatures(
     tokenize/shingle pass — exact-dup-collapsed callers hand in the
     shingle table they already built for group REPRESENTATIVES, so the
     16-permutation fold runs once per distinct text, not once per doc
-    (identical text ⇒ identical signature)."""
+    (identical text ⇒ identical signature).
+
+    ROLLING-HASH COMPOSITION (r14, VERDICT r13 item 4): the base hash
+    of a gram "w1 w2 w3" used to be one character fold over the JOINED
+    string — every token's characters re-hashed once per gram it
+    appears in (~k× the corpus character volume), each char fetched
+    with an O(j) `substr` scan (O(len²) per gram). Two exact algebraic
+    rewrites, both bitwise-identical by the polynomial identity
+    H(x‖y) = (H(x)·31^|y| + H(y)) mod p:
+      * default path: each token is folded ONCE per document into
+        (h, 31^len), and every gram's hash composes from its k tokens'
+        pairs in O(k) multiplies — H(w1‖' w2'‖' w3') with
+        H(' wj') = (32·31^|wj| + H(wj)) mod p;
+      * handed-in-shingles path: the fold runs over `split(s, '')`
+        (O(1) element access) instead of per-index substr.
+    Positional grams replace array_distinct'd gram strings as the
+    signature's base values — duplicates cannot change an array_min,
+    so the signature SET semantics are untouched (the verification
+    `shingles` column keeps its distinct strings). Equality-tested
+    against the old fold on every doc at sf0.001/sf0.01 plus the
+    whitespace/empty/multi-byte edge corpus."""
     params = _perm_params(n_hashes, seed)
 
+    # value-identical char fold; split('') gives O(1) char access where
+    # substr(i, 1) re-scans the UTF-8 prefix per index
     rolling = lambda s: F.aggregate(  # noqa: E731
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
-            lambda i: F.coalesce(F.ascii(s.substr(i, F.lit(1))), F.lit(0)).cast(
-                "long"
-            ),
-        ),
+        F.split(s, ""),
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + c) % _P,
+        lambda acc, ch: (acc * 31 + F.coalesce(F.ascii(ch), F.lit(0))) % _P,
     )
 
     def perm(a: int, b: int):
@@ -524,13 +541,72 @@ def portable_minhash_signatures(
         ]
     )
     if shingled is None:
-        shingled = docs.select(
-            F.col(id_col).alias("id"),
-            _shingles(F.col(text_col)).alias("shingles"),
+        k = 3  # _shingles' gram width
+        toks = F.split(F.col(text_col), r"\s+")
+        n = F.size(toks)
+        # (h, pw) = (rolling hash, 31^len mod p) per token, folded once
+        # per document. A zero-length token (leading whitespace) must
+        # carry pw = 31^0 = 1; the fold over split('')'s single ''
+        # element would report 31^1.
+        hp_fold = lambda t: F.aggregate(  # noqa: E731
+            F.split(t, ""),
+            F.struct(
+                F.lit(0).cast("long").alias("h"),
+                F.lit(1).cast("long").alias("pw"),
+            ),
+            lambda acc, ch: F.struct(
+                ((acc["h"] * 31 + F.coalesce(F.ascii(ch), F.lit(0))) % _P).alias("h"),
+                ((acc["pw"] * 31) % _P).alias("pw"),
+            ),
         )
-    sigs = shingled.select("id", "shingles").withColumn(
-        "_base", F.transform(F.col("shingles"), rolling)
-    ).select("id", "shingles", sig.alias("sig"))
+        hp = F.transform(
+            toks,
+            lambda t: F.when(
+                F.length(t) == 0,
+                F.struct(
+                    F.lit(0).cast("long").alias("h"),
+                    F.lit(1).cast("long").alias("pw"),
+                ),
+            ).otherwise(hp_fold(t)),
+        )
+
+        def gram_hash(i):
+            # H(join(tokens[i+1 .. min(i+k, n)], ' ')), composed:
+            # acc ← (acc·(31·pwⱼ) + 32·pwⱼ + hⱼ) mod p per appended
+            # token j (the 31· accounts for the separator; all
+            # intermediates < 2^62 since acc, pw, h < p < 2^31)
+            acc = F.element_at(F.col("_hp"), i + 1)["h"]
+            for step in range(2, k + 1):
+                j = i + step
+                e = F.element_at(F.col("_hp"), j)
+                acc = F.when(
+                    j <= F.col("_n"),
+                    F.pmod(
+                        acc * F.pmod(e["pw"] * 31, F.lit(_P))
+                        + (e["pw"] * 32 + e["h"]),
+                        F.lit(_P),
+                    ),
+                ).otherwise(acc)
+            return acc
+
+        base = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.col("_n") - k, F.lit(0))),
+            gram_hash,
+        )
+        sigs = (
+            docs.select(
+                F.col(id_col).alias("id"),
+                _shingles(F.col(text_col)).alias("shingles"),
+                hp.alias("_hp"),
+                n.alias("_n"),
+            )
+            .withColumn("_base", base)
+            .select("id", "shingles", sig.alias("sig"))
+        )
+    else:
+        sigs = shingled.select("id", "shingles").withColumn(
+            "_base", F.transform(F.col("shingles"), rolling)
+        ).select("id", "shingles", sig.alias("sig"))
     from pyspark import StorageLevel
 
     return tracked_persist(sigs, StorageLevel.MEMORY_AND_DISK)
