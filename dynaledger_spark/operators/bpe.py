@@ -58,9 +58,18 @@ def _merge_pair(syms, left: str, right: str):
     )
 
 
-def learn_bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+def learn_bpe_merges(
+    docs: DataFrame, n_merges: int = 8, return_syms: bool = False
+) -> DataFrame:
     """Learn the first `n_merges` BPE merges over the documents' word
-    stream. Returns (merge_rank, left, right, merged, pair_count).
+    stream. Returns (merge_rank, left, right, merged, pair_count) —
+    or, with ``return_syms``, the tuple (merges, final symbol table
+    (w, cnt, syms)): the loop's last checkpoint already holds every
+    word segmented by all learned merges, so the APPLY step can reuse
+    it instead of re-deriving the word table and re-running the merge
+    folds (apply_bpe_merges did exactly that through r13 — one full
+    re-learn plus n_merges chained folds for a table the learn loop
+    had just materialized).
     """
     spark = docs.sparkSession
     words = (
@@ -69,8 +78,10 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # `w` rides along untouched (a few bytes/row): the final checkpoint
+    # then doubles as the apply step's segmentation table.
     syms = words.select(
-        "cnt", F.split("w", "").alias("syms")
+        "w", "cnt", F.split("w", "").alias("syms")
     ).localCheckpoint(eager=True)
 
     out = []
@@ -97,14 +108,15 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
             break
         out.append((rank, best.a, best.b, best.a + best.b, int(best.n)))
         syms = syms.select(
-            "cnt", _merge_pair(F.col("syms"), best.a, best.b).alias("syms")
+            "w", "cnt", _merge_pair(F.col("syms"), best.a, best.b).alias("syms")
         ).localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
+    merges = spark.createDataFrame(
         out,
         "merge_rank INT, left STRING, right STRING, merged STRING,"
         " pair_count BIGINT",
     )
+    return (merges, syms) if return_syms else merges
 
 
 def apply_bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
@@ -118,23 +130,16 @@ def apply_bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     array folds over the distinct-word table, zero shuffles after the
     word count.
     """
-    merges = [
-        (r.left, r.right)
-        for r in learn_bpe_merges(docs, n_merges).orderBy("merge_rank").collect()
-    ]
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    syms = F.split("w", "")
-    for left, right in merges:
-        syms = _merge_pair(syms, left, right)
-    return words.select(
+    # the learn loop's final checkpoint IS the segmented word table —
+    # reuse it instead of re-deriving words and re-folding every merge
+    # (r14; halves the query: one corpus pass + 8 checkpointed rounds
+    # total, rather than that PLUS a second corpus pass and 8 chained
+    # O(len²) array folds per word)
+    _, segmented = learn_bpe_merges(docs, n_merges, return_syms=True)
+    return segmented.select(
         "w",
         "cnt",
         F.length("w").cast("bigint").alias("n_chars"),
-        F.size(syms).cast("bigint").alias("n_subwords"),
-        F.array_join(syms, "·").alias("segmentation"),
+        F.size("syms").cast("bigint").alias("n_subwords"),
+        F.array_join("syms", "·").alias("segmentation"),
     ).orderBy("w")

@@ -265,8 +265,17 @@ def ivf_write_cells(
     n_probes/n_centroids of the corpus by construction, which is the
     entire point of IVF at 100 TB. Pruning is plan-asserted in
     tests/test_plans.py::test_ivf_persisted_partition_pruning.
+    The pre-write repartition clusters each cell into one task (guide
+    §6 output sizing): without it every upstream task writes a sliver
+    of every cell — ~512 four-row files at sf0.1 (32 spread tasks ×
+    16 cells), which the probe side then pays for in per-file opens.
+    One shuffle of skinny assigned rows buys one file per cell (AQE
+    coalesces the tiny exchange); row content and therefore probe
+    results are unchanged (the reader re-sorts by cos_sim, vec_id).
     """
-    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+    assigned.repartition("centroid").write.mode("overwrite").partitionBy(
+        "centroid"
+    ).parquet(path)
 
 
 def probe_centroids(

@@ -622,9 +622,17 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("user_id").orderBy("hour_ts")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # the next-known lookup as a RUNNING frame over the DESCENDING order:
+    # first(x) over (currentRow → unboundedFollowing) asc is the same
+    # value as last(x ignorenulls) over (unboundedPreceding → currentRow)
+    # desc, but Spark evaluates an unboundedFollowing frame by
+    # re-scanning current→end for every row — O(hours²) per user, and
+    # the measured bulk of this query (~1.7 s of 2.0 at sf0.1) — while
+    # a running frame is incremental O(hours). Same exchange (identical
+    # partitioning), one extra in-partition sort.
     w_next = (
-        W.partitionBy("user_id").orderBy("hour_ts")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        W.partitionBy("user_id").orderBy(F.col("hour_ts").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     known_ts = F.when(F.col("hour_value").isNotNull(), F.col("hour_ts"))
     ctx = joined.select(
@@ -633,8 +641,8 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_value",
         F.last("hour_value", ignorenulls=True).over(w_prev).alias("prev_val"),
         F.last(known_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
-        F.first("hour_value", ignorenulls=True).over(w_next).alias("next_val"),
-        F.first(known_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+        F.last("hour_value", ignorenulls=True).over(w_next).alias("next_val"),
+        F.last(known_ts, ignorenulls=True).over(w_next).alias("next_ts"),
     )
     frac = (
         F.expr("(unix_seconds(hour_ts) - unix_seconds(prev_ts)) div 3600").cast("double")

@@ -1557,9 +1557,13 @@ def kcenter_coreset_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. reference: SURVEY §2.11 (similarity/curation tier).
     """
     emb = _emb(spark, sf_dir)
+    # the ~|emb|/7-row pool is re-scanned by every greedy round (k-1
+    # rounds + the seed fetch + the final labeling pass) — persist it
+    # once (r14; raw columns, so caching cannot change a bit; the
+    # loop-invariant-table rule from pagerank_portable_fixedpoint)
     pool = emb.filter(F.col("vec_id") % _KC_MOD == 0).select(
         "vec_id", "embedding"
-    )
+    ).transform(tracked_persist)
     seed = pool.filter(F.col("vec_id") == 0).head()
     if seed is None:  # empty pool: no coreset (oracle CTE chain is empty too)
         from pyspark.sql import types as T
