@@ -496,7 +496,11 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the e-term is one DECIMAL op per EVENT (hoisted above the explode —
     # the old form paid B decimal multiplies per event), the r-term is a
     # 200-entry literal array folded at plan time, and the recombination
-    # is pure bigint (< 2³³, exact). Identical h values by modular algebra.
+    # is pure bigint (< 2³³, exact). Identical h values by modular algebra
+    # — PROVIDED event_id ≥ 0 (true by generation: ids are sequence
+    # numbers): Spark's % truncates toward the dividend's sign, so for a
+    # negative e the split form could differ from (e·H1 + r·H2) mod 2³²
+    # (ADVICE r13; wrap a_term in pmod if ids ever go signed).
     rep_h2 = F.array(
         *[F.lit((r * _H2) % _M32) for r in range(1, _BOOT_B + 1)]
     )

@@ -832,13 +832,25 @@ def test_rotation_staleness_sla():
     # steady state: every query visited, max gap between consecutive
     # visits within the bound + the debt drain time (ignore the
     # pre-history warm-in gap)
+    # The debt slack applies ONLY to gaps that can still feel the drain:
+    # tier-1 re-verifies displace rotation slots for debt_rounds rounds,
+    # and that one-time phase shift ripples through the LRU queue for up
+    # to two further rotations (the bound has zero slack at N=338, so
+    # each displaced visit re-displaces its slot's next occupant;
+    # empirically the latest +1 gap starts debt_rounds + ~1.7·bound
+    # after the drain begins). Gaps starting later must meet the plain
+    # bound — a debt-carrying round cannot grant every plan PERMANENT
+    # extra staleness headroom (ADVICE r13 item 2).
+    ripple_end = start + debt_rounds + 2 * bound
     for n, vs in visits.items():
         assert vs, f"{n} never entered the window in {3 * bound} rounds"
-        gaps = [b - a for a, b in zip(vs, vs[1:])]
-        assert not gaps or max(gaps) <= bound + debt_rounds, (
-            f"{n} staleness {max(gaps)} rounds exceeds SLA "
-            f"{bound} + debt drain {debt_rounds}"
-        )
+        for a, b in zip(vs, vs[1:]):
+            allowed = bound + (debt_rounds if a < ripple_end else 0)
+            assert b - a <= allowed, (
+                f"{n} staleness {b - a} rounds (visits {a}->{b}) exceeds "
+                f"SLA {bound}"
+                + (f" + debt drain {debt_rounds}" if a < ripple_end else "")
+            )
 
 
 def test_unpersist_discipline(spark, sf_dir):
